@@ -1,0 +1,131 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's casting / type-re-inference surface re-expressed as
+  * codegen'd Spark column expressions (no UDFs).
+  *
+  * Reference: `phenoxtract/src/transform/data_processing/casting.rs` and
+  * `phenoxtract/src/constants.rs:3-22` for the format lists; bare-year
+  * parsing rule from `data_processing/parsing.rs:36-44`.
+  *
+  * Everything here is row-parallel and shuffle-free; the only actions are
+  * the column-level inference guards (one cheap agg per column), mirroring
+  * the reference's "whole column must cast or we fail/skip" semantics.
+  */
+object Casts {
+
+  /** P1: trim every string; whitespace-only / empty becomes null. */
+  def trimEmptyToNull(c: Column): Column = {
+    val t = trim(c)
+    when(t === lit(""), lit(null).cast(StringType)).otherwise(t)
+  }
+
+  /** Date formats tried in order (reference `constants.rs:3-20`,
+    * chrono `%Y-%m-%d` etc. → JDK patterns). Zero-padded variants first.
+    */
+  val dateFormats: Seq[String] =
+    Seq("yyyy-MM-dd", "yyyy.MM.dd", "MM/dd/yyyy", "dd-MM-yyyy", "dd.MM.yyyy",
+        "yyyy-M-d", "yyyy.M.d", "M/d/yyyy", "d-M-yyyy", "d.M.yyyy")
+
+  val datetimeFormats: Seq[String] =
+    Seq("yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSS",
+        "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm:ss",
+        "EEE, dd MMM yyyy HH:mm:ss zzz", "yyyy-MM-dd'T'HH:mm:ssXXX")
+
+  /** P7: multi-format date parse incl. the bare-year rule
+    * ("1989" → 1989-01-01). Null-safe: unparseable → null.
+    */
+  def toDateMulti(c: Column): Column = {
+    val viaFormats = coalesce(dateFormats.map(f => try_to_timestamp(c, lit(f)).cast(DateType)): _*)
+    when(c.rlike("^\\d{4}$"), to_date(concat(c, lit("-01-01"))))
+      .otherwise(viaFormats)
+  }
+
+  /** P7: multi-format datetime parse; falls back to date-only formats
+    * (midnight) like the reference cascade.
+    */
+  def toTimestampMulti(c: Column): Column =
+    coalesce(
+      (datetimeFormats.map(f => try_to_timestamp(c, lit(f))) ++
+        Seq(toDateMulti(c).cast(TimestampType))): _*)
+
+  /** P5: strict case-insensitive boolean parse — only "true"/"false"
+    * (any case) are accepted; anything else non-null yields null here
+    * (the strategy layer turns residual nulls into accumulated errors).
+    */
+  def toBoolStrict(c: Column): Column =
+    when(lower(c) === "true", lit(true))
+      .when(lower(c) === "false", lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+
+  /** P6: int parse via float-integrality ("1.0" → 1L, "1.5" → null). */
+  def toLongViaDouble(c: Column): Column = {
+    val d = c.cast(StringType).try_cast(DoubleType)
+    when(d.isNotNull && d === floor(d) &&
+         d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble,
+      d.cast(LongType)).otherwise(lit(null).cast(LongType))
+  }
+
+  /** Would casting `name` with `caster` lose any non-null value?
+    * Column-level guard used by the inference cascade — one agg action.
+    */
+  private def lossless(df: DataFrame, name: String, casted: Column): Boolean = {
+    val row = df.agg(
+      count(col(name)).as("before"),
+      count(casted).as("after")).head()
+    row.getLong(0) == row.getLong(1) && row.getLong(0) > 0
+  }
+
+  /** P3: ambivalent cast — re-infer a string column through the cascade
+    * bool → long → double → date → timestamp; first lossless cast wins,
+    * else the column stays string. Returns the winning type and the
+    * casted column expression (reference `casting.rs:11-46`).
+    */
+  def ambivalent(df: DataFrame, name: String): (DataType, Column) = {
+    val c = col(name)
+    val candidates: Seq[(DataType, Column)] = Seq(
+      BooleanType   -> toBoolStrict(c),
+      LongType      -> toLongViaDouble(c),
+      DoubleType    -> c.try_cast(DoubleType),
+      DateType      -> toDateMulti(c),
+      TimestampType -> toTimestampMulti(c))
+    candidates
+      .collectFirst { case (t, casted) if lossless(df, name, casted) => (t, casted) }
+      .getOrElse((StringType, c))
+  }
+
+  /** P4: specific cast — requested dtype or error listing every value
+    * that failed to cast (reference `casting.rs:48-89`).
+    */
+  def specific(df: DataFrame, name: String, target: DataType): DataFrame = {
+    val casted = target match {
+      case BooleanType   => toBoolStrict(col(name))
+      case LongType      => toLongViaDouble(col(name))
+      case DateType      => toDateMulti(col(name))
+      case TimestampType => toTimestampMulti(col(name))
+      case t             => col(name).try_cast(t)
+    }
+    if (!lossless(df, name, casted)) {
+      val bad = df.filter(col(name).isNotNull && casted.isNull)
+        .select(col(name)).distinct().limit(20)
+        .collect().map(_.get(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"CastingError: column '$name' has values not castable to $target: $bad")
+    }
+    df.withColumn(name, casted)
+  }
+
+  /** P2: is the whole double column integral and in long range?
+    * (reference `casting.rs:206-219`) */
+  def allWholeNumbers(df: DataFrame, name: String): Boolean = {
+    val c = col(name)
+    val row = df.agg(
+      count(when(c =!= floor(c) || c > Long.MaxValue.toDouble ||
+                 c < Long.MinValue.toDouble, 1)).as("bad")).head()
+    row.getLong(0) == 0L
+  }
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Calendar date arithmetic the reference needs but Spark lacks as a
+  * single builtin (reference `strategies/date_to_age.rs:278-322`):
+  * an exact year/month/day difference with day-borrowing, matching
+  * Postgres/DuckDB `age()` semantics. Composed from codegen'd builtins —
+  * stays inside whole-stage codegen, no UDF.
+  */
+object DateTimeFns {
+
+  /** Full calendar years/months/days from `start` to `end` (end >= start).
+    * Day deficit borrows the length of the START date's month
+    * (Postgres/DuckDB `age()` rule — borrowing can never go negative
+    * because day(start) <= days_in_month(start)); month deficit borrows
+    * 12 from years.
+    */
+  def calendarDiff(start: Column, end: Column): Column = {
+    val d0 = dayofmonth(end) - dayofmonth(start)
+    val m0 = month(end) - month(start)
+    val y0 = year(end) - year(start)
+    val borrow = dayofmonth(last_day(start))
+    val d1 = when(d0 < 0, d0 + borrow).otherwise(d0)
+    val m1 = when(d0 < 0, m0 - 1).otherwise(m0)
+    val m2 = when(m1 < 0, m1 + 12).otherwise(m1)
+    val y1 = when(m1 < 0, y0 - 1).otherwise(y0)
+    struct(y1.as("years"), m2.as("months"), d1.as("days"))
+  }
+
+  /** ISO-8601 duration string `P{y}Y{m}M{d}D` from a calendarDiff struct. */
+  def toIso8601(diff: Column): Column =
+    concat(lit("P"), diff.getField("years").cast("string"), lit("Y"),
+      diff.getField("months").cast("string"), lit("M"),
+      diff.getField("days").cast("string"), lit("D"))
+
+  /** ISO-8601 duration validation regex (reference `constants.rs:22`). */
+  val iso8601DurationRegex: String =
+    "^P(?!$)(\\d+Y)?(\\d+M)?(\\d+W)?(\\d+D)?(T(?=\\d)(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$"
+}

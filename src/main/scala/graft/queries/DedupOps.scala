@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator queries. Exact dedup and exact n-gram Jaccard
+  * are DuckDB-oracle-checked; MinHash-LSH and SimHash are
+  * probabilistic/hash-seeded and get the driver's rows-only check, with
+  * their semantics covered by ScalaTest specs instead.
+  */
+object DedupOps {
+  import Catalog.{Entry, Q}
+
+  private val exact: Q = (s, dir) =>
+    Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+  private val exactSql =
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dupes
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // Exact pairwise word-3-gram Jaccard on a bounded subset (quadratic by
+  // construction — the LSH query below is the scale path).
+  private val jaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(
+      Tables.load(s, dir, "documents").filter(col("source") === "src0"),
+      "doc_id", "text", n = 3, threshold = 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  private val jaccardSql =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE source = 'src0' AND trim(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+      |  FROM docs WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |counts AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+      |common AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+      |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN counts a ON id_a = a.doc_id
+      |JOIN counts b ON id_b = b.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.05""".stripMargin
+
+  // MinHash + LSH near-dup candidates, Jaccard-verified (rows-only check).
+  private val minhash: Q = (s, dir) =>
+    Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+      "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  // SimHash fingerprints (rows-only check; spec-verified).
+  private val simhash: Q = (s, dir) =>
+    Dedup.withSimhash(Tables.load(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("simhash"))
+
+  val entries: Seq[Entry] = Seq(
+    Entry("dedup_exact", exact, Some(exactSql)),
+    Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
+    Entry("dedup_minhash_lsh", minhash, None),
+    Entry("dedup_simhash", simhash, None),
+  )
+}

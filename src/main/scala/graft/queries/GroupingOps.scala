@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Grouping / assembly-shaped operators (SURVEY.md §2.5, G1–G6) in
+  * oracle-checkable form. The real per-patient document assembly (the
+  * groupByKey → Aggregator fold, G1/G2 + collectors) lives in
+  * `graft.collect`; these queries verify the aggregation semantics the
+  * assembly relies on: grouped value collection, single-multiplicity
+  * guards and distinct-pair counting. All use partial-aggregable
+  * shapes (collect_set is bounded per key here; at 100 TB per-key
+  * cardinality stays document-sized, not data-sized).
+  */
+object GroupingOps {
+  import Catalog.{Entry, Q}
+
+  // G3 — group_column_by_subject_id: per-key ordered value collection
+  // (contextualized_data_frame.rs:129-157). Emitted as a sorted joined
+  // string so the oracle hash is stable.
+  private val g3: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"))
+  private val g3Sql =
+    """SELECT l_orderkey,
+      |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  // G4 — single-multiplicity element: distinct-with-cardinality-guard
+  // (collecting/utils.rs:29-72): 0 → null, 1 → the value, >1 → flagged
+  // (the collector raises; here the flag is emitted for the oracle).
+  private val g4: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .select(col("l_orderkey"), col("n_supp"),
+        (col("n_supp") === 1).as("is_single"))
+  private val g4Sql =
+    """SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_suppkey) = 1 AS is_single
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  // G5 — distinct (observation, onset)-style pair sets per key
+  // (hpo_in_header_collector.rs:43-78): pair cardinality per group.
+  private val g5: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+  private val g5Sql =
+    """SELECT l_orderkey, count(*) AS n_pairs FROM (
+      |  SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem) t
+      |GROUP BY l_orderkey""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("g3_collect_by_key", g3, Some(g3Sql)),
+    Entry("g4_single_multiplicity", g4, Some(g4Sql)),
+    Entry("g5_distinct_pairs", g5, Some(g5Sql)),
+  )
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface (SURVEY.md §2.9): scans with
+  * filter/projection pushdown, broadcast + shuffle joins, hash aggregation,
+  * rollup, windows, top-k, set ops, semi/anti joins, sessionization.
+  *
+  * Scale notes (100 TB design stance):
+  *  - dimension tables (region/nation/part/supplier/customer at small SF)
+  *    are broadcast explicitly; fact-fact joins shuffle on their keys and
+  *    rely on AQE for skew handling;
+  *  - all aggregates are partial-aggregable (sum/count/min/max) so
+  *    map-side combine happens before the shuffle;
+  *  - no collect() on the data path; top-k uses sort+limit which Spark
+  *    executes as TakeOrderedAndProject (per-partition heap, no full sort).
+  *
+  * Double-typed aggregates are rounded on BOTH sides so the DuckDB oracle
+  * hash-matches despite non-associative float summation order.
+  */
+object Relational {
+  import Catalog.{Entry, Q}
+
+  private def li(s: SparkSession, dir: String)  = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+  private def cust(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
+
+  // ------------------------------------------------------------------
+  // q1_agg — TPC-H Q1 flavor: hash aggregate with map-side combine.
+  private val q1: Q = (s, dir) =>
+    li(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q6_filter — TPC-H Q6 flavor: tight filter + single global aggregate.
+  // Predicates push to the parquet scan (PushedFilters on l_shipdate via
+  // date cast, l_discount, l_quantity).
+  private val q6: Q = (s, dir) =>
+    li(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q3_join_agg — fact-fact shuffle join + broadcast dimension chain:
+  // lineitem ⋈ orders (shuffle on orderkey) ⋈ customer ⋈ nation ⋈ region
+  // (broadcast). Revenue per nation.
+  private val q3: Q = (s, dir) => {
+    val nation = broadcast(Tables.load(s, dir, "nation"))
+    val region = broadcast(Tables.load(s, dir, "region"))
+    li(s, dir)
+      .join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q3Sql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_topk — deterministic top-k: TakeOrderedAndProject, no full sort.
+  private val qTopK: Q = (s, dir) =>
+    ord(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+
+  private val qTopKSql =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_window_rank — row_number over (customer, price desc); top-2 orders
+  // per customer. One shuffle on o_custkey.
+  private val qWindow: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("rk"))
+  }
+
+  private val qWindowSql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_semijoin — customers having at least one open ('O') order.
+  private val qSemi: Q = (s, dir) =>
+    cust(s, dir)
+      .join(ord(s, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  private val qSemiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_antijoin — customers with no orders at all.
+  private val qAnti: Q = (s, dir) =>
+    cust(s, dir)
+      .join(ord(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  private val qAntiSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_setop — EXCEPT: BUILDING-segment customers that never placed a
+  // high-priority order. Also exercises DISTINCT semantics of set ops.
+  private val qSetop: Q = (s, dir) => {
+    val building = cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val urgent = ord(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    building.except(urgent)
+  }
+
+  private val qSetopSql =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_rollup — hierarchical aggregate (returnflag, linestatus) with
+  // subtotals and grand total.
+  private val qRollup: Q = (s, dir) =>
+    li(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  private val qRollupSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_distinct — exact distinct-count aggregate per group.
+  private val qDistinct: Q = (s, dir) =>
+    li(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  private val qDistinctSql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_events_hourly — tumbling 1-hour window aggregate over the event
+  // stream table (batch shape of the Structured-Streaming windowed agg;
+  // the streaming variant lives in graft.streaming).
+  private val qEventsHourly: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  private val qEventsHourlySql =
+    """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_sessionize — gap-based sessionization (30-min idle timeout) via
+  // lag + running sum; the batch twin of flatMapGroupsWithState session
+  // windows. One shuffle on user_id.
+  private val qSessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+  }
+
+  private val qSessionizeSql =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  round(sum(value), 2) AS session_value
+      |FROM (
+      |  SELECT user_id, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events) g) t
+      |GROUP BY user_id, session_id""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q1_agg", q1, Some(q1Sql)),
+    Entry("q6_filter", q6, Some(q6Sql)),
+    Entry("q3_join_agg", q3, Some(q3Sql)),
+    Entry("q_topk", qTopK, Some(qTopKSql)),
+    Entry("q_window_rank", qWindow, Some(qWindowSql)),
+    Entry("q_semijoin", qSemi, Some(qSemiSql)),
+    Entry("q_antijoin", qAnti, Some(qAntiSql)),
+    Entry("q_setop_except", qSetop, Some(qSetopSql)),
+    Entry("q_rollup", qRollup, Some(qRollupSql)),
+    Entry("q_distinct", qDistinct, Some(qDistinctSql)),
+    Entry("q_events_hourly", qEventsHourly, Some(qEventsHourlySql)),
+    Entry("q_sessionize", qSessionize, Some(qSessionizeSql)),
+  )
+}

