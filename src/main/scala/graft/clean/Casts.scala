@@ -30,11 +30,14 @@ object Casts {
     Seq("yyyy-MM-dd", "yyyy.MM.dd", "MM/dd/yyyy", "dd-MM-yyyy", "dd.MM.yyyy",
         "yyyy-M-d", "yyyy.M.d", "M/d/yyyy", "d-M-yyyy", "d.M.yyyy")
 
+  // NOTE: the reference also accepts RFC-822 ("EEE, dd MMM yyyy …");
+  // Spark >= 3.0 rejects week-day patterns in its parser, so RFC-822
+  // inputs fall through to string (documented divergence).
   val datetimeFormats: Seq[String] =
     Seq("yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSS",
         "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSSSSS",
         "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm:ss",
-        "EEE, dd MMM yyyy HH:mm:ss zzz", "yyyy-MM-dd'T'HH:mm:ssXXX")
+        "yyyy-MM-dd'T'HH:mm:ssXXX")
 
   /** P7: multi-format date parse incl. the bare-year rule
     * ("1989" → 1989-01-01). Null-safe: unparseable → null.

@@ -1,0 +1,72 @@
+package graft.clean
+
+import graft.model.{Cdf, ContextKind}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table preprocessing, run once per table before strategies (reference
+  * `phenoxtract/src/transform/data_processing/preprocessor.rs:14-127`):
+  *
+  *   1. P1 trim all string columns; empty → null;
+  *   2. P2 collapse whole-number float columns to long; int → long;
+  *   3. P3 re-infer string columns through the ambivalent cast cascade
+  *      (bool → long → double → date → datetime);
+  *   4. P8 force the SubjectId column to string.
+  *
+  * The row-level rewrites (1) are pure column expressions; the
+  * column-level type decisions (2, 3) cost one small aggregate per
+  * candidate column — the reference's semantics ("the whole column must
+  * cast losslessly") are inherently column-level, and the guard agg
+  * reads only that column (columnar scan keeps this cheap at scale).
+  */
+object Preprocessor {
+
+  def process(cdf: Cdf): Cdf = {
+    val subjectCol = cdf.subjectIdColumn
+    var df = trimStrings(cdf.df)
+    df = ensureInts(df)
+    df = reinferStrings(df, skip = Set(subjectCol))
+    df = df.withColumn(subjectCol, col(subjectCol).cast(StringType))
+    cdf.copy(df = df)
+  }
+
+  /** P1: trim + empty→null for every string column. */
+  def trimStrings(df: DataFrame): DataFrame = {
+    val exprs = df.schema.fields.map {
+      case f if f.dataType == StringType =>
+        Casts.trimEmptyToNull(col(f.name)).as(f.name)
+      case f => col(f.name)
+    }
+    df.select(exprs.toIndexedSeq: _*)
+  }
+
+  /** P2: float columns whose values are all whole (and in long range)
+    * collapse to long; int32 widens to long.
+    */
+  def ensureInts(df: DataFrame): DataFrame = {
+    val floatCols = df.schema.fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+    }
+    val collapsible = floatCols.filter(Casts.allWholeNumbers(df, _))
+    val exprs = df.schema.fields.map { f =>
+      if (collapsible.contains(f.name)) col(f.name).cast(LongType).as(f.name)
+      else if (f.dataType == IntegerType) col(f.name).cast(LongType).as(f.name)
+      else col(f.name)
+    }
+    df.select(exprs.toIndexedSeq: _*)
+  }
+
+  /** P3: each string column re-infers through the cascade; first
+    * lossless cast wins, else stays string.
+    */
+  def reinferStrings(df: DataFrame, skip: Set[String]): DataFrame = {
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType && !skip.contains(f.name) => f.name
+    }
+    stringCols.foldLeft(df) { (acc, name) =>
+      val (dt, casted) = Casts.ambivalent(acc, name)
+      if (dt == StringType) acc else acc.withColumn(name, casted)
+    }
+  }
+}

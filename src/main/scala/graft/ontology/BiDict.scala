@@ -1,0 +1,80 @@
+package graft.ontology
+
+/** A resolved ontology term. */
+final case class OntologyClass(id: String, label: String)
+
+/** Provenance of an ontology resource, for packet MetaData (reference
+  * `transform/cached_resource_resolver.rs`, phenopacket `Resource`).
+  */
+final case class Resource(
+    id: String, name: String, url: String,
+    version: String, namespacePrefix: String, iriPrefix: String)
+
+/** Bidirectional ontology dictionary (reference
+  * `phenoxtract/src/ontology/ontology_bidict.rs:8-136`): case-insensitive
+  * label/synonym → CURIE, and CURIE → canonical label. Driver-side
+  * construction; broadcast to executors by the strategies that use it.
+  */
+final case class BiDict(
+    resource: Resource,
+    labelToId: Map[String, String],
+    synonymToId: Map[String, String],
+    idToLabel: Map[String, String]) {
+
+  def containsId(id: String): Boolean = idToLabel.contains(id.trim)
+
+  def idForLabel(value: String): Option[String] = {
+    val k = value.trim.toLowerCase
+    labelToId.get(k).orElse(synonymToId.get(k))
+  }
+
+  def labelForId(id: String): Option[String] = idToLabel.get(id.trim)
+
+  /** Resolve a cell value that may be a CURIE or a label/synonym
+    * (reference `transform/bidict_library.rs:46-70`): CURIEs must be
+    * known ids; other strings go through the label path.
+    */
+  def resolve(value: String): Option[OntologyClass] = {
+    val v = value.trim
+    if (BiDict.isCurie(v)) labelForId(v).map(l => OntologyClass(v, l))
+    else idForLabel(v).map(id => OntologyClass(id, idToLabel(id)))
+  }
+}
+
+object BiDict {
+  private val CurieRe = "^[A-Za-z][A-Za-z0-9_.]*:\\S+$".r
+  def isCurie(s: String): Boolean = CurieRe.findFirstIn(s.trim).isDefined
+
+  /** Build from (id, canonicalLabel, synonyms) triples. */
+  def fromEntries(resource: Resource,
+      entries: Seq[(String, String, Seq[String])]): BiDict = {
+    val idToLabel = entries.map { case (id, label, _) => id -> label }.toMap
+    val labelToId = entries.map { case (id, label, _) => label.trim.toLowerCase -> id }.toMap
+    val synonymToId = entries.flatMap { case (id, _, syns) =>
+      syns.map(s => s.trim.toLowerCase -> id)
+    }.toMap
+    BiDict(resource, labelToId, synonymToId, idToLabel)
+  }
+}
+
+/** Ordered collection of bidicts; first dict that resolves a value wins
+  * (reference `transform/bidict_library.rs`). Also answers "which
+  * resource did this term come from" for MetaData assembly.
+  */
+final case class BiDictLibrary(dicts: Seq[BiDict]) {
+
+  def resolve(value: String): Option[(OntologyClass, Resource)] =
+    dicts.iterator
+      .map(d => d.resolve(value).map(_ -> d.resource))
+      .collectFirst { case Some(hit) => hit }
+
+  def resolveOrThrow(value: String): (OntologyClass, Resource) =
+    resolve(value).getOrElse(throw new NoSuchElementException(
+      s"term '$value' not found in any of ${dicts.map(_.resource.id).mkString(", ")}"))
+
+  def containsId(id: String): Boolean = dicts.exists(_.containsId(id))
+
+  /** Is the value resolvable by the dict with the given resource id? */
+  def memberOf(resourceId: String, value: String): Boolean =
+    dicts.filter(_.resource.id == resourceId).exists(_.resolve(value).isDefined)
+}

@@ -1,0 +1,78 @@
+package graft.clean
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cast-cascade parity matrix (ports the semantics of the reference's
+  * inline tests, `casting.rs:392-534`).
+  */
+class CastsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def inferred(values: Seq[String]): DataType = {
+    val df = values.toDF("c")
+    Casts.ambivalent(df, "c")._1
+  }
+
+  test("cascade: booleans win first") {
+    assert(inferred(Seq("true", "FALSE", "True")) == BooleanType)
+  }
+
+  test("cascade: ints via float integrality") {
+    assert(inferred(Seq("1", "2", "-7")) == LongType)
+    assert(inferred(Seq("1.0", "2.0")) == LongType) // "1.0" → 1L, reference casting.rs:120-140
+  }
+
+  test("cascade: floats when not integral") {
+    assert(inferred(Seq("1.5", "2.0")) == DoubleType)
+  }
+
+  test("cascade: dates across formats") {
+    assert(inferred(Seq("1989-05-01", "01/02/2000")) == DateType)
+    assert(inferred(Seq("25.04.1998")) == DateType)
+  }
+
+  test("cascade: bare-year column infers as Long (int comes before date)") {
+    assert(inferred(Seq("1989", "1990")) == LongType)
+  }
+
+  test("explicit date cast: bare year → Jan 1 (parsing.rs:36-44)") {
+    val out = Seq("1989", "2001-05-07", "garbage").toDF("c")
+      .select(Casts.toDateMulti(col("c")).cast("string").as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("1989-01-01"), Some("2001-05-07"), None))
+  }
+
+  test("cascade: mixed garbage stays string") {
+    assert(inferred(Seq("abc", "1", "true")) == StringType)
+  }
+
+  test("cascade: all-null column stays string") {
+    assert(inferred(Seq(null.asInstanceOf[String], null.asInstanceOf[String])) == StringType)
+  }
+
+  test("trimEmptyToNull trims and nulls empties (P1)") {
+    val out = Seq("  x ", "   ", "", "y").toDF("c")
+      .select(Casts.trimEmptyToNull(col("c")).as("c")).collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("x"), None, None, Some("y")))
+  }
+
+  test("toBoolStrict is case-insensitive and strict (P5)") {
+    val out = Seq("TRUE", "false", "yes", null.asInstanceOf[String]).toDF("c")
+      .select(Casts.toBoolStrict(col("c")).as("b")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(out.toSeq == Seq(Some(true), Some(false), None, None))
+  }
+
+  test("specific cast errors with the offending values (P4)") {
+    val df = Seq("1", "x", "2").toDF("c")
+    val e = intercept[IllegalArgumentException](Casts.specific(df, "c", LongType))
+    assert(e.getMessage.contains("x"))
+  }
+
+  test("allWholeNumbers guard (P2)") {
+    assert(Casts.allWholeNumbers(Seq(1.0, 2.0).toDF("c"), "c"))
+    assert(!Casts.allWholeNumbers(Seq(1.0, 2.5).toDF("c"), "c"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.strategy
+
+import graft.SparkSpec
+import graft.model._
+import org.apache.spark.sql.types._
+
+class StrategySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val subject =
+    SeriesContext(Identifier.Single("subject_id"), dataContext = Context.SubjectId)
+  private def cdf(name: String, df: org.apache.spark.sql.DataFrame, series: SeriesContext*) =
+    Cdf.validated(TableContext(name, subject +: series), df)
+
+  // --- T1 alias map ---------------------------------------------------
+  test("T1: alias substitution, alias-to-null, miss passthrough, recast") {
+    val df = Seq(("P1", "Yes"), ("P2", "No"), ("P3", "maybe")).toDF("subject_id", "living")
+    val am = AliasMap(Map("Yes" -> Some("true"), "No" -> Some("false"), "maybe" -> None),
+      OutputDataType.Bool)
+    val out = AliasMapStrategy.transform(Seq(cdf("t", df,
+      SeriesContext(Identifier.Single("living"), dataContext = Context.VitalStatus,
+        aliasMap = Some(am))))).head
+    assert(out.df.schema("living").dataType == BooleanType)
+    val rows = out.df.orderBy("subject_id").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getBoolean(1)))
+    assert(rows.toSeq == Seq(Some(true), Some(false), None))
+  }
+
+  // --- T2 mapping -----------------------------------------------------
+  test("T2: lower/trim-keyed mapping; unmapped values accumulate and fail once") {
+    val df = Seq(("P1", " MALE "), ("P2", "f"), ("P3", "Woman")).toDF("subject_id", "sex")
+    val out = MappingStrategy.defaultSex.transform(Seq(cdf("t", df,
+      SeriesContext(Identifier.Single("sex"), dataContext = Context.SubjectSex)))).head
+    assert(out.df.orderBy("subject_id").collect().map(_.getString(1)).toSeq ==
+      Seq("MALE", "FEMALE", "FEMALE"))
+
+    val bad = Seq(("P1", "martian"), ("P2", "blorb")).toDF("subject_id", "sex")
+    val e = intercept[MappingException] {
+      MappingStrategy.defaultSex.transform(Seq(cdf("t", bad,
+        SeriesContext(Identifier.Single("sex"), dataContext = Context.SubjectSex))))
+    }
+    assert(e.badValues.toSet == Set("martian", "blorb")) // ALL collected, one failure
+  }
+
+  // --- T3 age → ISO8601 ----------------------------------------------
+  test("T3: ages to P{n}Y, ISO passthrough, out-of-range errors") {
+    val df = Seq(("P1", "45"), ("P2", "P3Y2M"), ("P3", "12.0")).toDF("subject_id", "age")
+    val out = AgeToIso8601Strategy().transform(Seq(cdf("t", df,
+      SeriesContext(Identifier.Single("age"), dataContext = Context.Onset(TimeKind.Age))))).head
+    assert(out.df.orderBy("subject_id").collect().map(_.getString(1)).toSeq ==
+      Seq("P45Y", "P3Y2M", "P12Y"))
+
+    val bad = Seq(("P1", "151"), ("P2", "banana")).toDF("subject_id", "age")
+    val e = intercept[MappingException] {
+      AgeToIso8601Strategy().transform(Seq(cdf("t", bad,
+        SeriesContext(Identifier.Single("age"), dataContext = Context.Onset(TimeKind.Age)))))
+    }
+    assert(e.badValues.toSet == Set("151", "banana"))
+  }
+
+  // --- T4 date → age --------------------------------------------------
+  test("T4: cross-table DOB map, calendar diff, context rewrite") {
+    val dobTable = Seq(("P1", "1990-01-15"), ("P2", "2000-06-30")).toDF("subject_id", "dob")
+    val onsetTable = Seq(("P1", "1998-04-25"), ("P2", "2001-06-29")).toDF("subject_id", "onset")
+    val tables = Seq(
+      cdf("dob", dobTable,
+        SeriesContext(Identifier.Single("dob"), dataContext = Context.DateOfBirth)),
+      cdf("onsets", onsetTable,
+        SeriesContext(Identifier.Single("onset"), dataContext = Context.Onset(TimeKind.Date))))
+    val out = DateToAgeStrategy().transform(tables)
+    val onsets = out(1)
+    assert(onsets.df.orderBy("subject_id").collect().map(_.getString(1)).toSeq ==
+      Seq("P8Y3M10D", "P0Y11M29D"))
+    // context rewritten Date → Age
+    assert(onsets.bindings.collect {
+      case (c, sc) if c == "onset" => sc.dataContext
+    }.head == Context.Onset(TimeKind.Age))
+  }
+
+  test("T4: conflicting DOBs error; negative ages error") {
+    val dob = Seq(("P1", "1990-01-15"), ("P1", "1991-01-15")).toDF("subject_id", "dob")
+    val onset = Seq(("P1", "1998-04-25")).toDF("subject_id", "onset")
+    intercept[MappingException] {
+      DateToAgeStrategy().transform(Seq(
+        cdf("d", dob, SeriesContext(Identifier.Single("dob"), dataContext = Context.DateOfBirth)),
+        cdf("o", onset, SeriesContext(Identifier.Single("onset"), dataContext = Context.Onset(TimeKind.Date)))))
+    }
+    val dob2 = Seq(("P1", "1990-01-15")).toDF("subject_id", "dob")
+    val onset2 = Seq(("P1", "1980-01-01")).toDF("subject_id", "onset")
+    intercept[MappingException] {
+      DateToAgeStrategy().transform(Seq(
+        cdf("d", dob2, SeriesContext(Identifier.Single("dob"), dataContext = Context.DateOfBirth)),
+        cdf("o", onset2, SeriesContext(Identifier.Single("onset"), dataContext = Context.Onset(TimeKind.Date)))))
+    }
+  }
+
+  // --- T5 multi-HPO expansion ----------------------------------------
+  test("T5: regex scan, per-patient union, boolean columns, source dropped") {
+    val df = Seq(
+      ("P1", "seafood allergy HP:0410333 and dairy HP:0410327"),
+      ("P2", "gluten HP:0410329"),
+      ("P3", "no codes here")).toDF("subject_id", "hpos")
+    val out = MultiHpoColExpansionStrategy.transform(Seq(cdf("t", df,
+      SeriesContext(Identifier.Single("hpos"), dataContext = Context.MultiHpoId,
+        buildingBlockId = Some("A"))))).head
+    assert(!out.df.columns.contains("hpos"))
+    assert(out.df.columns.toSet.contains("HP:0410333#A"))
+    val p1 = out.df.filter($"subject_id" === "P1")
+      .select("HP:0410333#A", "HP:0410327#A", "HP:0410329#A").head()
+    assert(p1.getBoolean(0) && p1.getBoolean(1) && p1.isNullAt(2))
+    // new contexts registered with Hpo header context
+    assert(out.bindings.exists { case (c, sc) =>
+      c == "HP:0410333#A" && sc.headerContext == Context.Hpo &&
+        sc.dataContext == Context.ObservationStatus })
+  }
+
+  // --- T7 splitter ----------------------------------------------------
+  test("T7: HpoOrDisease splits by dictionary membership; unknown errors") {
+    import graft.ontology._
+    val hp = BiDict.fromEntries(
+      Resource("hp", "HPO", "http://purl.obolibrary.org/obo/hp.owl", "v1", "HP", "http://purl.obolibrary.org/obo/HP_"),
+      Seq(("HP:0001945", "Fever", Seq("febrile"))))
+    val mondo = BiDict.fromEntries(
+      Resource("mondo", "MONDO", "http://purl.obolibrary.org/obo/mondo.owl", "v1", "MONDO", "http://purl.obolibrary.org/obo/MONDO_"),
+      Seq(("MONDO:0005737", "Ebola", Seq())))
+    val lib = BiDictLibrary(Seq(hp, mondo))
+
+    val df = Seq(("P1", "Fever"), ("P2", "Ebola")).toDF("subject_id", "x")
+    val out = HpoDiseaseSplitterStrategy(lib).transform(Seq(cdf("t", df,
+      SeriesContext(Identifier.Single("x"), dataContext = Context.HpoOrDisease)))).head
+    assert(!out.df.columns.contains("x"))
+    val rows = out.df.orderBy("subject_id").select("x_hpo", "x_disease").collect()
+    assert(Option(rows(0).getString(0)) == Some("Fever") && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && Option(rows(1).getString(1)) == Some("Ebola"))
+
+    val bad = Seq(("P1", "Gibberish")).toDF("subject_id", "x")
+    intercept[MappingException] {
+      HpoDiseaseSplitterStrategy(lib).transform(Seq(cdf("t", bad,
+        SeriesContext(Identifier.Single("x"), dataContext = Context.HpoOrDisease))))
+    }
+  }
+}
