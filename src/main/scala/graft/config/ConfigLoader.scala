@@ -1,0 +1,266 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.model._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** S7 — declarative pipeline configuration (reference
+  * `phenoxtract/src/config/config_loader.rs:8-44`,
+  * `CONFIG_YAML_README.md`): YAML/YML/JSON configs with `${ENV_VAR}`
+  * shell expansion, decoded strictly (unknown strategy / context names
+  * fail fast). TOML/RON are not supported (documented divergence —
+  * no parser on the classpath; YAML+JSON cover the shipped examples).
+  */
+object ConfigLoader {
+
+  final case class CsvDataSource(
+      source: String, separator: String, hasHeaders: Boolean,
+      patientsAreRows: Boolean, tableContext: TableContext)
+  final case class ExcelSheet(
+      sheetName: String, hasHeaders: Boolean, patientsAreRows: Boolean,
+      tableContext: TableContext)
+  final case class ExcelDataSource(source: String, sheets: Seq[ExcelSheet])
+
+  final case class LoaderConfig(outputDir: String, createDir: Boolean)
+  final case class ResourceConfig(
+      id: String, name: String, url: String, version: String,
+      namespacePrefix: String, iriPrefix: String, termsFile: Option[String])
+  final case class MetaDataConfig(
+      createdBy: String, submittedBy: Option[String], cohortName: String,
+      resources: Seq[ResourceConfig])
+  final case class GraftConfig(
+      csvSources: Seq[CsvDataSource],
+      excelSources: Seq[ExcelDataSource],
+      strategyNames: Seq[String],
+      loader: Option[LoaderConfig],
+      metaData: MetaDataConfig)
+
+  def load(path: String): GraftConfig = {
+    val raw = Files.readString(Paths.get(path))
+    val expanded = expandEnv(raw)
+    val mapper =
+      if (path.endsWith(".yaml") || path.endsWith(".yml"))
+        new ObjectMapper(new YAMLFactory())
+      else new ObjectMapper()
+    decode(mapper.readTree(expanded), Paths.get(path).getParent)
+  }
+
+  /** `${VAR}` expansion (reference config_loader shell expansion);
+    * unset variables error.
+    */
+  def expandEnv(raw: String): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r.replaceAllIn(raw, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        sys.env.getOrElse(m.group(1),
+          throw new IllegalArgumentException(s"config references unset env var ${m.group(1)}"))))
+
+  // ------------------------------------------------------------------
+
+  private def decode(root: JsonNode, baseDir: java.nio.file.Path): GraftConfig = {
+    val sources = arr(root, "data_sources")
+    val csvs = sources.filter(s => text(s, "type").contains("csv")).map { s =>
+      CsvDataSource(
+        source = req(s, "source"),
+        separator = text(s, "separator").getOrElse(","),
+        hasHeaders = bool(s, "has_headers", default = true),
+        patientsAreRows = bool(s, "patients_are_rows", default = true),
+        tableContext = TableContext(
+          name = text(s, "name").getOrElse(req(s, "source")),
+          seriesContexts = arr(s, "series_contexts").map(seriesContext(_, baseDir))))
+    }
+    val excels = sources.filter(s => text(s, "type").contains("excel")).map { s =>
+      ExcelDataSource(
+        source = req(s, "source"),
+        sheets = arr(s, "sheets").map { sh =>
+          ExcelSheet(
+            sheetName = req(sh, "sheet_name"),
+            hasHeaders = bool(sh, "has_headers", default = true),
+            patientsAreRows = bool(sh, "patients_are_rows", default = true),
+            tableContext = TableContext(
+              name = req(sh, "sheet_name"),
+              seriesContexts = arr(sh, "series_contexts").map(seriesContext(_, baseDir))))
+        })
+    }
+    val unknownTypes = sources.flatMap(s => text(s, "type")).filterNot(Set("csv", "excel"))
+    require(unknownTypes.isEmpty, s"unknown data source type(s): ${unknownTypes.mkString(", ")}")
+
+    val pipeline = Option(root.get("pipeline")).getOrElse(
+      throw new IllegalArgumentException("config missing 'pipeline'"))
+    val md = Option(pipeline.get("meta_data"))
+    val resources =
+      md.toSeq.flatMap { m =>
+        def resList(field: String): Seq[ResourceConfig] =
+          Option(m.get(field)).toSeq.flatMap {
+            case n if n.isArray => n.elements().asScala.toSeq.map(resource)
+            case n              => Seq(resource(n))
+          }
+        resList("hpo_resource") ++ resList("disease_resources") ++
+          resList("assay_resources") ++ resList("unit_resources") ++
+          resList("qualitative_measurement_resources")
+      }
+
+    GraftConfig(
+      csvSources = csvs,
+      excelSources = excels,
+      strategyNames = Option(pipeline.get("strategies")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText()),
+      loader = Option(pipeline.get("loader")).flatMap(l => Option(l.get("file_system"))).map(fs =>
+        LoaderConfig(req(fs, "output_dir"), bool(fs, "create_dir", default = false))),
+      metaData = MetaDataConfig(
+        createdBy = md.flatMap(m => text(m, "created_by")).getOrElse("graft"),
+        submittedBy = md.flatMap(m => text(m, "submitted_by")),
+        cohortName = md.flatMap(m => text(m, "cohort_name")).getOrElse("cohort"),
+        resources = resources))
+  }
+
+  private def resource(n: JsonNode): ResourceConfig = ResourceConfig(
+    id = req(n, "id"),
+    name = text(n, "name").getOrElse(req(n, "id")),
+    url = text(n, "url").getOrElse(""),
+    version = text(n, "version").getOrElse("unknown"),
+    namespacePrefix = text(n, "namespace_prefix").getOrElse(req(n, "id").toUpperCase),
+    iriPrefix = text(n, "iri_prefix").getOrElse(""),
+    termsFile = text(n, "terms_file"))
+
+  private def seriesContext(n: JsonNode, baseDir: java.nio.file.Path): SeriesContext =
+    SeriesContext(
+      identifier = identifier(n.get("identifier")),
+      headerContext = Option(n.get("header_context")).map(context).getOrElse(Context.NoContext),
+      dataContext = Option(n.get("data_context")).map(context).getOrElse(Context.NoContext),
+      fillMissing = text(n, "fill_missing"),
+      aliasMap = Option(n.get("alias_map")).map(aliasMap(_, baseDir)),
+      buildingBlockId = text(n, "building_block_id"))
+
+  private def identifier(n: JsonNode): Identifier = {
+    require(n != null, "series context missing 'identifier'")
+    if (n.isArray) Identifier.Multi(n.elements().asScala.map(_.asText()).toSeq)
+    else Identifier.Single(n.asText())
+  }
+
+  /** Context decode: bare snake_case name, or single-key object for
+    * parameterized contexts (`onset: age`,
+    * `quantitative_measurement: {assay_id:…, unit_ontology_id:…}`).
+    */
+  def context(n: JsonNode): Context = {
+    if (n.isTextual) contextByName(n.asText(), None)
+    else {
+      val fields = n.fields().asScala.toSeq
+      require(fields.size == 1, s"parameterized context must have one key, got $n")
+      val (name, v) = (fields.head.getKey, fields.head.getValue)
+      contextByName(name, Some(v))
+    }
+  }
+
+  private def contextByName(name: String, param: Option[JsonNode]): Context = {
+    import Context._
+    def timeKind: TimeKind = TimeKind.parse(param.map(_.asText()).getOrElse("age"))
+    name.trim.toLowerCase match {
+      case "subject_id"             => SubjectId
+      case "subject_sex"            => SubjectSex
+      case "date_of_birth"          => DateOfBirth
+      case "vital_status"           => VitalStatus
+      case "time_at_last_encounter" => TimeAtLastEncounter(timeKind)
+      case "time_of_death"          => TimeOfDeath(timeKind)
+      case "cause_of_death"         => CauseOfDeath
+      case "survival_time_days"     => SurvivalTimeDays
+      case "hpo"                    => Hpo
+      case "disease"                => Disease
+      case "multi_hpo_id"           => MultiHpoId
+      case "onset"                  => Onset(timeKind)
+      case "hpo_or_disease"         => HpoOrDisease
+      case "time_of_resolution"     => TimeOfResolution(timeKind)
+      case "severity"               => Severity
+      case "observation_status"     => ObservationStatus
+      case "primary_site"           => PrimarySite
+      case "hgvs"                   => Hgvs
+      case "hgnc"                   => Hgnc
+      case "quantitative_measurement" =>
+        val p = param.getOrElse(throw new IllegalArgumentException(
+          "quantitative_measurement needs {assay_id, unit_ontology_id}"))
+        QuantitativeMeasurement(req(p, "assay_id"), req(p, "unit_ontology_id"))
+      case "qualitative_measurement" =>
+        val p = param.getOrElse(throw new IllegalArgumentException(
+          "qualitative_measurement needs {assay_id}"))
+        QualitativeMeasurement(req(p, "assay_id"))
+      case "time_of_measurement"    => TimeOfMeasurement(timeKind)
+      case "reference_range_start"  => ReferenceRangeStart
+      case "reference_range_end"    => ReferenceRangeEnd
+      case "treatment_agent"        => TreatmentAgent
+      case "route_of_administration" => RouteOfAdministration
+      case "drug_type"              => DrugType
+      case "treatment_target"       => TreatmentTarget
+      case "treatment_intent"       => TreatmentIntent
+      case "response_to_treatment"  => ResponseToTreatment
+      case "treatment_termination_reason" => TreatmentTerminationReason
+      case "procedure"              => Procedure
+      case "procedure_body_site"    => ProcedureBodySite
+      case "time_of_procedure"      => TimeOfProcedure(timeKind)
+      case "quantity_value"         => QuantityValue
+      case "quantity_unit"          => QuantityUnit
+      case "none"                   => NoContext
+      case other => throw new IllegalArgumentException(s"unknown context '$other'")
+    }
+  }
+
+  /** Alias map: inline mappings or S8 CSV form
+    * ({path, key_column_name, alias_column_name}).
+    */
+  private def aliasMap(n: JsonNode, baseDir: java.nio.file.Path): AliasMap = {
+    val outputType = text(n, "output_data_type").map(_.toLowerCase) match {
+      case Some("boolean")  => OutputDataType.Bool
+      case Some("string") | None => OutputDataType.Str
+      case Some("float64")  => OutputDataType.F64
+      case Some("int64")    => OutputDataType.I64
+      case Some("date")     => OutputDataType.Date
+      case Some("datetime") => OutputDataType.Datetime
+      case Some(other) => throw new IllegalArgumentException(s"unknown output_data_type '$other'")
+    }
+    val m = n.get("mappings")
+    require(m != null, "alias_map missing 'mappings'")
+    val entries: Map[String, Option[String]] =
+      if (m.has("path")) loadAliasCsv(
+        resolvePath(baseDir, req(m, "path")),
+        req(m, "key_column_name"), req(m, "alias_column_name"))
+      else m.fields().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+      }.toMap
+    AliasMap(entries, outputType).normalized
+  }
+
+  /** S8 — key→alias map from a two-column CSV (reference
+    * `config/try_from_config.rs:276-314`). Driver-side: alias maps are
+    * config-sized.
+    */
+  def loadAliasCsv(path: String, keyCol: String, aliasCol: String): Map[String, Option[String]] = {
+    val lines = Files.readAllLines(Paths.get(path)).asScala.toSeq.filter(_.nonEmpty)
+    require(lines.nonEmpty, s"alias csv $path is empty")
+    val header = lines.head.split(",", -1).map(_.trim)
+    val ki = header.indexOf(keyCol)
+    val ai = header.indexOf(aliasCol)
+    require(ki >= 0 && ai >= 0,
+      s"alias csv $path needs columns '$keyCol' and '$aliasCol', has ${header.mkString(", ")}")
+    lines.tail.map { l =>
+      val parts = l.split(",", -1).map(_.trim)
+      parts(ki) -> (parts.lift(ai).filter(_.nonEmpty))
+    }.toMap
+  }
+
+  private def resolvePath(base: java.nio.file.Path, p: String): String = {
+    val path = Paths.get(p)
+    if (path.isAbsolute || base == null) p else base.resolve(p).toString
+  }
+
+  // --- tiny node helpers ---------------------------------------------
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).toSeq.flatMap(_.elements().asScala)
+  private def text(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+  private def req(n: JsonNode, field: String): String =
+    text(n, field).getOrElse(
+      throw new IllegalArgumentException(s"config missing required field '$field'"))
+  private def bool(n: JsonNode, field: String, default: Boolean): Boolean =
+    Option(n.get(field)).map(_.asBoolean()).getOrElse(default)
+}

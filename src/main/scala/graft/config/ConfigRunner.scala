@@ -1,0 +1,90 @@
+package graft.config
+
+import graft.Pipeline
+import graft.collect.AssemblerConfig
+import graft.extract.{CsvSource, CsvSourceConfig, ExcelSheetConfig, ExcelSource}
+import graft.model.Cdf
+import graft.ontology.{BiDict, BiDictLibrary, Resource}
+import graft.strategy._
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Entry point 3.1 — config-driven execution: parse → bind → run
+  * (reference `Phenoxtract::try_from(config).run()`,
+  * `phenoxtract/src/phenoxtract.rs:5-16`).
+  *
+  * Resource binding diverges deliberately from the reference's REST
+  * clients (LOINC/BioPortal — zero-egress here, and SURVEY.md §3.4
+  * recommends pre-resolved broadcast dictionaries for determinism):
+  * each resource may name a local `terms_file` CSV
+  * (`id,label,synonyms` with `|`-separated synonyms) that becomes a
+  * broadcast BiDict.
+  */
+object ConfigRunner {
+
+  def run(spark: SparkSession, configPath: String): Unit = {
+    val cfg = ConfigLoader.load(configPath)
+    val library = buildLibrary(cfg)
+    val tables = extractAll(spark, cfg)
+    val pipeline = Pipeline(
+      strategies = cfg.strategyNames.map(strategyByName(_, library)),
+      library = library,
+      assembler = AssemblerConfig(
+        cohort = cfg.metaData.cohortName,
+        created = java.time.Instant.now().toString.replaceAll("\\.\\d+Z$", "Z"),
+        createdBy = cfg.metaData.createdBy))
+    val out = cfg.loader.getOrElse(
+      throw new IllegalArgumentException("config has no file_system loader"))
+    graft.load.FileSystemLoader.load(pipeline.transform(tables), out.outputDir, out.createDir)
+  }
+
+  def extractAll(spark: SparkSession, cfg: ConfigLoader.GraftConfig): Seq[Cdf] = {
+    val csvs = cfg.csvSources.map { s =>
+      CsvSource.extract(spark, CsvSourceConfig(
+        s.source, s.tableContext, s.separator, s.hasHeaders, s.patientsAreRows))
+    }
+    val excels = cfg.excelSources.flatMap { e =>
+      ExcelSource.extract(spark, e.source, e.sheets.map(sh =>
+        ExcelSheetConfig(sh.sheetName, sh.tableContext, sh.hasHeaders, sh.patientsAreRows)))
+    }
+    csvs ++ excels
+  }
+
+  def buildLibrary(cfg: ConfigLoader.GraftConfig): BiDictLibrary =
+    BiDictLibrary(cfg.metaData.resources.map { r =>
+      val resource = Resource(r.id, r.name, r.url, r.version, r.namespacePrefix, r.iriPrefix)
+      r.termsFile match {
+        case Some(path) => BiDict.fromEntries(resource, loadTerms(path))
+        case None       => BiDict.fromEntries(resource, Seq.empty)
+      }
+    })
+
+  /** `id,label,synonyms` CSV; synonyms `|`-separated. */
+  def loadTerms(path: String): Seq[(String, String, Seq[String])] = {
+    val lines = Files.readAllLines(Paths.get(path)).asScala.toSeq.filter(_.trim.nonEmpty)
+    val body = if (lines.headOption.exists(_.toLowerCase.startsWith("id,"))) lines.tail else lines
+    body.map { l =>
+      val parts = l.split(",", -1).map(_.trim)
+      require(parts.length >= 2, s"terms file $path: bad line '$l'")
+      (parts(0), parts(1),
+        parts.lift(2).map(_.split("\\|").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty))
+    }
+  }
+
+  def strategyByName(name: String, library: BiDictLibrary): Strategy =
+    name.trim.toLowerCase match {
+      case "alias_map"               => AliasMapStrategy
+      case "mapping"                 => MappingStrategy.defaultSex
+      case "default_sex_mapping"     => MappingStrategy.defaultSex
+      case "default_vital_status_mapping" => MappingStrategy.defaultVitalStatus
+      case "age_to_iso8601"          => AgeToIso8601Strategy()
+      case "date_to_age"             => DateToAgeStrategy()
+      case "date_to_age_lenient"     => DateToAgeStrategy(strict = false)
+      case "multi_hpo_col_expansion" => MultiHpoColExpansionStrategy
+      case "ontology_normaliser"     => OntologyNormaliserStrategy(library)
+      case "hpo_disease_splitter"    => HpoDiseaseSplitterStrategy(library)
+      case other => throw new IllegalArgumentException(s"unknown strategy '$other'")
+    }
+}

@@ -72,8 +72,8 @@ object Cdf {
       s"table '${context.name}': multiple SeriesContexts bind column(s) ${dupCols.mkString(", ")}")
 
     context.seriesContexts.foreach {
-      case sc @ SeriesContext(Identifier.Single(n), _, _, _, _, _) =>
-        require(cols.contains(n),
+      case SeriesContext(id @ Identifier.Single(n), _, _, _, _, _) =>
+        require(id.resolve(cols).nonEmpty,
           s"table '${context.name}': SeriesContext identifies missing column '$n'")
       case _ => () // regex / multi may resolve to zero columns
     }

@@ -12,7 +12,14 @@ sealed trait Identifier {
     * membership).
     */
   def resolve(columns: Seq[String]): Seq[String] = this match {
-    case Identifier.Single(name) => columns.filter(_ == name)
+    case Identifier.Single(name) =>
+      // A Single identifier with no exact match is retried as a regex
+      // (reference behavior, CONFIG_YAML_README.md:231-233).
+      val exact = columns.filter(_ == name)
+      if (exact.nonEmpty) exact
+      else scala.util.Try(name.r).toOption
+        .map(re => columns.filter(c => re.findFirstIn(c).isDefined))
+        .getOrElse(Seq.empty)
     case Identifier.Rx(re)       => columns.filter(c => re.findFirstIn(c).isDefined)
     case Identifier.Multi(names) => columns.filter(names.contains)
   }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event queries: tumbling-window
+  * aggregation with watermarks and gap-based session windows via
+  * `flatMapGroupsWithState` (the reference is strictly batch — streaming
+  * is the engine's extension surface, SURVEY.md §2.9/§7).
+  *
+  * Both transforms accept any streaming DataFrame with the events
+  * schema (ts timestamp, user_id long, event_type string, value double),
+  * e.g. a Kafka/file/rate source at scale or a MemoryStream in tests.
+  * State is keyed per user: the shuffle partitions by user_id and state
+  * lives in the state store (RocksDB at scale), so the operator scales
+  * with executors, not with total history.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts/sums per event type; late events
+    * beyond the watermark are dropped instead of growing state forever.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
+  final case class Session(user_id: Long, start_ts: Long, end_ts: Long,
+      n_events: Int, session_value: Double)
+
+  /** Gap-based sessionization (30-min idle timeout): sessions close via
+    * event-time timeout; one state entry per active user.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.lastTs, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var current = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              current match {
+                case Some(s) if t - s.lastTs <= gapSeconds =>
+                  current = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.lastTs, s.n, s.sum)
+                  current = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs * 1000 + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

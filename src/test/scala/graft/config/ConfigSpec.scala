@@ -1,0 +1,106 @@
+package graft.config
+
+import graft.SparkSpec
+import graft.model._
+
+import java.nio.file.Files
+
+/** Config decode + env expansion + config-driven end-to-end run. */
+class ConfigSpec extends SparkSpec {
+
+  private def write(dir: java.nio.file.Path, name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("yaml decode: sources, contexts, alias maps, strategies, metadata") {
+    val dir = Files.createTempDirectory("graftcfg")
+    write(dir, "aliases.csv", "KEYS,ALIASES\nM,MALE\nF,FEMALE\nNo data,\n")
+    write(dir, "hp_terms.csv", "id,label,synonyms\nHP:0001945,Fever,febrile|pyrexia\n")
+    write(dir, "data.csv", "Patient ID,Sex,Phenotypes,Onset\nP001,M,Fever,12\n")
+    val cfgPath = write(dir, "config.yaml",
+      s"""data_sources:
+         |  - type: "csv"
+         |    source: "${dir.resolve("data.csv")}"
+         |    has_headers: true
+         |    patients_are_rows: true
+         |    series_contexts:
+         |      - identifier: "Patient ID"
+         |        data_context: subject_id
+         |      - identifier: "Sex"
+         |        data_context: subject_sex
+         |        alias_map:
+         |          output_data_type: String
+         |          mappings:
+         |            path: "aliases.csv"
+         |            key_column_name: "KEYS"
+         |            alias_column_name: "ALIASES"
+         |      - identifier: "Phenotypes"
+         |        data_context: hpo
+         |        building_block_id: "P"
+         |      - identifier: "Onset"
+         |        data_context:
+         |          onset: age
+         |        building_block_id: "P"
+         |pipeline:
+         |  strategies:
+         |    - "alias_map"
+         |    - "age_to_iso8601"
+         |    - "ontology_normaliser"
+         |  loader:
+         |    file_system:
+         |      output_dir: "${dir.resolve("out")}"
+         |      create_dir: true
+         |  meta_data:
+         |    created_by: "$${GRAFT_TEST_USER}"
+         |    cohort_name: "c1"
+         |    hpo_resource:
+         |      id: "hp"
+         |      version: "2024-01-01"
+         |      namespace_prefix: "HP"
+         |      terms_file: "${dir.resolve("hp_terms.csv")}"
+         |""".stripMargin)
+
+    // env expansion: ${GRAFT_TEST_USER} is not set → error
+    intercept[IllegalArgumentException] { ConfigLoader.load(cfgPath) }
+
+    // with the var provided via expandEnv on a patched string
+    val raw = Files.readString(java.nio.file.Paths.get(cfgPath))
+      .replace("${GRAFT_TEST_USER}", "tester")
+    val patched = write(dir, "config2.yaml", raw)
+    val cfg = ConfigLoader.load(patched)
+
+    assert(cfg.csvSources.size == 1)
+    val sc = cfg.csvSources.head.tableContext.seriesContexts
+    assert(sc(0).dataContext == Context.SubjectId)
+    assert(sc(1).aliasMap.get.entries == Map(
+      "M" -> Some("MALE"), "F" -> Some("FEMALE"), "No data" -> None))
+    assert(sc(3).dataContext == Context.Onset(TimeKind.Age))
+    assert(cfg.strategyNames == Seq("alias_map", "age_to_iso8601", "ontology_normaliser"))
+    assert(cfg.metaData.createdBy == "tester")
+    assert(cfg.metaData.resources.head.id == "hp")
+
+    // full config-driven run → packet on disk
+    ConfigRunner.run(spark, patched)
+    val out = dir.resolve("out").toFile.list().toSeq
+    assert(out == Seq("c1-P001.json"))
+    val json = Files.readString(dir.resolve("out/c1-P001.json"))
+    assert(json.contains("\"sex\": \"MALE\""))
+    assert(json.contains("HP:0001945"))
+    assert(json.contains("\"iso8601duration\": \"P12Y\""))
+    assert(json.contains("\"createdBy\": \"tester\""))
+  }
+
+  test("parameterized quantitative context decodes") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val node = mapper.readTree(
+      """quantitative_measurement:
+        |  assay_id: "LOINC:8302-2"
+        |  unit_ontology_id: "UO:0000015"
+        |""".stripMargin)
+    assert(ConfigLoader.context(node) ==
+      Context.QuantitativeMeasurement("LOINC:8302-2", "UO:0000015"))
+  }
+}

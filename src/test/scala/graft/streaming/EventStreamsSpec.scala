@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  test("hourlyCounts: windowed aggregation over a micro-batch stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        Event(ts("2024-01-01 00:40:00"), 2, "click", 2.0),
+        Event(ts("2024-01-01 01:10:00"), 1, "buy", 10.0))
+      query.processAllAvailable()
+      val rows = spark.sql("select * from hourly").collect()
+      val clicks = rows.find(_.getString(1) == "click").get
+      assert(clicks.getLong(2) == 2L)
+      assert(clicks.getDouble(3) == 3.0)
+      assert(rows.exists(_.getString(1) == "buy"))
+    } finally query.stop()
+  }
+
+  test("sessionize: gap-based sessions close on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap →
+      // new session; the watermark advance closes the first.
+      input.addData(
+        Event(ts("2024-01-01 00:00:00"), 1, "a", 1.0),
+        Event(ts("2024-01-01 00:10:00"), 1, "a", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(ts("2024-01-01 02:10:00"), 1, "a", 5.0))
+      query.processAllAvailable()
+      // push the watermark far ahead so the second session times out too
+      input.addData(Event(ts("2024-01-01 06:00:00"), 2, "b", 0.5))
+      query.processAllAvailable()
+      input.addData(Event(ts("2024-01-01 09:00:00"), 2, "b", 0.5))
+      query.processAllAvailable()
+
+      val sessions = spark.sql("select * from sessions where user_id = 1")
+        .orderBy("start_ts").collect()
+      assert(sessions.length == 2)
+      assert(sessions(0).getInt(3) == 2)                 // n_events
+      assert(sessions(0).getDouble(4) == 3.0)            // session_value
+      assert(sessions(1).getInt(3) == 1)
+      assert(sessions(1).getDouble(4) == 5.0)
+    } finally query.stop()
+  }
+}
