@@ -251,7 +251,26 @@ object Relational {
       |    FROM events) g) t
       |GROUP BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_skew_salted_join — explicit skew-salted equi-join (lineitem ⋈
+  // supplier on suppkey, salted 8 ways) aggregated per nation. The
+  // salt must be invisible in the result: the oracle is the PLAIN join.
+  private val qSalted: Q = (s, dir) => {
+    val li = li0(s, dir)
+    val supp = Tables.load(s, dir, "supplier")
+    graft.ops.SkewJoin.saltedJoin(li, supp, "l_suppkey", "s_suppkey", saltBuckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+  }
+  private def li0(s: SparkSession, dir: String) = li(s, dir)
+
+  private val qSaltedSql =
+    """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_skew_salted_join", qSalted, Some(qSaltedSql)),
     Entry("q1_agg", q1, Some(q1Sql)),
     Entry("q6_filter", q6, Some(q6Sql)),
     Entry("q3_join_agg", q3, Some(q3Sql)),

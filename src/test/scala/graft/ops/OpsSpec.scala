@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the training-data-pipeline operators: near-dup recall,
+  * simhash locality, LSH vs brute-force agreement, salted-join equality,
+  * multimodal decode determinism.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again every day"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base + " tonight"),                               // near-dup of 1
+    (3L, base.replace("quick", "slow")),                   // near-dup of 1
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "yet another unrelated string of words with no overlap at all whatsoever"),
+    (6L, base)                                             // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 5) // 6 docs, one exact pair
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 1L) // keeper = min id
+  }
+
+  test("minhash LSH finds the near-dup pairs exact Jaccard confirms") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 6L)) && exact.contains((1L, 2L)))
+    // 16 bands × 2 rows: collision probability at j≥0.3 is high; the
+    // exact duplicate MUST collide in every band.
+    assert(lsh.contains((1L, 6L)))
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision
+  }
+
+  test("simhash: near-dups land within small hamming distance") {
+    val hashed = Dedup.withSimhash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(hashed(1L) == hashed(6L)) // identical text → identical simhash
+    val nearDist = spark.range(1)
+      .select(Dedup.hamming64(lit(hashed(1L)), lit(hashed(2L))).as("d"))
+      .head().getInt(0)
+    val farDist = spark.range(1)
+      .select(Dedup.hamming64(lit(hashed(1L)), lit(hashed(4L))).as("d"))
+      .head().getInt(0)
+    assert(nearDist < farDist)
+  }
+
+  test("LSH top-k returns a subset of brute-force candidates with correct scores") {
+    val vecs = (0 until 50).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 0.7 + d).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, bits = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(brute.size == 10) // k per query
+    assert(lsh.nonEmpty)
+    // cosine scores LSH reports must equal brute-force scores for the
+    // same pairs (the bucketing only prunes candidates)
+    val bruteScores = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 49)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, bits = 2)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().foreach { case (q, n, s) =>
+        assert(math.abs(bruteScores((q, n)) - s) < 1e-12)
+      }
+  }
+
+  test("salted join equals plain join") {
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val right = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k2", "name")
+    val plain = left.join(right, left("k") === right("k2")).select("k", "v", "name")
+    val salted = SkewJoin.saltedJoin(left, right, "k", "k2", saltBuckets = 8)
+      .select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("multimodal decode stub is deterministic and schema-typed") {
+    val df = Seq((1L, "payload one"), (2L, "payload two")).toDF("doc_id", "text")
+    val a = Multimodal.decodeFeatures(df, "doc_id", "text").collect().sortBy(_.id)
+    val b = Multimodal.decodeFeatures(df, "doc_id", "text").collect().sortBy(_.id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.head.n_bytes == "payload one".getBytes("UTF-8").length)
+    assert(a.forall(f => f.width >= 16 && f.height >= 16))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions — the 100 TB design contract, checked, not
+  * hoped for: filters reach the parquet scan, dimension joins broadcast,
+  * aggregates partial-aggregate before the shuffle, top-k avoids a full
+  * sort. Runs against sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(name: String): String = {
+    val df = Catalog.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6_filter: predicates push down to the parquet scan") {
+    val plan = planOf("q6_filter")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("l_discount"), "discount predicate should reach the scan")
+    // column pruning: the scan must not read l_tax/l_returnflag
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.split("ReadSchema").last.split("\n").head.contains("l_tax"))
+  }
+
+  test("q3_join_agg: dimension joins broadcast, no shuffle for nation/region") {
+    val plan = planOf("q3_join_agg")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q1_agg: hash aggregation with map-side partial aggregate") {
+    val plan = planOf("q1_agg")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_"), "expected partial aggregation before the exchange")
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_semijoin / q_antijoin use semi/anti join operators") {
+    assert(planOf("q_semijoin").contains("LeftSemi"))
+    assert(planOf("q_antijoin").contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen spans cover the scan→filter→agg path") {
+    // AQE wraps the plan pre-execution; codegen explain mode shows the
+    // generated stages.
+    val df = Catalog.queries("q6_filter")(spark, dir)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"))
+  }
+}
