@@ -25,10 +25,27 @@ object Preprocessor {
   def process(cdf: Cdf): Cdf = {
     val subjectCol = cdf.subjectIdColumn
     var df = trimStrings(cdf.df)
+    df = fillMissing(cdf, df)
     df = ensureInts(df)
     df = reinferStrings(df, skip = Set(subjectCol))
     df = df.withColumn(subjectCol, col(subjectCol).cast(StringType))
     cdf.copy(df = df)
+  }
+
+  /** `fill_missing`: nulls of a series become its declared default.
+    * DIVERGENCE, deliberate: the reference parses this field but never
+    * applies it (SURVEY §1.2 "declared-but-unused"); the survey's build
+    * plan (§7.4) calls for implementing it properly as coalesce.
+    * Applied after trim (so empty cells count as missing) and before
+    * type re-inference (so the fill value participates in the cascade).
+    */
+  def fillMissing(cdf: Cdf, df: DataFrame): DataFrame = {
+    val fills = cdf.context.bindings(df.columns.toSeq).collect {
+      case (c, sc) if sc.fillMissing.isDefined => c -> sc.fillMissing.get
+    }
+    fills.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, coalesce(col(c), lit(v)))
+    }
   }
 
   /** P1: trim + empty→null for every string column. */

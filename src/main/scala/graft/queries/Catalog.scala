@@ -17,7 +17,7 @@ object Catalog {
   def all: Seq[Entry] =
     Relational.entries ++ EtlScalarOps.entries ++ StrategyOps.entries ++
       GroupingOps.entries ++ TextOps.entries ++ DedupOps.entries ++
-      SimilarityOps.entries ++ MultimodalOps.entries
+      SimilarityOps.entries ++ MultimodalOps.entries ++ EtlAssembly.entries
 
   lazy val queries: Map[String, Q] = all.map(e => e.name -> e.q).toMap
   lazy val oracleSql: Map[String, String] =

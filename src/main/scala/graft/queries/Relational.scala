@@ -269,8 +269,34 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_cube — full cube over two dims.
+  private val qCube: Q = (s, dir) =>
+    li(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_intersect — INTERSECT set op.
+  private val qIntersect: Q = (s, dir) => {
+    val building = cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val urgent = ord(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(urgent)
+  }
+  private val qIntersectSql =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_skew_salted_join", qSalted, Some(qSaltedSql)),
+    Entry("q_cube", qCube, Some(qCubeSql)),
+    Entry("q_intersect", qIntersect, Some(qIntersectSql)),
     Entry("q1_agg", q1, Some(q1Sql)),
     Entry("q6_filter", q6, Some(q6Sql)),
     Entry("q3_join_agg", q3, Some(q3Sql)),
