@@ -293,10 +293,23 @@ object Relational {
       |INTERSECT
       |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_approx_sketches — HyperLogLog distinct + quantile sketches: the
+  // approximate-aggregate surface for 100 TB interactive profiling.
+  // Sketch internals differ across engines, so this takes the driver's
+  // rows-only check; the spec bounds the error against exact counts.
+  private val qApprox: Q = (s, dir) =>
+    li(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_price"))
+
   val entries: Seq[Entry] = Seq(
     Entry("q_skew_salted_join", qSalted, Some(qSaltedSql)),
     Entry("q_cube", qCube, Some(qCubeSql)),
     Entry("q_intersect", qIntersect, Some(qIntersectSql)),
+    Entry("q_approx_sketches", qApprox, None),
     Entry("q1_agg", q1, Some(q1Sql)),
     Entry("q6_filter", q6, Some(q6Sql)),
     Entry("q3_join_agg", q3, Some(q3Sql)),

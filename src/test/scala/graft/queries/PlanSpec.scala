@@ -53,4 +53,19 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(codegen.contains("WholeStageCodegen"))
   }
+
+  test("q_approx_sketches: HLL error bounded vs exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val approx = Catalog.queries("q_approx_sketches")(spark, dir)
+      .select(col("l_returnflag"), col("approx_parts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.1,
+        s"HLL estimate for $k off by >10%: ${approx(k)} vs $n")
+    }
+  }
 }
