@@ -65,12 +65,19 @@ object Casts {
       .when(lower(c) === "false", lit(false))
       .otherwise(lit(null).cast(BooleanType))
 
-  /** P6: int parse via float-integrality ("1.0" → 1L, "1.5" → null). */
+  /** P6: int parse — exact integer strings first, then the reference's
+    * float-integrality route ("1.0" → 1L, "1.5" → null). The float
+    * fallback is gated to ±2^53 where doubles are exact; beyond that a
+    * via-double long would be silently wrong (caught by PropertySpec).
+    */
   def toLongViaDouble(c: Column): Column = {
+    val direct = c.cast(StringType).try_cast(LongType)
     val d = c.cast(StringType).try_cast(DoubleType)
-    when(d.isNotNull && d === floor(d) &&
-         d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble,
-      d.cast(LongType)).otherwise(lit(null).cast(LongType))
+    val maxExact = 9007199254740992.0 // 2^53
+    coalesce(
+      direct,
+      when(d.isNotNull && d === floor(d) && abs(d) <= maxExact,
+        d.cast(LongType)))
   }
 
   /** Would casting `name` with `caster` lose any non-null value?
