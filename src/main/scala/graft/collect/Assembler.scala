@@ -165,16 +165,31 @@ object Assembler {
     }
 
     // --- C5: interpretations (gene/variant classification) ------------
+    // G6 — building-block "spread" (reference
+    // interpretation_collector.rs:69-148): when a disease block spans
+    // >= 2 tables, the block must carry exactly ONE distinct disease,
+    // which then applies to the block's gene/variant data from every
+    // table.
+    val diseaseFactsByBlock = facts.filter(_.kind == FactKinds.DiseaseK).groupBy(_.block)
+    def blockDisease(block: String): Option[String] = {
+      val inBlock = diseaseFactsByBlock.getOrElse(block, Seq.empty)
+      val values = inBlock.flatMap(f => attr(f, "term")).distinct
+      val spreadTables = inBlock.map(_.table).distinct.size
+      if (spreadTables >= 2 && values.size > 1)
+        throw new IllegalStateException(
+          s"patient $subject: disease block '$block' spans $spreadTables tables " +
+            s"with ${values.size} distinct diseases: ${values.mkString(", ")}")
+      values.headOption
+    }
     val interpretations = mutable.LinkedHashMap.empty[String, Interpretation]
     facts.filter(_.kind == FactKinds.Interp).foreach { f =>
       val genes = attr(f, "gene").toSeq
       val variants = attr(f, "variants").toSeq.flatMap(_.split("\\|\\|")).filter(_.nonEmpty)
-      val diseaseRaw = attr(f, "disease")
+      val diseaseRaw = attr(f, "disease").orElse(blockDisease(f.block))
       if (genes.nonEmpty || variants.nonEmpty) {
         val diseaseTerm = diseaseRaw.map(resolve).getOrElse(
-          diseaseList.values.headOption.map(_.term).getOrElse(
-            throw new IllegalStateException(
-              s"patient $subject: interpretation block '${f.block}' has gene/variant data but no disease")))
+          throw new IllegalStateException(
+            s"patient $subject: interpretation block '${f.block}' has gene/variant data but no disease"))
         val interpId = s"$packetId-${diseaseTerm.id}"
         val genomic = GenomicInterpretations.classify(
           subject, genes, variants)
@@ -279,8 +294,20 @@ object Assembler {
   */
 object GenomicInterpretations {
 
+  /** Structural HGVS validation (offline stand-in for the reference's
+    * external HGVS client, phenopacket_builder.rs:297-349):
+    * `<reference>:<scheme>.<change>` with a known coordinate scheme.
+    */
+  private val HgvsRe = "^[A-Za-z][A-Za-z0-9_.]*:[cgmnopr]\\..+$".r
+  def isValidHgvs(v: String): Boolean = HgvsRe.findFirstIn(v.trim).isDefined
+
   def classify(subject: String, genes: Seq[String],
       variants: Seq[String]): Seq[GenomicInterpretation] = {
+    variants.filterNot(isValidHgvs) match {
+      case Seq() => ()
+      case bad => throw new IllegalStateException(
+        s"patient $subject: malformed HGVS expression(s): ${bad.mkString(", ")}")
+    }
     def geneDescriptor(g: String) = GeneDescriptor(valueId = s"HGNC:$g", symbol = g)
     def variantGi(v: String, allelicState: String): GenomicInterpretation =
       GenomicInterpretation(

@@ -305,7 +305,24 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_price"))
 
+  // ------------------------------------------------------------------
+  // q_json_extract — semi-structured column handling: parse the events
+  // props JSON, aggregate an extracted field per event type.
+  private val qJson: Q = (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"))
+  private val qJsonSql =
+    """SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_json_extract", qJson, Some(qJsonSql)),
     Entry("q_skew_salted_join", qSalted, Some(qSaltedSql)),
     Entry("q_cube", qCube, Some(qCubeSql)),
     Entry("q_intersect", qIntersect, Some(qIntersectSql)),
