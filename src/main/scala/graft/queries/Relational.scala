@@ -315,7 +315,7 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"))
   private val qJsonSql =
-    """SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k
+    """SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events) t
