@@ -321,7 +321,89 @@ object Relational {
       |      FROM events) t
       |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_pivot — groupBy().pivot() with a fixed value list (dynamic pivots
+  // appear in strategy T5); oracle via conditional aggregation.
+  private val qPivot: Q = (s, dir) =>
+    li(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnRenamed("O", "qty_o")
+      .withColumnRenamed("F", "qty_f")
+  private val qPivotSql =
+    """SELECT l_returnflag,
+      |  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o,
+      |  round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_unpivot — wide → long (unpivot/stack); oracle via UNION ALL.
+  private val qUnpivot: Q = (s, dir) =>
+    Tables.load(s, dir, "part")
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_retailprice").as("retailprice"), col("p_size").cast("double").as("size")),
+        "attr", "val")
+      .select(col("p_partkey"), col("attr"), round(col("val"), 2).as("val"))
+  private val qUnpivotSql =
+    """SELECT p_partkey, 'retailprice' AS attr, round(p_retailprice, 2) AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'size' AS attr, round(CAST(p_size AS DOUBLE), 2) AS val FROM part""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_scalar_subquery — correlated scalar aggregate per row (customers
+  // with their own max order value). DataFrame form: aggregate + join.
+  private val qScalarSub: Q = (s, dir) => {
+    val maxPerCust = ord(s, dir).groupBy(col("o_custkey"))
+      .agg(round(max(col("o_totalprice")), 2).as("max_order"))
+    cust(s, dir)
+      .join(maxPerCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("max_order"))
+  }
+  private val qScalarSubSql =
+    """SELECT c_custkey,
+      |  (SELECT round(max(o_totalprice), 2) FROM orders
+      |   WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_median_exact — exact DISCRETE percentiles per group via ordered
+  // row selection (interpolated medians average two doubles and can
+  // land exactly on a rounding boundary where engines' tie handling
+  // differs — a real cross-engine reproducibility lesson; discrete
+  // selection is bit-deterministic on both sides).
+  private val qMedian: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = li(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    ranked
+      .filter(col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.95))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("median_price"),
+        min(when(col("rn") === ceil(col("n") * 0.95), col("l_extendedprice"))).as("p95_price"))
+  }
+  private val qMedianSql =
+    """SELECT l_returnflag,
+      |  min(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS median_price,
+      |  min(CASE WHEN rn = ceil(n * 0.95) THEN l_extendedprice END) AS p95_price
+      |FROM (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem) t
+      |WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.95)
+      |GROUP BY l_returnflag""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_pivot", qPivot, Some(qPivotSql)),
+    Entry("q_unpivot", qUnpivot, Some(qUnpivotSql)),
+    Entry("q_scalar_subquery", qScalarSub, Some(qScalarSubSql)),
+    Entry("q_median_exact", qMedian, Some(qMedianSql)),
     Entry("q_json_extract", qJson, Some(qJsonSql)),
     Entry("q_skew_salted_join", qSalted, Some(qSaltedSql)),
     Entry("q_cube", qCube, Some(qCubeSql)),

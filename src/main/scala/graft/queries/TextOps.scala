@@ -105,7 +105,20 @@ object TextOps {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  // Edit distance between source tags and a reference label — the
+  // classic DP levenshtein agrees exactly across engines.
+  private val editDist: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        levenshtein(col("source"), lit("src10")).as("dist_src10"),
+        levenshtein(col("lang"), lit("en")).as("dist_en"))
+  private val editDistSql =
+    """SELECT doc_id, levenshtein(source, 'src10') AS dist_src10,
+      |  levenshtein(lang, 'en') AS dist_en
+      |FROM documents""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("text_edit_distance", editDist, Some(editDistSql)),
     Entry("text_token_count", tokCount, Some(tokCountSql)),
     Entry("text_quality", quality, Some(qualitySql)),
     Entry("text_langid", langid, Some(langidSql)),
