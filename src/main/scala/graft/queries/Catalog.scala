@@ -19,7 +19,12 @@ object Catalog {
       GroupingOps.entries ++ TextOps.entries ++ DedupOps.entries ++
       SimilarityOps.entries ++ MultimodalOps.entries ++ EtlAssembly.entries
 
-  lazy val queries: Map[String, Q] = all.map(e => e.name -> e.q).toMap
+  lazy val queries: Map[String, Q] = {
+    val names = all.map(_.name)
+    val dupes = names.diff(names.distinct)
+    require(dupes.isEmpty, s"duplicate query names in catalog: ${dupes.mkString(", ")}")
+    all.map(e => e.name -> e.q).toMap
+  }
   lazy val oracleSql: Map[String, String] =
     all.flatMap(e => e.oracle.map(e.name -> _)).toMap
 }
