@@ -64,8 +64,19 @@ object Preprocessor {
   def ensureInts(df: DataFrame): DataFrame = {
     val floatCols = df.schema.fields.collect {
       case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
-    }
-    val collapsible = floatCols.filter(Casts.allWholeNumbers(df, _))
+    }.toSeq
+    // One aggregate pass for all float columns' integrality guards.
+    val collapsible: Seq[String] =
+      if (floatCols.isEmpty) Seq.empty
+      else {
+        val aggs = floatCols.map { n =>
+          val c = col(n)
+          count(when(c =!= floor(c) || c > Long.MaxValue.toDouble ||
+            c < Long.MinValue.toDouble, 1)).as(s"__bad_$n")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        floatCols.zipWithIndex.collect { case (n, i) if row.getLong(i) == 0L => n }
+      }
     val exprs = df.schema.fields.map { f =>
       if (collapsible.contains(f.name)) col(f.name).cast(LongType).as(f.name)
       else if (f.dataType == IntegerType) col(f.name).cast(LongType).as(f.name)
@@ -74,16 +85,22 @@ object Preprocessor {
     df.select(exprs.toIndexedSeq: _*)
   }
 
-  /** P3: each string column re-infers through the cascade; first
-    * lossless cast wins, else stays string.
+  /** P3: every string column re-infers through the cascade; first
+    * lossless cast wins, else stays string. All columns' type elections
+    * run in ONE aggregate pass (6 counters per column) — per-column
+    * agg jobs would cost O(columns × candidates) scans.
     */
   def reinferStrings(df: DataFrame, skip: Set[String]): DataFrame = {
     val stringCols = df.schema.fields.collect {
       case f if f.dataType == StringType && !skip.contains(f.name) => f.name
+    }.toSeq
+    val elected = Casts.ambivalentBatch(df, stringCols)
+    val exprs = df.schema.fields.map { f =>
+      elected.get(f.name) match {
+        case Some((dt, casted)) if dt != StringType => casted.as(f.name)
+        case _                                      => col(f.name)
+      }
     }
-    stringCols.foldLeft(df) { (acc, name) =>
-      val (dt, casted) = Casts.ambivalent(acc, name)
-      if (dt == StringType) acc else acc.withColumn(name, casted)
-    }
+    df.select(exprs.toIndexedSeq: _*)
   }
 }

@@ -92,7 +92,12 @@ object Assembler {
     val dob = single("dateOfBirth").map(TimeParse.toTimestampString)
     val vitalStatusValue = single("vitalStatus")
     val causeOfDeath = single("causeOfDeath")
-    val survivalDays = single("survivalTimeInDays").map(v => math.round(v.toDouble))
+    val survivalDays = single("survivalTimeInDays").map { v =>
+      v.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
+        .map(math.round)
+        .getOrElse(throw new IllegalStateException(
+          s"patient $subject: survivalTimeInDays value '$v' is not numeric"))
+    }
     val timeOfDeath = singleTimed("timeOfDeath")
     val lastEncounter = singleTimed("timeAtLastEncounter")
 
@@ -110,13 +115,23 @@ object Assembler {
       id = subject, dateOfBirth = dob, sex = sex,
       timeAtLastEncounter = lastEncounter, vitalStatus = vitalStatus)
 
+    // Observation statuses must be strictly boolean (reference requires
+    // a bool column and errors otherwise — hpo_in_cells_collector /
+    // hpo_in_header_collector): no lenient polarity guessing.
+    def strictBool(v: String, what: String): Boolean = v.toLowerCase match {
+      case "true"  => true
+      case "false" => false
+      case other => throw new IllegalStateException(
+        s"patient $subject: $what value '$other' is not a boolean")
+    }
+
     // --- C2: HPO-in-cells (upsert by HPO id unless duplicates allowed)
     val features = mutable.LinkedHashMap.empty[String, PhenotypicFeature]
     val extraFeatures = mutable.ArrayBuffer.empty[PhenotypicFeature]
     facts.filter(_.kind == FactKinds.HpoCell).foreach { f =>
       attr(f, "hpo").foreach { raw =>
         val term = resolve(raw)
-        val observed = attr(f, "observed").map(_.toLowerCase != "false")
+        val observed = attr(f, "observed").map(strictBool(_, "observation status"))
         val feature = PhenotypicFeature(
           `type` = term,
           excluded = observed.collect { case false => true },
@@ -135,7 +150,7 @@ object Assembler {
       (attr(f, "hpo"), attr(f, "observed")) match {
         case (Some(id), Some(obs)) =>
           headerPairs.getOrElseUpdate(id, mutable.LinkedHashSet.empty) +=
-            ((obs.toLowerCase == "true", attr(f, "onset")))
+            ((strictBool(obs, s"HPO header $id observation"), attr(f, "onset")))
         case _ => ()
       }
     }
@@ -193,10 +208,20 @@ object Assembler {
         val interpId = s"$packetId-${diseaseTerm.id}"
         val genomic = GenomicInterpretations.classify(
           subject, genes, variants)
-        interpretations(interpId) = Interpretation(
-          id = interpId,
-          progressStatus = "SOLVED",
-          diagnosis = Some(Diagnosis(diseaseTerm, genomic)))
+        // Upsert-then-EXTEND (reference upsert_interpretation,
+        // phenopacket_builder.rs:352-360): later rows/tables of the same
+        // disease add their genomic interpretations, never replace.
+        interpretations.get(interpId) match {
+          case Some(existing) =>
+            val d = existing.diagnosis.get
+            interpretations(interpId) = existing.copy(diagnosis =
+              Some(d.copy(genomicInterpretations = d.genomicInterpretations ++ genomic)))
+          case None =>
+            interpretations(interpId) = Interpretation(
+              id = interpId,
+              progressStatus = "SOLVED",
+              diagnosis = Some(Diagnosis(diseaseTerm, genomic)))
+        }
       }
     }
 
@@ -205,7 +230,9 @@ object Assembler {
     facts.filter(_.kind == FactKinds.Quant).foreach { f =>
       (attr(f, "assay"), attr(f, "value")) match {
         case (Some(assay), Some(v)) =>
-          v.toDoubleOption.foreach { value =>
+          // Non-finite doubles would render as invalid JSON downstream —
+          // gate at ingest.
+          v.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite).foreach { value =>
             val unit = attr(f, "unit").map(resolveLenient)
               .getOrElse(OntoClass("", ""))
             val refRange = (attr(f, "refLow").flatMap(_.toDoubleOption),

@@ -58,8 +58,11 @@ object Facts {
   /** Union the facts of every table (narrow union, preserves
     * partitioning of each input).
     */
-  def extractAll(tables: Seq[Cdf]): Dataset[Fact] =
+  def extractAll(tables: Seq[Cdf]): Dataset[Fact] = {
+    require(tables.nonEmpty,
+      "fact extraction needs at least one table — no data sources were configured/loaded")
     tables.map(extract).reduce(_ unionByName _)
+  }
 
   // ------------------------------------------------------------------
 
@@ -131,7 +134,11 @@ object Facts {
     }
 
     val hpoHeaders = b.collect {
-      case (c, sc) if sc.headerContext.kind == ContextKind.KHpo =>
+      // Reference collects header=Hpo columns whose CELLS are
+      // observation statuses (hpo_in_header_collector) — a header=Hpo
+      // column with some other data context is not an observation grid.
+      case (c, sc) if sc.headerContext.kind == ContextKind.KHpo &&
+          sc.dataContext.kind == ContextKind.KObservationStatus =>
         val (hpoId, blockFromHeader) = MultiHpoColExpansionStrategy.decodeHeader(c)
         val blk = sc.buildingBlockId.orElse(blockFromHeader)
         val onsetCol = cdf.singleLinkedColumn(blk, Set(ContextKind.KOnset))
@@ -203,9 +210,13 @@ object Facts {
     // Interpretation evidence: gene + variant columns grouped by block;
     // the disease term of the same block rides along for diagnosis
     // assembly (reference `interpretation_collector.rs:16-196`).
+    // Only NAMED building blocks form interpretations (reference
+    // filters where_building_block(IsSome) — block-less genetics
+    // columns are never married to unrelated diseases).
     val interpBlocks = b.collect {
-      case (_, sc) if sc.dataContext.kind == ContextKind.KHgnc ||
-          sc.dataContext.kind == ContextKind.KHgvs => sc.buildingBlockId
+      case (_, sc) if (sc.dataContext.kind == ContextKind.KHgnc ||
+          sc.dataContext.kind == ContextKind.KHgvs) &&
+          sc.buildingBlockId.isDefined => sc.buildingBlockId
     }.distinct
     val interps = interpBlocks.map { blk =>
       val geneCol = linked(blk, ContextKind.KHgnc)

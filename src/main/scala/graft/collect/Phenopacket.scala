@@ -280,7 +280,10 @@ object PhenopacketJson {
     }
 
     private def numRepr(n: JNum): String =
-      if (n.isInt || n.d == math.floor(n.d) && !n.d.isInfinite) {
+      if (n.d.isNaN) "\"NaN\""               // protobuf-JSON convention:
+      else if (n.d.isPosInfinity) "\"Infinity\""  // non-finite doubles are
+      else if (n.d.isNegInfinity) "\"-Infinity\"" // quoted strings
+      else if (n.isInt || n.d == math.floor(n.d)) {
         // protobuf-JSON renders integral doubles without a fraction
         val l = n.d.toLong
         if (l.toDouble == n.d) l.toString else n.d.toString

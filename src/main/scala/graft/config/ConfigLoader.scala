@@ -61,6 +61,9 @@ object ConfigLoader {
 
   private def decode(root: JsonNode, baseDir: java.nio.file.Path): GraftConfig = {
     val sources = arr(root, "data_sources")
+    // Every source must declare its type — a missing/typo'd 'type'
+    // would otherwise silently drop the whole table from the pipeline.
+    sources.foreach(s => req(s, "type"))
     val csvs = sources.filter(s => text(s, "type").contains("csv")).map { s =>
       CsvDataSource(
         source = req(s, "source"),

@@ -21,6 +21,13 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
+    // Right/full outer would emit every unmatched right row once per
+    // salt replica — the salt stops being invisible. Flip the sides for
+    // a right-skewed outer join instead.
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+        allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi join types, got '$joinType'")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
     val saltedRight = right

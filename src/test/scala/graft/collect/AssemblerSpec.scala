@@ -73,4 +73,30 @@ class AssemblerSpec extends SparkSpec {
       cfg.copy(allowDuplicatePhenotypes = true))
     assert(dup.phenotypicFeatures.size == 2)
   }
+
+  test("interpretations EXTEND across rows of the same disease (no replace)") {
+    val facts = Seq(
+      fact("t1", 0, "C", FactKinds.DiseaseK, "term" -> "MONDO:1"),
+      fact("t1", 0, "C", FactKinds.Interp, "variants" -> "NM_1.1:c.1A>G"),
+      fact("t1", 1, "C", FactKinds.Interp, "variants" -> "NM_1.1:c.2C>T"))
+    val p = Assembler.assembleOne("P1", facts, lib, cfg)
+    val gis = p.interpretations.head.diagnosis.get.genomicInterpretations
+    assert(gis.size == 2) // both rows' variants present
+    assert(gis.flatMap(_.variantInterpretation)
+      .flatMap(_.variationDescriptor).map(_.id).toSet ==
+      Set("variant-NM_1.1:c.1A>G", "variant-NM_1.1:c.2C>T"))
+  }
+
+  test("block-less gene/variant columns produce no interpretation facts") {
+    import spark.implicits._
+    import graft.model._
+    val df = Seq(("P1", "KIF21A", "MONDO:1")).toDF("subject_id", "gene", "disease")
+    val cdf = Cdf.validated(TableContext("t", Seq(
+      SeriesContext(Identifier.Single("subject_id"), dataContext = Context.SubjectId),
+      SeriesContext(Identifier.Single("gene"), dataContext = Context.Hgnc),
+      SeriesContext(Identifier.Single("disease"), dataContext = Context.Disease))), df)
+    val kinds = Facts.extract(cdf).collect().map(_.kind).toSet
+    assert(!kinds.contains(FactKinds.Interp))
+    assert(kinds.contains(FactKinds.DiseaseK))
+  }
 }
