@@ -19,7 +19,8 @@ import org.apache.spark.sql.Dataset
 final case class Pipeline(
     strategies: Seq[Strategy],
     library: BiDictLibrary,
-    assembler: AssemblerConfig) {
+    assembler: AssemblerConfig,
+    hgvs: graft.ontology.HgvsResolver = graft.ontology.HgvsResolver.empty) {
 
   def transform(tables: Seq[Cdf]): Dataset[Phenopacket] = {
     val preprocessed = tables.map(Preprocessor.process)
@@ -27,7 +28,7 @@ final case class Pipeline(
       if (strategy.isValid(ts)) strategy.transform(ts) else ts
     }
     val facts = Facts.extractAll(transformed)
-    Assembler.assemble(facts, library, assembler)
+    Assembler.assemble(facts, library, assembler, hgvs)
   }
 
   def run(tables: Seq[Cdf], outDir: String): Unit =

@@ -1,6 +1,6 @@
 package graft.collect
 
-import graft.ontology.{BiDictLibrary, OntologyClass, Resource}
+import graft.ontology.{BiDictLibrary, HgvsResolver, OntologyClass, Resource}
 import org.apache.spark.sql.Dataset
 
 import scala.collection.mutable
@@ -11,58 +11,70 @@ import scala.collection.mutable
   *
   * `groupByKey(subject).mapGroups`: each group is one patient's fact
   * list (document-sized, bounded), folded into a Phenopacket with the
-  * reference's upsert/append semantics. The ontology library is a
-  * broadcast-sized immutable value captured in the closure; Spark
-  * serializes it once per executor.
+  * reference's upsert/append semantics. The ontology library and HGVS
+  * cache are broadcast-sized immutable values captured in the closure;
+  * Spark serializes them once per executor.
   */
 final case class AssemblerConfig(
     cohort: String,
     created: String = "1970-01-01T00:00:00Z",
     createdBy: String = "graft",
+    submittedBy: String = "",
     allowDuplicatePhenotypes: Boolean = false)
 
 object Assembler {
 
   def assemble(facts: Dataset[Fact], library: BiDictLibrary,
-      config: AssemblerConfig): Dataset[Phenopacket] = {
+      config: AssemblerConfig,
+      hgvs: HgvsResolver = HgvsResolver.empty): Dataset[Phenopacket] = {
     val spark = facts.sparkSession
     import spark.implicits._
     facts
       .groupByKey(_.subject)
       .mapGroups { (subject, it) =>
-        assembleOne(subject, it.toSeq, library, config)
+        assembleOne(subject, it.toSeq, library, config, hgvs)
       }
   }
 
   /** Fold one patient's facts into a packet. Deterministic: facts are
-    * sorted by (table, seq) — source row order (reference iterates rows
-    * positionally).
+    * sorted by (src, idx, seq) — data-source registration order, then
+    * COLUMN order, then row order within the column. Column-major
+    * within a table because the reference's collectors iterate the
+    * Polars column store series-by-series (verified against
+    * expected_P001: csv_data emits col1's rows before col2's). The
+    * shuffle reader does not preserve any of this, so it is
+    * reconstructed here.
     */
   def assembleOne(subject: String, factsUnsorted: Seq[Fact],
-      library: BiDictLibrary, config: AssemblerConfig): Phenopacket = {
-    val facts = factsUnsorted.sortBy(f => (f.table, f.seq))
+      library: BiDictLibrary, config: AssemblerConfig,
+      hgvs: HgvsResolver = HgvsResolver.empty): Phenopacket = {
+    val facts = factsUnsorted.sortBy(f => (f.src, f.idx, f.seq))
     val packetId = s"${config.cohort}-$subject"
     val resources = mutable.LinkedHashMap.empty[String, Resource]
 
-    // --- B3/B4: term resolution with resource provenance ------------
-    def resolve(value: String): OntoClass = {
-      val (oc, res) = library.resolveOrThrow(value)
+    // --- B3/B4: scoped term resolution with resource provenance -------
+    // The reference wires a SEPARATE dictionary library per value class
+    // (transform_context.rs: hpo/disease/assay/unit/qualitative/gene);
+    // `scope` selects the same class here.
+    def resolve(scope: String, value: String): OntoClass = {
+      val (oc, res) = library.resolveInOrThrow(scope, value)
       resources.getOrElseUpdate(res.id, res)
       OntoClass(oc.id, oc.label)
     }
-    def resolveOpt(v: Option[String]): Option[OntoClass] = v.map(resolve)
+    def resolveOpt(scope: String, v: Option[String]): Option[OntoClass] =
+      v.map(resolve(scope, _))
 
     // Assay/unit CURIEs may live outside the loaded dictionaries
     // (e.g. LOINC without a LOINC dump): fall back to id-as-label.
-    def resolveLenient(value: String): OntoClass =
-      library.resolve(value) match {
+    def resolveLenient(scope: String, value: String): OntoClass =
+      library.resolveIn(scope, value) match {
         case Some((oc, res)) =>
           resources.getOrElseUpdate(res.id, res)
           OntoClass(oc.id, oc.label)
         case None => OntoClass(value, value)
       }
 
-    def attr(f: Fact, k: String): Option[String] = f.attrs.get(k).filter(_.nonEmpty)
+    def o(s: String): Option[String] = Fact.opt(s)
 
     // --- B5: time parsing (timestamp else ISO-8601 age) --------------
     def timeElement(v: String): TimeElement = TimeParse.parse(v)
@@ -70,8 +82,7 @@ object Assembler {
     // --- C1: individual + vital status (single-multiplicity, G4) -----
     val indivFacts = facts.filter(_.kind == FactKinds.Individual_)
     def single(field: String): Option[String] = {
-      val vals = indivFacts.filter(f => attr(f, "field").contains(field))
-        .flatMap(f => attr(f, "value"))
+      val vals = indivFacts.filter(f => o(f.field).contains(field)).flatMap(f => o(f.value))
       val distinct = vals.distinct
       if (distinct.size > 1)
         throw new IllegalStateException(
@@ -79,8 +90,8 @@ object Assembler {
       distinct.headOption
     }
     def singleTimed(field: String): Option[TimeElement] =
-      indivFacts.filter(f => attr(f, "field").contains(field))
-        .flatMap(f => attr(f, "value").map(v => (v, attr(f, "tkind"))))
+      indivFacts.filter(f => o(f.field).contains(field))
+        .flatMap(f => o(f.value).map(v => (v, o(f.tkind))))
         .distinct match {
         case Seq()       => None
         case Seq((v, _)) => Some(timeElement(v))
@@ -108,7 +119,7 @@ object Assembler {
         status = vitalStatusValue.getOrElse(
           if (timeOfDeath.isDefined || causeOfDeath.isDefined) "DECEASED" else "UNKNOWN_STATUS"),
         timeOfDeath = timeOfDeath,
-        causeOfDeath = resolveOpt(causeOfDeath),
+        causeOfDeath = resolveOpt("disease", causeOfDeath),
         survivalTimeInDays = survivalDays))
 
     val individual = Individual(
@@ -129,28 +140,28 @@ object Assembler {
     val features = mutable.LinkedHashMap.empty[String, PhenotypicFeature]
     val extraFeatures = mutable.ArrayBuffer.empty[PhenotypicFeature]
     facts.filter(_.kind == FactKinds.HpoCell).foreach { f =>
-      attr(f, "hpo").foreach { raw =>
-        val term = resolve(raw)
-        val observed = attr(f, "observed").map(strictBool(_, "observation status"))
+      o(f.hpo).foreach { raw =>
+        val term = resolve("hpo", raw)
+        val observed = o(f.observed).map(strictBool(_, "observation status"))
         val feature = PhenotypicFeature(
           `type` = term,
           excluded = observed.collect { case false => true },
-          onset = attr(f, "onset").map(timeElement),
-          resolution = attr(f, "resolution").map(timeElement),
-          severity = resolveOpt(attr(f, "severity")))
+          onset = o(f.onset).map(timeElement),
+          resolution = o(f.resolution).map(timeElement),
+          severity = resolveOpt("hpo", o(f.severity)))
         if (config.allowDuplicatePhenotypes && features.contains(term.id))
           extraFeatures += feature
-        else features(term.id) = feature // upsert: last write wins (B1)
+        else features(term.id) = feature // upsert: last write wins, first position kept (B1)
       }
     }
 
     // --- C3: HPO-in-header (distinct (observed, onset) pairs, G5) -----
     val headerPairs = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[(Boolean, Option[String])]]
     facts.filter(_.kind == FactKinds.HpoHeader).foreach { f =>
-      (attr(f, "hpo"), attr(f, "observed")) match {
+      (o(f.hpo), o(f.observed)) match {
         case (Some(id), Some(obs)) =>
           headerPairs.getOrElseUpdate(id, mutable.LinkedHashSet.empty) +=
-            ((strictBool(obs, s"HPO header $id observation"), attr(f, "onset")))
+            ((strictBool(obs, s"HPO header $id observation"), o(f.onset)))
         case _ => ()
       }
     }
@@ -159,23 +170,24 @@ object Assembler {
         throw new IllegalStateException(
           s"patient $subject: HPO header column $id has ${pairs.size} distinct (observed, onset) pairs")
       val (observed, onset) = pairs.head
-      val term = resolve(id)
+      val term = resolve("hpo", id)
       features(term.id) = PhenotypicFeature(
         `type` = term,
         excluded = if (observed) None else Some(true),
         onset = if (observed) onset.map(timeElement) else None)
     }
 
-    // --- C4: diseases (append per cell; dedupe by term id) ------------
-    val diseaseList = mutable.LinkedHashMap.empty[String, Disease]
+    // --- C4: diseases (append per cell — reference `insert_disease`
+    // push_disease, phenopacket_builder.rs:366-433: repeated rows of the
+    // same term each produce an entry, NOT an upsert).
+    val diseaseList = mutable.ArrayBuffer.empty[Disease]
     facts.filter(_.kind == FactKinds.DiseaseK).foreach { f =>
-      attr(f, "term").foreach { raw =>
-        val term = resolve(raw)
-        diseaseList(term.id) = Disease(
-          term = term,
-          onset = attr(f, "onset").map(timeElement),
-          resolution = attr(f, "resolution").map(timeElement),
-          primarySite = resolveOpt(attr(f, "primarySite")))
+      o(f.term).foreach { raw =>
+        diseaseList += Disease(
+          term = resolve("disease", raw),
+          onset = o(f.onset).map(timeElement),
+          resolution = o(f.resolution).map(timeElement),
+          primarySite = resolveOpt("anatomy", o(f.primarySite)))
       }
     }
 
@@ -188,7 +200,7 @@ object Assembler {
     val diseaseFactsByBlock = facts.filter(_.kind == FactKinds.DiseaseK).groupBy(_.block)
     def blockDisease(block: String): Option[String] = {
       val inBlock = diseaseFactsByBlock.getOrElse(block, Seq.empty)
-      val values = inBlock.flatMap(f => attr(f, "term")).distinct
+      val values = inBlock.flatMap(f => o(f.term)).distinct
       val spreadTables = inBlock.map(_.table).distinct.size
       if (spreadTables >= 2 && values.size > 1)
         throw new IllegalStateException(
@@ -198,16 +210,16 @@ object Assembler {
     }
     val interpretations = mutable.LinkedHashMap.empty[String, Interpretation]
     facts.filter(_.kind == FactKinds.Interp).foreach { f =>
-      val genes = attr(f, "gene").toSeq
-      val variants = attr(f, "variants").toSeq.flatMap(_.split("\\|\\|")).filter(_.nonEmpty)
-      val diseaseRaw = attr(f, "disease").orElse(blockDisease(f.block))
+      val genes = o(f.gene).toSeq
+      val variants = o(f.variants).toSeq.flatMap(_.split("\\|\\|")).map(_.trim).filter(_.nonEmpty)
+      val diseaseRaw = o(f.disease).orElse(blockDisease(f.block))
       if (genes.nonEmpty || variants.nonEmpty) {
-        val diseaseTerm = diseaseRaw.map(resolve).getOrElse(
+        val diseaseTerm = diseaseRaw.map(resolve("disease", _)).getOrElse(
           throw new IllegalStateException(
             s"patient $subject: interpretation block '${f.block}' has gene/variant data but no disease"))
         val interpId = s"$packetId-${diseaseTerm.id}"
         val genomic = GenomicInterpretations.classify(
-          subject, genes, variants)
+          subject, genes, variants, resolve, hgvs)
         // Upsert-then-EXTEND (reference upsert_interpretation,
         // phenopacket_builder.rs:352-360): later rows/tables of the same
         // disease add their genomic interpretations, never replace.
@@ -217,9 +229,11 @@ object Assembler {
             interpretations(interpId) = existing.copy(diagnosis =
               Some(d.copy(genomicInterpretations = d.genomicInterpretations ++ genomic)))
           case None =>
+            // Reference get_or_create_interpretation leaves the progress
+            // status at the protobuf default (UNKNOWN_PROGRESS).
             interpretations(interpId) = Interpretation(
               id = interpId,
-              progressStatus = "SOLVED",
+              progressStatus = "UNKNOWN_PROGRESS",
               diagnosis = Some(Diagnosis(diseaseTerm, genomic)))
         }
       }
@@ -228,34 +242,37 @@ object Assembler {
     // --- C6/C7: measurements ------------------------------------------
     val measurements = mutable.ArrayBuffer.empty[Measurement]
     facts.filter(_.kind == FactKinds.Quant).foreach { f =>
-      (attr(f, "assay"), attr(f, "value")) match {
+      (o(f.assay), o(f.value)) match {
         case (Some(assay), Some(v)) =>
           // Non-finite doubles would render as invalid JSON downstream —
           // gate at ingest.
           v.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite).foreach { value =>
-            val unit = attr(f, "unit").map(resolveLenient)
+            // Reference insert_quantitative_measurement resolves the
+            // unit (parse_quantity) BEFORE the assay — resource
+            // registration order follows.
+            val unit = o(f.unit).map(resolveLenient("unit", _))
               .getOrElse(OntoClass("", ""))
-            val refRange = (attr(f, "refLow").flatMap(_.toDoubleOption),
-              attr(f, "refHigh").flatMap(_.toDoubleOption)) match {
+            val refRange = (o(f.refLow).flatMap(_.toDoubleOption),
+              o(f.refHigh).flatMap(_.toDoubleOption)) match {
               case (Some(lo), Some(hi)) => Some(ReferenceRange(unit, lo, hi))
               case _                    => None
             }
             measurements += Measurement(
-              assay = resolveLenient(assay),
+              assay = resolveLenient("assay", assay),
               value = MeasurementValue(quantity =
                 Some(Quantity(unit, value, refRange))),
-              timeObserved = attr(f, "time").map(timeElement))
+              timeObserved = o(f.time).map(timeElement))
           }
         case _ => ()
       }
     }
     facts.filter(_.kind == FactKinds.Qual).foreach { f =>
-      (attr(f, "assay"), attr(f, "value")) match {
+      (o(f.assay), o(f.value)) match {
         case (Some(assay), Some(v)) =>
           measurements += Measurement(
-            assay = resolveLenient(assay),
-            value = MeasurementValue(ontologyClass = Some(resolve(v))),
-            timeObserved = attr(f, "time").map(timeElement))
+            assay = resolveLenient("assay", assay),
+            value = MeasurementValue(ontologyClass = Some(resolve("qual", v))),
+            timeObserved = o(f.time).map(timeElement))
         case _ => ()
       }
     }
@@ -263,37 +280,37 @@ object Assembler {
     // --- C8/C9: medical actions ---------------------------------------
     val actions = mutable.ArrayBuffer.empty[MedicalAction]
     facts.filter(_.kind == FactKinds.ProcedureK).foreach { f =>
-      attr(f, "code").foreach { code =>
+      o(f.code).foreach { code =>
         actions += MedicalAction(
           procedure = Some(ProcedureAction(
-            code = resolve(code),
-            bodySite = resolveOpt(attr(f, "bodySite")),
-            performed = attr(f, "time").map(timeElement))),
-          treatmentTarget = resolveOpt(attr(f, "target")),
-          treatmentIntent = resolveOpt(attr(f, "intent")),
-          responseToTreatment = resolveOpt(attr(f, "response")),
-          treatmentTerminationReason = resolveOpt(attr(f, "termination")))
+            code = resolve("procedure", code),
+            bodySite = resolveOpt("anatomy", o(f.bodySite)),
+            performed = o(f.time).map(timeElement))),
+          treatmentTarget = resolveOpt("hpo", o(f.target)),
+          treatmentIntent = resolveOpt("treatment", o(f.intent)),
+          responseToTreatment = resolveOpt("treatment", o(f.response)),
+          treatmentTerminationReason = resolveOpt("treatment", o(f.termination)))
       }
     }
     facts.filter(_.kind == FactKinds.TreatmentK).foreach { f =>
-      attr(f, "agent").foreach { agent =>
+      o(f.agent).foreach { agent =>
         // (value, unit) must appear in pairs (reference quantity_data.rs:34-91).
-        val dose = (attr(f, "qtyValue").flatMap(_.toDoubleOption), attr(f, "qtyUnit")) match {
-          case (Some(v), Some(u)) => Some(Quantity(resolveLenient(u), v))
+        val dose = (o(f.qtyValue).flatMap(_.toDoubleOption), o(f.qtyUnit)) match {
+          case (Some(v), Some(u)) => Some(Quantity(resolveLenient("unit", u), v))
           case (None, None)       => None
           case (v, u) => throw new IllegalStateException(
             s"patient $subject: quantity value/unit must appear in pairs (value=$v unit=$u)")
         }
         actions += MedicalAction(
           treatment = Some(Treatment(
-            agent = resolve(agent),
-            routeOfAdministration = resolveOpt(attr(f, "route")),
-            drugType = attr(f, "drugType"),
+            agent = resolve("drug", agent),
+            routeOfAdministration = resolveOpt("treatment", o(f.route)),
+            drugType = o(f.drugType),
             cumulativeDose = dose)),
-          treatmentTarget = resolveOpt(attr(f, "target")),
-          treatmentIntent = resolveOpt(attr(f, "intent")),
-          responseToTreatment = resolveOpt(attr(f, "response")),
-          treatmentTerminationReason = resolveOpt(attr(f, "termination")))
+          treatmentTarget = resolveOpt("hpo", o(f.target)),
+          treatmentIntent = resolveOpt("treatment", o(f.intent)),
+          responseToTreatment = resolveOpt("treatment", o(f.response)),
+          treatmentTerminationReason = resolveOpt("treatment", o(f.termination)))
       }
     }
 
@@ -303,12 +320,13 @@ object Assembler {
       subject = individual,
       phenotypicFeatures = (features.values ++ extraFeatures).toSeq,
       measurements = measurements.toSeq,
-      diseases = diseaseList.values.toSeq,
+      diseases = diseaseList.toSeq,
       interpretations = interpretations.values.toSeq,
       medicalActions = actions.toSeq,
       metaData = MetaData(
         created = config.created,
         createdBy = config.createdBy,
+        submittedBy = Option(config.submittedBy).filter(_.nonEmpty),
         resources = resources.values.map(r => MetaResource(
           r.id, r.name, r.url, r.version, r.namespacePrefix, r.iriPrefix)).toSeq))
   }
@@ -318,56 +336,87 @@ object Assembler {
   * `transform/pathogenic_gene_variant_info.rs:5-106`): (genes, variants)
   * counts map to none / causative-gene / single / homozygous /
   * compound-het; anything else errors.
+  *
+  * Variant descriptors are completed through the offline
+  * [[graft.ontology.HgvsResolver]] cache (the stand-in for the
+  * reference's `pivotal::hgvs::CachedHGVSClient`,
+  * phenopacket_builder.rs:322-341): original + derived genomic/protein
+  * expressions, VcfRecord, and a validated gene pairing. Gene symbols
+  * resolve to real numeric HGNC CURIEs through the `gene`-scoped
+  * dictionary (reference resolves via its HGNC client,
+  * phenopacket_builder.rs:297-310 — fabricated `HGNC:<symbol>` ids are
+  * an error here, not a fallback).
   */
 object GenomicInterpretations {
 
-  /** Structural HGVS validation (offline stand-in for the reference's
-    * external HGVS client, phenopacket_builder.rs:297-349):
-    * `<reference>:<scheme>.<change>` with a known coordinate scheme.
-    */
-  private val HgvsRe = "^[A-Za-z][A-Za-z0-9_.]*:[cgmnopr]\\..+$".r
-  def isValidHgvs(v: String): Boolean = HgvsRe.findFirstIn(v.trim).isDefined
+  def isValidHgvs(v: String): Boolean =
+    graft.ontology.HgvsResolver.HgvsRe.findFirstIn(v.trim).isDefined
 
-  def classify(subject: String, genes: Seq[String],
-      variants: Seq[String]): Seq[GenomicInterpretation] = {
+  def classify(subject: String, genes: Seq[String], variants: Seq[String],
+      resolve: (String, String) => OntoClass,
+      hgvs: HgvsResolver): Seq[GenomicInterpretation] = {
     variants.filterNot(isValidHgvs) match {
       case Seq() => ()
       case bad => throw new IllegalStateException(
         s"patient $subject: malformed HGVS expression(s): ${bad.mkString(", ")}")
     }
-    def geneDescriptor(g: String) = GeneDescriptor(valueId = s"HGNC:$g", symbol = g)
-    def variantGi(v: String, allelicState: String): GenomicInterpretation =
+
+    def geneDescriptor(g: String): GeneDescriptor = {
+      // Symbol → numeric HGNC CURIE via the gene-scoped dictionary
+      // (dictionary rows are (HGNC:nnnn, SYMBOL)); resolve() also
+      // registers the hgnc resource in the packet metadata.
+      val oc = resolve("gene", g)
+      GeneDescriptor(valueId = oc.id, symbol = oc.label)
+    }
+
+    def variantGi(v: String, allelicState: String, gene: Option[String]): GenomicInterpretation = {
+      val entry = hgvs.resolve(v)
+      // Reference validate_against_gene: a cached variant that names a
+      // different gene than the block's HGNC column is a data error.
+      (entry.geneSymbol, gene) match {
+        case (Some(vg), Some(bg)) if !vg.equalsIgnoreCase(bg.trim) =>
+          throw new IllegalStateException(
+            s"patient $subject: variant $v belongs to gene $vg, not $bg")
+        case _ => ()
+      }
+      // Resource registration order per variant: hgnc then geno
+      // (reference upsert_interpretation, phenopacket_builder.rs:322-341).
+      val geneCtx = gene.map(geneDescriptor)
+      val allelic = resolve("allelic", allelicState)
       GenomicInterpretation(
         subjectOrBiosampleId = subject,
-        interpretationStatus = "CAUSATIVE",
+        interpretationStatus = "UNKNOWN_STATUS", // protobuf default, as the reference leaves it
         variantInterpretation = Some(VariantInterpretation(
           acmgPathogenicityClassification = Some("PATHOGENIC"),
+          therapeuticActionability = Some("UNKNOWN_ACTIONABILITY"),
           variationDescriptor = Some(VariationDescriptor(
-            id = s"variant-$v",
-            expressions = Seq(VcfExpression("hgvs", v)),
-            allelicState = Some(allelic(allelicState)),
-            geneContext = genes.headOption.map(geneDescriptor))))))
+            // Deterministic UUID (the reference draws a random one and
+            // its own comparator normalizes it away) — determinism keeps
+            // Spark task retries idempotent.
+            id = java.util.UUID.nameUUIDFromBytes(
+              s"$subject|$v".getBytes("UTF-8")).toString,
+            expressions = entry.expressions.map { case (syn, value) => VcfExpression(syn, value) },
+            vcfRecord = entry.vcf.map { case (asm, chrom, pos, ref, alt) =>
+              VcfRecord(asm, chrom, pos, ref, alt) },
+            moleculeContext = Some("genomic"),
+            allelicState = Some(allelic),
+            geneContext = geneCtx)))))
+    }
 
     (genes.length, variants.length) match {
       case (0, 0) => Seq.empty
       case (1, 0) => Seq(GenomicInterpretation(
         subjectOrBiosampleId = subject,
-        interpretationStatus = "CAUSATIVE",
+        interpretationStatus = "UNKNOWN_STATUS",
         gene = Some(geneDescriptor(genes.head))))
-      case (0, 1) | (1, 1) => Seq(variantGi(variants.head, "heterozygous"))
+      case (0, 1) | (1, 1) => Seq(variantGi(variants.head, "heterozygous", genes.headOption))
       case (0, 2) | (1, 2) =>
-        if (variants(0) == variants(1)) Seq(variantGi(variants.head, "homozygous"))
-        else variants.map(v => variantGi(v, "heterozygous"))
+        if (variants(0) == variants(1))
+          Seq(variantGi(variants.head, "homozygous", genes.headOption))
+        else variants.map(v => variantGi(v, "heterozygous", genes.headOption))
       case (g, v) => throw new IllegalStateException(
         s"invalid quantity of genes $g and variants $v for patient $subject")
     }
-  }
-
-  /** GENO allelic-state terms (public GENO ontology ids). */
-  private def allelic(state: String): OntoClass = state match {
-    case "homozygous"   => OntoClass("GENO:0000136", "homozygous")
-    case "heterozygous" => OntoClass("GENO:0000135", "heterozygous")
-    case other          => OntoClass("", other)
   }
 }
 

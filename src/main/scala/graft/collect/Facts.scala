@@ -2,7 +2,7 @@ package graft.collect
 
 import graft.model._
 import graft.strategy.MultiHpoColExpansionStrategy
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
 /** One normalized row of per-patient evidence, extracted from a
@@ -13,27 +13,67 @@ import org.apache.spark.sql.functions._
   * materializes one sub-DataFrame per patient, its main scalability
   * cliff; here patients stay distributed).
   *
-  * `seq` preserves source row order within a table so order-sensitive
-  * dedup (`unique_stable`, reference `collecting/utils.rs:44-48`)
-  * stays deterministic.
+  * Attribute columns are a FLAT fixed-width nullable schema (not a
+  * `Map[String,String]`): Tungsten encodes null strings as a bit + an
+  * empty slot, so unused attributes cost nothing on the shuffle wire,
+  * the schema is column-prunable, and no per-row map/key objects are
+  * built — this matters at 100 TB where the fact union is the dominant
+  * shuffle payload.
+  *
+  * Ordering: `(src, seq, idx)` = (data-source registration order, row
+  * order within the table, series order within the row) — the exact
+  * iteration order of the reference's collectors, reconstructed after
+  * the shuffle (the shuffle reader yields groups in arbitrary order).
   */
 final case class Fact(
     subject: String,
+    src: Int,
     table: String,
     seq: Long,
+    idx: Int,
     block: String, // building block id, "" = none
-    kind: String,  // individual | hpo_cell | hpo_header | disease | quant | qual | procedure | treatment | interp
-    attrs: Map[String, String])
+    kind: String,  // FactKinds.*
+    field: String = null, value: String = null, tkind: String = null,
+    hpo: String = null, observed: String = null, onset: String = null,
+    resolution: String = null, severity: String = null,
+    term: String = null, primarySite: String = null,
+    assay: String = null, unit: String = null, time: String = null,
+    refLow: String = null, refHigh: String = null,
+    code: String = null, bodySite: String = null,
+    agent: String = null, route: String = null, drugType: String = null,
+    qtyValue: String = null, qtyUnit: String = null,
+    target: String = null, intent: String = null, response: String = null,
+    termination: String = null,
+    gene: String = null, variants: String = null, disease: String = null)
+
+object Fact {
+  /** Nullable attr column → Option, blank-safe. */
+  def opt(s: String): Option[String] = Option(s).map(_.trim).filter(_.nonEmpty)
+}
 
 object Facts {
 
   import FactKinds._
 
+  /** Attribute columns of the flat Fact schema, in declaration order. */
+  private val attrNames = Seq(
+    "field", "value", "tkind",
+    "hpo", "observed", "onset", "resolution", "severity",
+    "term", "primarySite",
+    "assay", "unit", "time", "refLow", "refHigh",
+    "code", "bodySite",
+    "agent", "route", "drugType", "qtyValue", "qtyUnit",
+    "target", "intent", "response", "termination",
+    "gene", "variants", "disease")
+
   /** Extract all facts of one contextualized table: a narrow projection
-    * (select + explode), no shuffle. Column→fact planning happens
+    * (select + posexplode), no shuffle. Column→fact planning happens
     * driver-side from the table context; cell work is codegen'd.
+    *
+    * `src` is the table's data-source ordinal (pipeline registration
+    * order) — it makes cross-table fact ordering deterministic.
     */
-  def extract(cdf: Cdf): Dataset[Fact] = {
+  def extract(cdf: Cdf, src: Int = 0): Dataset[Fact] = {
     val spark = cdf.df.sparkSession
     import spark.implicits._
 
@@ -45,28 +85,35 @@ object Facts {
       .withColumn("__seq", monotonically_increasing_id())
       .select(
         col(subject).cast("string").as("subject"),
-        lit(cdf.context.name).as("table"),
         col("__seq").as("seq"),
-        explode(array(factCols: _*)).as("f"))
-      .select(col("subject"), col("table"), col("seq"),
-        col("f.block").as("block"), col("f.kind").as("kind"),
-        map_filter(col("f.attrs"), (_, v) => v.isNotNull).as("attrs"))
-      .filter(size(map_keys(col("attrs"))) > 0)
+        posexplode(array(factCols: _*)).as(Seq("idx", "f")))
+      .filter(col("f.__keep"))
+      .select(
+        (col("subject") +: lit(src).as("src") +: lit(cdf.context.name).as("table") +:
+          col("seq") +: col("idx") +:
+          col("f.block").as("block") +: col("f.kind").as("kind") +:
+          attrNames.map(n => col(s"f.$n").as(n))): _*)
       .as[Fact]
   }
 
   /** Union the facts of every table (narrow union, preserves
-    * partitioning of each input).
+    * partitioning of each input). Table order = source ordinal.
     */
   def extractAll(tables: Seq[Cdf]): Dataset[Fact] = {
     require(tables.nonEmpty,
       "fact extraction needs at least one table — no data sources were configured/loaded")
-    tables.map(extract).reduce(_ unionByName _)
+    tables.zipWithIndex.map { case (t, i) => extract(t, i) }.reduce(_ unionByName _)
   }
 
   // ------------------------------------------------------------------
 
   private def s(c: String) = col(c).cast("string")
+
+  /** A fact is kept only when its primary payload cell is non-blank —
+    * the reference's collectors skip empty cells the same way.
+    */
+  private def present(c: org.apache.spark.sql.Column) =
+    c.isNotNull && trim(c.cast("string")) =!= ""
 
   private def factStructs(cdf: Cdf): Seq[org.apache.spark.sql.Column] = {
     val b = cdf.bindings
@@ -88,31 +135,38 @@ object Facts {
       case TimeKind.Date => "date"
     }
 
-    def mk(kind: String, block: String, attrs: (String, org.apache.spark.sql.Column)*) = {
-      val kv = attrs.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }
-      struct(lit(block).as("block"), lit(kind).as("kind"),
-        map(kv: _*).as("attrs"))
+    def mk(kind: String, block: String, keep: org.apache.spark.sql.Column,
+        attrs: (String, org.apache.spark.sql.Column)*) = {
+      val given = attrs.toMap
+      val fields =
+        lit(block).as("block") +: lit(kind).as("kind") +: keep.as("__keep") +:
+          attrNames.map(n =>
+            given.get(n).map(_.cast("string")).getOrElse(lit(null).cast("string")).as(n))
+      struct(fields: _*)
     }
+
+    // One presence fact per row: every subject that appears in any
+    // table yields a (possibly minimal) packet, exactly like the
+    // reference broker's get_or_create_phenopacket-per-partition
+    // (cdf_collector_broker.rs:36-71) — even when every data cell of
+    // the row is null.
+    val presence = Seq(mk(Subject, "", lit(true)))
 
     val individual = b.collect {
       case (c, sc) if sc.headerContext == Context.NoContext =>
+        def f(field: String, extra: (String, org.apache.spark.sql.Column)*) =
+          mk(Individual_, blockOf(sc), present(col(c)),
+            (Seq("field" -> lit(field), "value" -> s(c)) ++ extra): _*)
         sc.dataContext match {
-          case Context.SubjectSex =>
-            Some(mk(Individual_, blockOf(sc), "field" -> lit("sex"), "value" -> s(c)))
-          case Context.DateOfBirth =>
-            Some(mk(Individual_, blockOf(sc), "field" -> lit("dateOfBirth"), "value" -> s(c)))
-          case Context.VitalStatus =>
-            Some(mk(Individual_, blockOf(sc), "field" -> lit("vitalStatus"), "value" -> s(c)))
-          case Context.CauseOfDeath =>
-            Some(mk(Individual_, blockOf(sc), "field" -> lit("causeOfDeath"), "value" -> s(c)))
-          case Context.SurvivalTimeDays =>
-            Some(mk(Individual_, blockOf(sc), "field" -> lit("survivalTimeInDays"), "value" -> s(c)))
+          case Context.SubjectSex       => Some(f("sex"))
+          case Context.DateOfBirth      => Some(f("dateOfBirth"))
+          case Context.VitalStatus      => Some(f("vitalStatus"))
+          case Context.CauseOfDeath     => Some(f("causeOfDeath"))
+          case Context.SurvivalTimeDays => Some(f("survivalTimeInDays"))
           case t @ Context.TimeAtLastEncounter(_) =>
-            Some(mk(Individual_, blockOf(sc), "field" -> lit("timeAtLastEncounter"),
-              "value" -> s(c), "tkind" -> lit(timeKindOf(t))))
+            Some(f("timeAtLastEncounter", "tkind" -> lit(timeKindOf(t))))
           case t @ Context.TimeOfDeath(_) =>
-            Some(mk(Individual_, blockOf(sc), "field" -> lit("timeOfDeath"),
-              "value" -> s(c), "tkind" -> lit(timeKindOf(t))))
+            Some(f("timeOfDeath", "tkind" -> lit(timeKindOf(t))))
           case _ => None
         }
     }.flatten
@@ -121,16 +175,12 @@ object Facts {
       case (c, sc) if sc.dataContext.kind == ContextKind.KHpo &&
           sc.headerContext == Context.NoContext =>
         val blk = sc.buildingBlockId
-        val onsetCol = linked(blk, ContextKind.KOnset)
-        val resolutionCol = linked(blk, ContextKind.KTimeOfResolution)
-        val severityCol = linked(blk, ContextKind.KSeverity)
-        val obsCol = linked(blk, ContextKind.KObservationStatus)
-        mk(HpoCell, blockOf(sc),
+        mk(HpoCell, blockOf(sc), present(col(c)),
           "hpo" -> s(c),
-          "onset" -> onsetCol.map(s).getOrElse(lit(null)),
-          "resolution" -> resolutionCol.map(s).getOrElse(lit(null)),
-          "severity" -> severityCol.map(s).getOrElse(lit(null)),
-          "observed" -> obsCol.map(s).getOrElse(lit(null)))
+          "onset" -> linked(blk, ContextKind.KOnset).map(s).getOrElse(lit(null)),
+          "resolution" -> linked(blk, ContextKind.KTimeOfResolution).map(s).getOrElse(lit(null)),
+          "severity" -> linked(blk, ContextKind.KSeverity).map(s).getOrElse(lit(null)),
+          "observed" -> linked(blk, ContextKind.KObservationStatus).map(s).getOrElse(lit(null)))
     }
 
     val hpoHeaders = b.collect {
@@ -142,7 +192,7 @@ object Facts {
         val (hpoId, blockFromHeader) = MultiHpoColExpansionStrategy.decodeHeader(c)
         val blk = sc.buildingBlockId.orElse(blockFromHeader)
         val onsetCol = cdf.singleLinkedColumn(blk, Set(ContextKind.KOnset))
-        mk(HpoHeader, blk.getOrElse(""),
+        mk(HpoHeader, blk.getOrElse(""), present(col(c)),
           "hpo" -> lit(hpoId),
           "observed" -> s(c),
           "onset" -> onsetCol.map(s).getOrElse(lit(null)))
@@ -152,7 +202,7 @@ object Facts {
       case (c, sc) if sc.dataContext.kind == ContextKind.KDisease &&
           sc.headerContext == Context.NoContext =>
         val blk = sc.buildingBlockId
-        mk(DiseaseK, blockOf(sc),
+        mk(DiseaseK, blockOf(sc), present(col(c)),
           "term" -> s(c),
           "onset" -> linked(blk, ContextKind.KOnset).map(s).getOrElse(lit(null)),
           "resolution" -> linked(blk, ContextKind.KTimeOfResolution).map(s).getOrElse(lit(null)),
@@ -163,7 +213,7 @@ object Facts {
       case (c, sc) if sc.dataContext.kind == ContextKind.KQuantitativeMeasurement =>
         val Context.QuantitativeMeasurement(assay, unit) = sc.dataContext: @unchecked
         val blk = sc.buildingBlockId
-        mk(Quant, blockOf(sc),
+        mk(Quant, blockOf(sc), present(col(c)),
           "assay" -> lit(assay), "unit" -> lit(unit), "value" -> s(c),
           "time" -> linked(blk, ContextKind.KTimeOfMeasurement).map(s).getOrElse(lit(null)),
           "refLow" -> linked(blk, ContextKind.KReferenceRangeStart).map(s).getOrElse(lit(null)),
@@ -174,7 +224,7 @@ object Facts {
       case (c, sc) if sc.dataContext.kind == ContextKind.KQualitativeMeasurement =>
         val Context.QualitativeMeasurement(assay) = sc.dataContext: @unchecked
         val blk = sc.buildingBlockId
-        mk(Qual, blockOf(sc),
+        mk(Qual, blockOf(sc), present(col(c)),
           "assay" -> lit(assay), "value" -> s(c),
           "time" -> linked(blk, ContextKind.KTimeOfMeasurement).map(s).getOrElse(lit(null)))
     }
@@ -182,7 +232,7 @@ object Facts {
     val procedures = b.collect {
       case (c, sc) if sc.dataContext.kind == ContextKind.KProcedure =>
         val blk = sc.buildingBlockId
-        mk(ProcedureK, blockOf(sc),
+        mk(ProcedureK, blockOf(sc), present(col(c)),
           "code" -> s(c),
           "bodySite" -> linked(blk, ContextKind.KProcedureBodySite).map(s).getOrElse(lit(null)),
           "time" -> linked(blk, ContextKind.KTimeOfProcedure).map(s).getOrElse(lit(null)),
@@ -195,7 +245,7 @@ object Facts {
     val treatments = b.collect {
       case (c, sc) if sc.dataContext.kind == ContextKind.KTreatmentAgent =>
         val blk = sc.buildingBlockId
-        mk(TreatmentK, blockOf(sc),
+        mk(TreatmentK, blockOf(sc), present(col(c)),
           "agent" -> s(c),
           "route" -> linked(blk, ContextKind.KRouteOfAdministration).map(s).getOrElse(lit(null)),
           "drugType" -> linked(blk, ContextKind.KDrugType).map(s).getOrElse(lit(null)),
@@ -226,20 +276,23 @@ object Facts {
       }
       val diseaseCol = linked(blk, ContextKind.KDisease)
       val variantsExpr =
-        if (hgvsCols.isEmpty) lit(null)
-        else concat_ws("||", hgvsCols.map(s): _*)
+        if (hgvsCols.isEmpty) lit(null).cast("string")
+        else concat_ws("||", hgvsCols.map(c => trim(s(c))): _*)
+      val geneExpr = geneCol.map(s).getOrElse(lit(null).cast("string"))
       mk(Interp, blk.getOrElse(""),
-        "gene" -> geneCol.map(s).getOrElse(lit(null)),
+        present(geneExpr) || present(variantsExpr),
+        "gene" -> geneExpr,
         "variants" -> variantsExpr,
         "disease" -> diseaseCol.map(s).getOrElse(lit(null)))
     }
 
-    individual ++ hpoCells ++ hpoHeaders ++ diseases ++ quants ++ quals ++
+    presence ++ individual ++ hpoCells ++ hpoHeaders ++ diseases ++ quants ++ quals ++
       procedures ++ treatments ++ interps
   }
 }
 
 object FactKinds {
+  val Subject = "subject" // presence-only: creates the packet
   val Individual_ = "individual"
   val HpoCell = "hpo_cell"
   val HpoHeader = "hpo_header"

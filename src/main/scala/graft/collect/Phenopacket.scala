@@ -81,15 +81,24 @@ final case class GeneDescriptor(valueId: String, symbol: String)
 
 final case class VcfExpression(syntax: String, value: String)
 
+/** VRSatile VcfRecord (reference emits it from its HGVS client's
+  * VariantValidator response; here populated from the offline
+  * `HgvsResolver` cache).
+  */
+final case class VcfRecord(
+    genomeAssembly: String, chrom: String, pos: Long, ref: String, alt: String)
+
 final case class VariationDescriptor(
     id: String,
     expressions: Seq[VcfExpression] = Seq.empty,
+    vcfRecord: Option[VcfRecord] = None,
     allelicState: Option[OntoClass] = None,
     geneContext: Option[GeneDescriptor] = None,
     moleculeContext: Option[String] = None)
 
 final case class VariantInterpretation(
     acmgPathogenicityClassification: Option[String] = None,
+    therapeuticActionability: Option[String] = None,
     variationDescriptor: Option[VariationDescriptor] = None)
 
 final case class GenomicInterpretation(
@@ -185,12 +194,16 @@ object PhenopacketJson {
     // survivalTimeInDays == 0 is suppressed (reference S6 fixup).
     "survivalTimeInDays" -> opt(v.survivalTimeInDays.filter(_ != 0L))(int))
 
+  // `sex`/`karyotypicSex` are protobuf enums whose UNKNOWN defaults the
+  // reference's serde always emits (karyotypic sex is warn-only /
+  // never set — phenopacket_builder.rs:74-85); mirror that here.
   private def individual(i: Individual): J = obj(
     "id" -> str(i.id),
     "dateOfBirth" -> opt(i.dateOfBirth)(str),
-    "sex" -> opt(i.sex)(str),
-    "timeAtLastEncounter" -> opt(i.timeAtLastEncounter)(timeElement),
-    "vitalStatus" -> opt(i.vitalStatus)(vitalStatus))
+    "vitalStatus" -> opt(i.vitalStatus)(vitalStatus),
+    "sex" -> str(i.sex.getOrElse("UNKNOWN_SEX")),
+    "karyotypicSex" -> str("UNKNOWN_KARYOTYPE"),
+    "timeAtLastEncounter" -> opt(i.timeAtLastEncounter)(timeElement))
 
   private def feature(f: PhenotypicFeature): J = obj(
     "type" -> ontoClass(f.`type`),
@@ -234,13 +247,17 @@ object PhenopacketJson {
     "gene" -> opt(g.gene)(geneDescriptor),
     "variantInterpretation" -> opt(g.variantInterpretation)(v => obj(
       "acmgPathogenicityClassification" -> opt(v.acmgPathogenicityClassification)(str),
+      "therapeuticActionability" -> opt(v.therapeuticActionability)(str),
       "variationDescriptor" -> opt(v.variationDescriptor)(vd => obj(
         "id" -> str(vd.id),
+        "geneContext" -> opt(vd.geneContext)(geneDescriptor),
         "expressions" -> arr(vd.expressions.map(e =>
           obj("syntax" -> str(e.syntax), "value" -> str(e.value)))),
-        "allelicState" -> opt(vd.allelicState)(ontoClass),
-        "geneContext" -> opt(vd.geneContext)(geneDescriptor),
-        "moleculeContext" -> opt(vd.moleculeContext)(str))))))
+        "vcfRecord" -> opt(vd.vcfRecord)(r => obj(
+          "genomeAssembly" -> str(r.genomeAssembly), "chrom" -> str(r.chrom),
+          "pos" -> int(r.pos), "ref" -> str(r.ref), "alt" -> str(r.alt))),
+        "moleculeContext" -> opt(vd.moleculeContext)(str),
+        "allelicState" -> opt(vd.allelicState)(ontoClass))))))
 
   private def medicalAction(m: MedicalAction): J = obj(
     "procedure" -> opt(m.procedure)(p => obj(

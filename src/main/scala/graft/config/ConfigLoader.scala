@@ -30,13 +30,22 @@ object ConfigLoader {
       namespacePrefix: String, iriPrefix: String, termsFile: Option[String])
   final case class MetaDataConfig(
       createdBy: String, submittedBy: Option[String], cohortName: String,
-      resources: Seq[ResourceConfig])
+      resources: Seq[ResourceConfig],
+      /** resolution class → resource ids (reference wires one dict
+        * library per class in `transform_context.rs`). */
+      scopes: Map[String, Seq[String]])
+  /** A configured strategy: bare name, or name + parameter node
+    * (reference `config/strategy_config.rs`: `ontology_normaliser:
+    * {ontology:…, data_context_kind:…}`, `date_to_age: {strict:…}`).
+    */
+  final case class StrategySpec(name: String, params: Option[JsonNode])
   final case class GraftConfig(
       csvSources: Seq[CsvDataSource],
       excelSources: Seq[ExcelDataSource],
-      strategyNames: Seq[String],
+      strategies: Seq[StrategySpec],
       loader: Option[LoaderConfig],
-      metaData: MetaDataConfig)
+      metaData: MetaDataConfig,
+      hgvsCache: Option[String])
 
   def load(path: String): GraftConfig = {
     val raw = Files.readString(Paths.get(path))
@@ -93,30 +102,58 @@ object ConfigLoader {
     val pipeline = Option(root.get("pipeline")).getOrElse(
       throw new IllegalArgumentException("config missing 'pipeline'"))
     val md = Option(pipeline.get("meta_data"))
-    val resources =
+
+    // Resource lists are grouped by resolution class (reference
+    // transform_context wiring); field name → scope tag.
+    val scopeFields = Seq(
+      "hpo_resource" -> "hpo",
+      "disease_resources" -> "disease",
+      "assay_resources" -> "assay",
+      "unit_resources" -> "unit",
+      "qualitative_measurement_resources" -> "qual",
+      "gene_resources" -> "gene",
+      "allelic_resources" -> "allelic",
+      "anatomy_resources" -> "anatomy",
+      "drug_resources" -> "drug",
+      "treatment_resources" -> "treatment",
+      "procedure_resources" -> "procedure")
+    val byScope: Seq[(String, Seq[ResourceConfig])] =
       md.toSeq.flatMap { m =>
-        def resList(field: String): Seq[ResourceConfig] =
-          Option(m.get(field)).toSeq.flatMap {
+        scopeFields.map { case (field, scope) =>
+          scope -> Option(m.get(field)).toSeq.flatMap {
             case n if n.isArray => n.elements().asScala.toSeq.map(resource)
             case n              => Seq(resource(n))
           }
-        resList("hpo_resource") ++ resList("disease_resources") ++
-          resList("assay_resources") ++ resList("unit_resources") ++
-          resList("qualitative_measurement_resources")
+        }
+      }
+    val resources = byScope.flatMap(_._2).distinctBy(_.id)
+    val scopes = byScope.collect {
+      case (scope, rs) if rs.nonEmpty => scope -> rs.map(_.id)
+    }.toMap
+
+    val strategies = Option(pipeline.get("strategies")).toSeq
+      .flatMap(_.elements().asScala).map { n =>
+        if (n.isTextual) StrategySpec(n.asText(), None)
+        else {
+          val fields = n.properties().asScala.toSeq
+          require(fields.size == 1, s"parameterized strategy must have one key, got $n")
+          StrategySpec(fields.head.getKey, Some(fields.head.getValue))
+        }
       }
 
     GraftConfig(
       csvSources = csvs,
       excelSources = excels,
-      strategyNames = Option(pipeline.get("strategies")).toSeq
-        .flatMap(_.elements().asScala).map(_.asText()),
+      strategies = strategies,
       loader = Option(pipeline.get("loader")).flatMap(l => Option(l.get("file_system"))).map(fs =>
         LoaderConfig(req(fs, "output_dir"), bool(fs, "create_dir", default = false))),
       metaData = MetaDataConfig(
         createdBy = md.flatMap(m => text(m, "created_by")).getOrElse("graft"),
         submittedBy = md.flatMap(m => text(m, "submitted_by")),
         cohortName = md.flatMap(m => text(m, "cohort_name")).getOrElse("cohort"),
-        resources = resources))
+        resources = resources,
+        scopes = scopes),
+      hgvsCache = text(pipeline, "hgvs_cache").map(resolvePath(baseDir, _)))
   }
 
   private def resource(n: JsonNode): ResourceConfig = ResourceConfig(
@@ -140,7 +177,11 @@ object ConfigLoader {
   private def identifier(n: JsonNode): Identifier = {
     require(n != null, "series context missing 'identifier'")
     if (n.isArray) Identifier.Multi(n.elements().asScala.map(_.asText()).toSeq)
-    else Identifier.Single(n.asText())
+    else if (n.isObject) {
+      val rx = text(n, "regex").getOrElse(
+        throw new IllegalArgumentException(s"object identifier must be {regex: …}, got $n"))
+      Identifier.regex(rx)
+    } else Identifier.Single(n.asText())
   }
 
   /** Context decode: bare snake_case name, or single-key object for
@@ -205,6 +246,27 @@ object ConfigLoader {
       case "quantity_unit"          => QuantityUnit
       case "none"                   => NoContext
       case other => throw new IllegalArgumentException(s"unknown context '$other'")
+    }
+  }
+
+  /** Context KIND by config name (reference strum `ContextKind` —
+    * discriminant-only contexts for strategy targeting).
+    */
+  def contextKind(name: String): ContextKind = {
+    import ContextKind._
+    name.trim.toLowerCase match {
+      case "hpo"                     => KHpo
+      case "disease"                 => KDisease
+      case "severity"                => KSeverity
+      case "primary_site"            => KPrimarySite
+      case "qualitative_measurement" => KQualitativeMeasurement
+      case "subject_sex"             => KSubjectSex
+      case "vital_status"            => KVitalStatus
+      case "cause_of_death"          => KCauseOfDeath
+      case "hpo_or_disease"          => KHpoOrDisease
+      case "treatment_agent"         => KTreatmentAgent
+      case "procedure"               => KProcedure
+      case other => throw new IllegalArgumentException(s"unknown context kind '$other'")
     }
   }
 

@@ -4,7 +4,7 @@ import graft.Pipeline
 import graft.collect.AssemblerConfig
 import graft.extract.{CsvSource, CsvSourceConfig, ExcelSheetConfig, ExcelSource}
 import graft.model.Cdf
-import graft.ontology.{BiDict, BiDictLibrary, Resource}
+import graft.ontology.{BiDict, BiDictLibrary, HgvsResolver, Resource}
 import graft.strategy._
 import org.apache.spark.sql.SparkSession
 
@@ -16,25 +16,30 @@ import scala.jdk.CollectionConverters._
   * `phenoxtract/src/phenoxtract.rs:5-16`).
   *
   * Resource binding diverges deliberately from the reference's REST
-  * clients (LOINC/BioPortal — zero-egress here, and SURVEY.md §3.4
-  * recommends pre-resolved broadcast dictionaries for determinism):
-  * each resource may name a local `terms_file` CSV
+  * clients (LOINC/BioPortal/HGNC/VariantValidator — zero-egress here,
+  * and SURVEY.md §3.4 recommends pre-resolved broadcast dictionaries
+  * for determinism): each resource may name a local `terms_file` CSV
   * (`id,label,synonyms` with `|`-separated synonyms) that becomes a
-  * broadcast BiDict.
+  * broadcast BiDict; `pipeline.hgvs_cache` names the offline HGVS
+  * resolution cache (the analog of the reference's CachedHGVSClient
+  * disk cache).
   */
 object ConfigRunner {
 
   def run(spark: SparkSession, configPath: String): Unit = {
     val cfg = ConfigLoader.load(configPath)
     val library = buildLibrary(cfg)
+    val hgvs = cfg.hgvsCache.map(HgvsResolver.load).getOrElse(HgvsResolver.empty)
     val tables = extractAll(spark, cfg)
     val pipeline = Pipeline(
-      strategies = cfg.strategyNames.map(strategyByName(_, library)),
+      strategies = cfg.strategies.map(strategyFor(_, library)),
       library = library,
       assembler = AssemblerConfig(
         cohort = cfg.metaData.cohortName,
         created = java.time.Instant.now().toString.replaceAll("\\.\\d+Z$", "Z"),
-        createdBy = cfg.metaData.createdBy))
+        createdBy = cfg.metaData.createdBy,
+        submittedBy = cfg.metaData.submittedBy.getOrElse("")),
+      hgvs = hgvs)
     val out = cfg.loader.getOrElse(
       throw new IllegalArgumentException("config has no file_system loader"))
     graft.load.FileSystemLoader.load(pipeline.transform(tables), out.outputDir, out.createDir)
@@ -53,13 +58,15 @@ object ConfigRunner {
   }
 
   def buildLibrary(cfg: ConfigLoader.GraftConfig): BiDictLibrary =
-    BiDictLibrary(cfg.metaData.resources.map { r =>
-      val resource = Resource(r.id, r.name, r.url, r.version, r.namespacePrefix, r.iriPrefix)
-      r.termsFile match {
-        case Some(path) => BiDict.fromEntries(resource, loadTerms(path))
-        case None       => BiDict.fromEntries(resource, Seq.empty)
-      }
-    })
+    BiDictLibrary(
+      cfg.metaData.resources.map { r =>
+        val resource = Resource(r.id, r.name, r.url, r.version, r.namespacePrefix, r.iriPrefix)
+        r.termsFile match {
+          case Some(path) => BiDict.fromEntries(resource, loadTerms(path))
+          case None       => BiDict.fromEntries(resource, Seq.empty)
+        }
+      },
+      cfg.metaData.scopes)
 
   /** `id,label,synonyms` CSV; synonyms `|`-separated. */
   def loadTerms(path: String): Seq[(String, String, Seq[String])] = {
@@ -73,18 +80,49 @@ object ConfigRunner {
     }
   }
 
-  def strategyByName(name: String, library: BiDictLibrary): Strategy =
-    name.trim.toLowerCase match {
+  /** Build one strategy from its config entry (reference
+    * `config/strategy_config.rs` + `strategies/strategy_factory.rs`).
+    */
+  def strategyFor(spec: ConfigLoader.StrategySpec, library: BiDictLibrary): Strategy =
+    spec.name.trim.toLowerCase match {
       case "alias_map"               => AliasMapStrategy
+      case "default_mapping" =>
+        spec.params.map(_.asText("")).getOrElse("sex") match {
+          case "vital_status" => MappingStrategy.defaultVitalStatus
+          case _              => MappingStrategy.defaultSex
+        }
       case "mapping"                 => MappingStrategy.defaultSex
       case "default_sex_mapping"     => MappingStrategy.defaultSex
       case "default_vital_status_mapping" => MappingStrategy.defaultVitalStatus
       case "age_to_iso8601"          => AgeToIso8601Strategy()
-      case "date_to_age"             => DateToAgeStrategy()
+      case "date_to_age" =>
+        val strict = spec.params.flatMap(p => Option(p.get("strict")))
+          .forall(_.asBoolean(true))
+        DateToAgeStrategy(strict)
       case "date_to_age_lenient"     => DateToAgeStrategy(strict = false)
       case "multi_hpo_col_expansion" => MultiHpoColExpansionStrategy
-      case "ontology_normaliser"     => OntologyNormaliserStrategy(library)
+      case "ontology_normaliser" =>
+        spec.params match {
+          case None => OntologyNormaliserStrategy(library)
+          case Some(p) =>
+            // {ontology: <scope-or-resource-id>, data_context_kind: <kind>}
+            val onto = Option(p.get("ontology")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException("ontology_normaliser needs 'ontology'"))
+            val kind = Option(p.get("data_context_kind")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException("ontology_normaliser needs 'data_context_kind'"))
+            val scopedDicts = {
+              val byScope = library.scopes.get(onto).map(_ => library.scoped(onto))
+              byScope.getOrElse(library.dicts.filter(_.resource.id == onto))
+            }
+            require(scopedDicts.nonEmpty, s"ontology_normaliser: no dictionaries for '$onto'")
+            OntologyNormaliserStrategy(BiDictLibrary(scopedDicts),
+              Set(ConfigLoader.contextKind(kind)))
+        }
       case "hpo_disease_splitter"    => HpoDiseaseSplitterStrategy(library)
       case other => throw new IllegalArgumentException(s"unknown strategy '$other'")
     }
+
+  /** Back-compat shim for name-only strategy lookup. */
+  def strategyByName(name: String, library: BiDictLibrary): Strategy =
+    strategyFor(ConfigLoader.StrategySpec(name, None), library)
 }

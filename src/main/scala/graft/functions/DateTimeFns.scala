@@ -29,11 +29,20 @@ object DateTimeFns {
     struct(y1.as("years"), m2.as("months"), d1.as("days"))
   }
 
-  /** ISO-8601 duration string `P{y}Y{m}M{d}D` from a calendarDiff struct. */
-  def toIso8601(diff: Column): Column =
-    concat(lit("P"), diff.getField("years").cast("string"), lit("Y"),
-      diff.getField("months").cast("string"), lit("M"),
-      diff.getField("days").cast("string"), lit("D"))
+  /** ISO-8601 duration string from a calendarDiff struct, with
+    * zero-valued components omitted (reference `date_to_age.rs:303-322`
+    * renders through the iso8601-duration crate: `P31Y7M`, not
+    * `P31Y7M0D`); an all-zero difference is `P0Y`.
+    */
+  def toIso8601(diff: Column): Column = {
+    val y = diff.getField("years")
+    val m = diff.getField("months")
+    val d = diff.getField("days")
+    def part(v: Column, unit: String): Column =
+      when(v > 0, concat(v.cast("string"), lit(unit))).otherwise(lit(""))
+    when(y === 0 && m === 0 && d === 0, lit("P0Y"))
+      .otherwise(concat(lit("P"), part(y, "Y"), part(m, "M"), part(d, "D")))
+  }
 
   /** ISO-8601 duration validation regex (reference `constants.rs:22`). */
   val iso8601DurationRegex: String =

@@ -60,17 +60,47 @@ object BiDict {
 /** Ordered collection of bidicts; first dict that resolves a value wins
   * (reference `transform/bidict_library.rs`). Also answers "which
   * resource did this term come from" for MetaData assembly.
+  *
+  * `scopes` mirrors the reference's per-class dictionary wiring
+  * (`transform_context.rs`: hpo / disease / assay / unit /
+  * qualitative-measurement / gene / allelic libraries are SEPARATE
+  * BiDictLibraries): scope name → resource ids participating in that
+  * resolution class. A scope absent from the map falls back to the
+  * whole library, so unscoped configs keep the flat behavior.
   */
-final case class BiDictLibrary(dicts: Seq[BiDict]) {
+final case class BiDictLibrary(
+    dicts: Seq[BiDict],
+    scopes: Map[String, Seq[String]] = Map.empty) {
 
   def resolve(value: String): Option[(OntologyClass, Resource)] =
-    dicts.iterator
-      .map(d => d.resolve(value).map(_ -> d.resource))
-      .collectFirst { case Some(hit) => hit }
+    resolveVia(dicts, value)
 
   def resolveOrThrow(value: String): (OntologyClass, Resource) =
     resolve(value).getOrElse(throw new NoSuchElementException(
       s"term '$value' not found in any of ${dicts.map(_.resource.id).mkString(", ")}"))
+
+  /** Dicts participating in a resolution class. */
+  def scoped(scope: String): Seq[BiDict] =
+    scopes.get(scope) match {
+      case Some(ids) => dicts.filter(d => ids.contains(d.resource.id))
+      case None      => dicts
+    }
+
+  /** Scoped view as its own library (for strategies that take one). */
+  def scopedLibrary(scope: String): BiDictLibrary = BiDictLibrary(scoped(scope))
+
+  def resolveIn(scope: String, value: String): Option[(OntologyClass, Resource)] =
+    resolveVia(scoped(scope), value)
+
+  def resolveInOrThrow(scope: String, value: String): (OntologyClass, Resource) =
+    resolveIn(scope, value).getOrElse(throw new NoSuchElementException(
+      s"term '$value' not found in '$scope' dictionaries " +
+        s"(${scoped(scope).map(_.resource.id).mkString(", ")})"))
+
+  private def resolveVia(ds: Seq[BiDict], value: String): Option[(OntologyClass, Resource)] =
+    ds.iterator
+      .map(d => d.resolve(value).map(_ -> d.resource))
+      .collectFirst { case Some(hit) => hit }
 
   def containsId(id: String): Boolean = dicts.exists(_.containsId(id))
 

@@ -90,14 +90,21 @@ object StrategyOps {
   }
   private val t4Sql =
     """SELECT l_orderkey, l_linenumber,
-      |  'P' || date_part('year',  age(g, l)) || 'Y'
-      |      || date_part('month', age(g, l)) || 'M'
-      |      || date_part('day',   age(g, l)) || 'D' AS age_iso
+      |  CASE WHEN y = 0 AND m = 0 AND d = 0 THEN 'P0Y'
+      |       ELSE 'P' || CASE WHEN y > 0 THEN y || 'Y' ELSE '' END
+      |                || CASE WHEN m > 0 THEN m || 'M' ELSE '' END
+      |                || CASE WHEN d > 0 THEN d || 'D' ELSE '' END
+      |  END AS age_iso
       |FROM (
       |  SELECT l_orderkey, l_linenumber,
-      |    least(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS l,
-      |    greatest(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS g
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t""".stripMargin
+      |    date_part('year',  age(g, l)) AS y,
+      |    date_part('month', age(g, l)) AS m,
+      |    date_part('day',   age(g, l)) AS d
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber,
+      |      least(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS l,
+      |      greatest(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS g
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t0) t""".stripMargin
 
   // T5 — regex scan of free text → explode → per-token aggregation
   // (multi_hpo_col_expansion.rs:46-230 does this for HP:\d{7} then pivots

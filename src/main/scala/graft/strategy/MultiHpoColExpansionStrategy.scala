@@ -43,15 +43,23 @@ object MultiHpoColExpansionStrategy extends Strategy {
         var df = cdf.df
         var ctx = cdf.context
         byBlock.foreach { case (block, cols) =>
+          val seqd = df.withColumn("__row", monotonically_increasing_id())
           val mentions = cols.map { c =>
-            df.select(col(subject).as("__s"),
-              explode(regexp_extract_all(col(c).cast("string"), lit(HpoRe), lit(1))).as("__hpo"))
-          }.reduce(_ unionByName _).distinct()
+            seqd.select(col(subject).as("__s"), col("__row"),
+              posexplode(regexp_extract_all(col(c).cast("string"), lit(HpoRe), lit(1)))
+                .as(Seq("__pos", "__hpo")))
+          }.reduce(_ unionByName _)
 
-          val ids = mentions.select(col("__hpo")).distinct()
-            .collect().map(_.getString(0)).sorted
+          // Discovered ids keep FIRST-SEEN order — row order, then
+          // appearance order within the cell (reference iterates rows
+          // and regex matches positionally; the output column order,
+          // hence the emitted feature order, follows it).
+          val ids = mentions.groupBy(col("__hpo"))
+            .agg(min(struct(col("__row"), col("__pos"))).as("__first"))
+            .orderBy(col("__first"))
+            .collect().map(_.getString(0))
           if (ids.nonEmpty) {
-            val flags = mentions.groupBy(col("__s"))
+            val flags = mentions.select(col("__s"), col("__hpo")).groupBy(col("__s"))
               .pivot(col("__hpo"), ids.toIndexedSeq)
               .agg(first(lit(true)))
             val renamed = ids.foldLeft(flags) { (acc, id) =>

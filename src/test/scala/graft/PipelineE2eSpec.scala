@@ -38,7 +38,18 @@ class PipelineE2eSpec extends SparkSpec {
       "2024-01-01", "PATO", "http://purl.obolibrary.org/obo/PATO_"),
     Seq(("PATO:0000460", "abnormal", Seq()), ("PATO:0000462", "absent", Seq())))
 
-  private val library = BiDictLibrary(Seq(hp, mondo, pato))
+  private val hgnc = BiDict.fromEntries(
+    Resource("hgnc", "HUGO Gene Nomenclature Committee",
+      "https://w3id.org/biopragmatics/resources/hgnc/hgnc.json.gz", "-",
+      "hgnc", "https://www.genenames.org/data/gene-symbol-report/#!/hgnc_id/$1"),
+    Seq(("HGNC:19349", "KIF21A", Seq())))
+
+  private val geno = BiDict.fromEntries(
+    Resource("geno", "Genotype Ontology", "http://purl.obolibrary.org/obo/geno.json",
+      "2025-07-25", "GENO", "http://purl.obolibrary.org/obo/GENO_$1"),
+    Seq(("GENO:0000135", "heterozygous", Seq()), ("GENO:0000136", "homozygous", Seq())))
+
+  private val library = BiDictLibrary(Seq(hp, mondo, pato, hgnc, geno))
 
   private val subject =
     SeriesContext(Identifier.Single("subject_id"), dataContext = Context.SubjectId)
@@ -140,8 +151,9 @@ class PipelineE2eSpec extends SparkSpec {
     val height = p1.measurements.find(_.assay.id == "LOINC:8302-2").get
     assert(height.value.quantity.get.value == 175.0)
     assert(height.value.quantity.get.referenceRange.get.low == 150.0)
-    // date_of_observation 2026-01-21 ran through DateToAge (DOB 1990-01-15)
-    assert(height.timeObserved.flatMap(_.age).map(_.iso8601duration).contains("P36Y0M6D"))
+    // date_of_observation 2026-01-21 ran through DateToAge (DOB 1990-01-15);
+    // zero-valued components are omitted (reference iso8601-duration rendering)
+    assert(height.timeObserved.flatMap(_.age).map(_.iso8601duration).contains("P36Y6D"))
     val nitrates = p1.measurements.find(_.assay.id == "LOINC:5802-4").get
     assert(nitrates.value.ontologyClass.get.id == "PATO:0000460")
     // resources deduped into metadata
@@ -152,7 +164,7 @@ class PipelineE2eSpec extends SparkSpec {
     assert(p2.subject.vitalStatus.map(_.status).contains("DECEASED"))
     assert(p2.phenotypicFeatures.map(_.`type`.id).toSeq == Seq("HP:0000822"))
     assert(p2.phenotypicFeatures.head.onset.flatMap(_.age)
-      .map(_.iso8601duration).contains("P0Y11M29D"))
+      .map(_.iso8601duration).contains("P11M29D"))
   }
 
   test("multi-HPO expansion feeds header collector with excluded=false flags") {

@@ -77,7 +77,8 @@ class ConfigSpec extends SparkSpec {
     assert(sc(1).aliasMap.get.entries == Map(
       "M" -> Some("MALE"), "F" -> Some("FEMALE"), "No data" -> None))
     assert(sc(3).dataContext == Context.Onset(TimeKind.Age))
-    assert(cfg.strategyNames == Seq("alias_map", "age_to_iso8601", "ontology_normaliser"))
+    assert(cfg.strategies.map(_.name) ==
+      Seq("alias_map", "age_to_iso8601", "ontology_normaliser"))
     assert(cfg.metaData.createdBy == "tester")
     assert(cfg.metaData.resources.head.id == "hp")
 
