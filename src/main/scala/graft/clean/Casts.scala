@@ -30,9 +30,6 @@ object Casts {
     Seq("yyyy-MM-dd", "yyyy.MM.dd", "MM/dd/yyyy", "dd-MM-yyyy", "dd.MM.yyyy",
         "yyyy-M-d", "yyyy.M.d", "M/d/yyyy", "d-M-yyyy", "d.M.yyyy")
 
-  // NOTE: the reference also accepts RFC-822 ("EEE, dd MMM yyyy …");
-  // Spark >= 3.0 rejects week-day patterns in its parser, so RFC-822
-  // inputs fall through to string (documented divergence).
   val datetimeFormats: Seq[String] =
     Seq("yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSS",
         "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss.SSSSSS",
@@ -48,13 +45,18 @@ object Casts {
       .otherwise(viaFormats)
   }
 
-  /** P7: multi-format datetime parse; falls back to date-only formats
-    * (midnight) like the reference cascade.
+  /** P7: multi-format datetime parse; RFC-822/1123 (reference
+    * `constants.rs:18`, `%a, %d %b %Y %H:%M:%S GMT`) rides a native
+    * expression because Spark ≥3 rejects week-day letters in its own
+    * patterns; then falls back to date-only formats (midnight) like the
+    * reference cascade.
     */
   def toTimestampMulti(c: Column): Column =
     coalesce(
       (datetimeFormats.map(f => try_to_timestamp(c, lit(f))) ++
-        Seq(toDateMulti(c).cast(TimestampType))): _*)
+        Seq(
+          graft.functions.GraftExtensions.rfc1123_timestamp(c),
+          toDateMulti(c).cast(TimestampType))): _*)
 
   /** P5: strict case-insensitive boolean parse — only "true"/"false"
     * (any case) are accepted; anything else non-null yields null here

@@ -9,10 +9,11 @@ import scala.jdk.CollectionConverters._
 
 /** S7 — declarative pipeline configuration (reference
   * `phenoxtract/src/config/config_loader.rs:8-44`,
-  * `CONFIG_YAML_README.md`): YAML/YML/JSON configs with `${ENV_VAR}`
-  * shell expansion, decoded strictly (unknown strategy / context names
-  * fail fast). TOML/RON are not supported (documented divergence —
-  * no parser on the classpath; YAML+JSON cover the shipped examples).
+  * `CONFIG_YAML_README.md`): YAML/YML/JSON/TOML configs with
+  * `${ENV_VAR}` shell expansion, decoded strictly (unknown strategy /
+  * context names fail fast). TOML rides the vendored
+  * [[TomlParser]]; RON is not supported (documented divergence — the
+  * reference ships no RON examples either).
   */
 object ConfigLoader {
 
@@ -50,11 +51,12 @@ object ConfigLoader {
   def load(path: String): GraftConfig = {
     val raw = Files.readString(Paths.get(path))
     val expanded = expandEnv(raw)
-    val mapper =
+    val tree =
       if (path.endsWith(".yaml") || path.endsWith(".yml"))
-        new ObjectMapper(new YAMLFactory())
-      else new ObjectMapper()
-    decode(mapper.readTree(expanded), Paths.get(path).getParent)
+        new ObjectMapper(new YAMLFactory()).readTree(expanded)
+      else if (path.endsWith(".toml")) TomlParser.parse(expanded)
+      else new ObjectMapper().readTree(expanded)
+    decode(tree, Paths.get(path).getParent)
   }
 
   /** `${VAR}` expansion (reference config_loader shell expansion);

@@ -13,8 +13,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.isoDurationSeconds)
+    ext.injectFunction(GraftExtensions.vecDot)
+    ext.injectFunction(GraftExtensions.rfc1123)
+  }
 }
 
 object GraftExtensions {
@@ -28,16 +31,47 @@ object GraftExtensions {
       IsoDurationSeconds(children.head)
     })
 
+  private[functions] val vecDot
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vec_dot takes exactly two arguments")
+      DotProduct(children.head, children(1))
+    })
+
+  private[functions] val rfc1123
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rfc1123_timestamp"),
+    new ExpressionInfo(classOf[Rfc1123Timestamp].getName, "rfc1123_timestamp"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "rfc1123_timestamp takes exactly one argument")
+      Rfc1123Timestamp(children.head)
+    })
+
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = isoDurationSeconds
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
+    Seq(isoDurationSeconds, vecDot, rfc1123).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 
   /** Column-API access without SQL registration. */
   def iso_duration_seconds(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(IsoDurationSeconds(GraftColumnBridge.expression(c)))
+  }
+
+  /** Native dot product over two array<double> columns. */
+  def vec_dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** RFC-822/1123 datetime parse → timestamp (null when unparseable). */
+  def rfc1123_timestamp(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(Rfc1123Timestamp(GraftColumnBridge.expression(c)))
   }
 }

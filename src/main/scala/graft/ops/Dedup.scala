@@ -89,8 +89,9 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1024): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val rows = numHashes / bands
     // Three consumers (signatures, intersection join ×2) — persist the
     // shingle rows instead of recomputing the tokenize+window pipeline
@@ -103,15 +104,24 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
         .as(Seq("band_id", "band_hash")))
-    // Bucket members, then in-bucket pair expansion. Bucket sizes are
-    // near-dup-cluster sized in practice; a pathological mega-bucket
-    // can be salted/capped upstream.
+    // Bucket members, then in-bucket pair expansion. Pair expansion is
+    // quadratic in bucket size, so buckets beyond `maxBucket` (a
+    // boilerplate-heavy corpus WILL produce one) are DROPPED, not
+    // expanded — a degenerate band hash may otherwise turn one bucket
+    // into a straggler task. The drop is observable without an extra
+    // job via the "dedup_lsh_buckets" observation (dropped_buckets /
+    // max_bucket), and identical-text clusters are still caught by
+    // `exact` dedup upstream.
     val buckets = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("dedup_lsh_buckets",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(size(col("ids"))).as("max_bucket"))
+      .filter(size(col("ids")) <= maxBucket)
       .select(sort_array(col("ids")).as("ids"))
     val pairs = buckets.select(explode(flatten(transform(col("ids"),
-        (x, i) => transform(slice(col("ids"), i + lit(2), lit(1000000)),
+        (x, i) => transform(slice(col("ids"), i + lit(2), lit(maxBucket)),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()

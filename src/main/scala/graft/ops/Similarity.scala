@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftExtensions.vec_dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -9,28 +10,59 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB stance):
   *  - the query set is always the broadcast side — the corpus is never
   *    collected or replicated;
+  *  - all vector math runs through the native codegen'd [[graft.functions.DotProduct]]
+  *    expression (round-1 measurement: the interpreted higher-order
+  *    `aggregate(zip_with(...))` formulation dominated ANN cost);
+  *  - norms are projected ONCE per row before any join, so an n×q
+  *    candidate join computes one dot product per pair, not three;
   *  - brute-force top-k is the exact baseline: one pass over the corpus
-  *    per query batch, per-partition top-k via window row_number
-  *    (TakeOrdered-style), linear in corpus size;
-  *  - the LSH path buckets the corpus by random-hyperplane sign bits so
-  *    each query only scans its bucket — the candidate scan shrinks by
-  *    ~2^bits while the dot products stay identical; recall is tunable
-  *    via number of tables/bits. Hyperplanes are derived deterministically
-  *    from xxhash64(seed, dim) so plans are reproducible across runs;
-  *  - all vector math is codegen'd higher-order column algebra
-  *    (zip_with + aggregate), computed in double.
+  *    per query batch, per-partition top-k via window row_number;
+  *  - IVF: centroids are an INGEST-TIME artifact (computed once, passed
+  *    in — never re-collected per query); cell assignment is stored as
+  *    a partition column so a probe reads `nprobe/nlist` of the corpus
+  *    via partition pruning (see [[ivfIngest]]);
+  *  - LSH: sign-bit buckets from deterministic hyperplanes, with
+  *    multi-table OR-amplification — candidates are the union of
+  *    per-table bucket matches, deduped BEFORE scoring, so recall
+  *    grows with tables while each pair is scored exactly once.
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (sequential fold — stable
-    * summation order, reproducible across engines).
-    */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (native Catalyst expression). */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine via a per-pair dot and PRE-PROJECTED norms — see topK. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Window top-k over scored (query_id, neighbor_id, cos_sim) rows. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Corpus side projected once: (neighbor_id, __v, __nv). */
+  private def corpusSide(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__nv", norm(col("__v")))
+
+  /** Query side projected once and broadcast: (query_id, __q, __nq). */
+  private def querySide(queries: DataFrame, qidCol: String, qvecCol: String): DataFrame =
+    queries.select(col(qidCol).as("query_id"),
+      col(qvecCol).cast("array<double>").as("__q"))
+      .withColumn("__nq", norm(col("__q")))
+
+  private def scorePairs(joined: DataFrame): DataFrame =
+    joined
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__v"), col("__q")) / (col("__nv") * col("__nq"))).as("cos_sim"))
 
   /** Exact brute-force cosine top-k.
     * `queries`: (qid, qvec array<double>) — small, broadcast.
@@ -39,118 +71,144 @@ object Similarity {
     * self-match excluded, ties broken by neighbor id.
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("__v"))
-      .crossJoin(broadcast(queries.select(
-        col(qidCol).as("query_id"), col(qvecCol).cast("array<double>").as("__q"))))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__v"), col("__q")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame =
+    topK(scorePairs(
+      corpusSide(corpus, idCol, vecCol)
+        .crossJoin(broadcast(querySide(queries, qidCol, qvecCol)))), k)
+
+  // --- IVF -----------------------------------------------------------
+
+  /** Deterministic coarse centroids: the `nlist` corpus vectors with the
+    * smallest xxhash64(id) — a reproducible pseudo-random sample
+    * (driver-sized: nlist × dim doubles). ONE corpus pass; run at
+    * ingest, never per query.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] =
+    corpus
+      .select(col(vecCol).cast("array<double>").as("__v"),
+        xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(nlist)
+      .select(col("__v")).collect()
+      .map(r => r.getSeq[Double](0).toArray)
+
+  /** The `n` nearest centroid cell ids for a vector, best-first (exact
+    * cosine against each centroid — nlist native dots per row).
+    */
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], n: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (cv, i) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct((-dot(vec, lit(cv)) / (norm(vec) * lit(cn))).as("d"), lit(i).as("cell"))
+    }: _*)
+    transform(slice(sort_array(scored), 1, n), s => s.getField("cell"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (seed, dim):
-    * xxhash64 scaled into [-1, 1]. Good enough for sign-LSH; no RNG
-    * state, identical on every executor.
+  /** Ingest-time IVF materialization: assign every corpus vector to its
+    * nearest centroid cell and write parquet PARTITIONED BY the cell —
+    * queries then read only their probed cells (partition pruning), the
+    * 100 TB story for IVF. Returns the read-back handle.
     */
-  private def planeComponent(seed: Int, dim: Column): Column =
-    (xxhash64(lit(seed), dim).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** Sign-bit LSH bucket id for a vector: `bits` hyperplane signs packed
-    * into a long.
-    */
-  def lshBucket(vec: Column, bits: Int, seed: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, dims, (x, d) => x * planeComponent(seed * 31 + b, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
+  def ivfIngest(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): DataFrame = {
+    corpusSide(corpus, idCol, vecCol)
+      .withColumn("__cell", nearestCells(col("__v"), centroids, 1).getItem(0))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+    corpus.sparkSession.read.parquet(path)
   }
 
-  /** IVF (inverted-file) ANN top-k: the corpus is partitioned into
-    * `nlist` cells around coarse centroids; each query scans only its
-    * `nprobe` nearest cells.
-    *
-    * Centroids here are a deterministic pseudo-random corpus sample
-    * (nlist vectors with the smallest xxhash64(id)) — one k-means
-    * refinement sweep is the natural upgrade but does not change the
-    * operator shape. At 100 TB the cell assignment is computed once at
-    * ingest and stored as a partition column so query-time work is
-    * `nprobe/nlist` of the corpus; here assignment happens inline.
-    * Exact distances within probed cells (like FAISS IVF-Flat).
+  /** IVF probe over an ingested (cell-partitioned) corpus: each query
+    * scans only its `nprobe` nearest cells. Probe cells are collected
+    * driver-side (nprobe ints per query — the FAISS-style probe list),
+    * so the cell filter is a STATIC partition-pruning predicate on the
+    * parquet scan, not a join-time filter over the full corpus.
+    */
+  def ivfProbe(assigned: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = querySide(queries, qidCol, qvecCol)
+      .withColumn("__cells", nearestCells(col("__q"), centroids, nprobe))
+    // One row per (query, probed cell) — tiny, broadcast; the distinct
+    // cell list is collected driver-side (the FAISS-style probe list)
+    // so the corpus filter is a STATIC partition-pruning predicate.
+    val probeRows = q.select(col("query_id"), col("__q"), col("__nq"),
+      explode(col("__cells")).as("__cell"))
+    val probedCells: Seq[Int] = q.select(explode(col("__cells")).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = assigned.filter(col("__cell").isin(probedCells: _*))
+    val joined = pruned.join(broadcast(probeRows), Seq("__cell"))
+    topK(scorePairs(joined), k)
+  }
+
+  /** Convenience one-shot IVF (tests / ad-hoc): computes centroids and
+    * assignment inline without the ingest artifact. Same math as the
+    * ingest path.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.Row
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    val c0 = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__v"))
-    // Coarse centroids: deterministic sample, driver-sized (nlist × dim).
-    val centroids: Array[(Int, Array[Double])] = c0
-      .withColumn("__h", xxhash64(col("neighbor_id")))
-      .orderBy(col("__h")).limit(nlist)
-      .select(col("__v")).collect()
-      .zipWithIndex.map { case (r: Row, i) => (i, r.getSeq[Double](0).toArray) }
-
-    def nearestCells(vec: Column, n: Int): Column = {
-      // array_min over (negCos, cellId) structs sorts by similarity;
-      // slice after sort_array gives the n best cells.
-      val scored = array(centroids.map { case (i, cv) =>
-        struct((-cosine(vec, lit(cv))).as("d"), lit(i).as("cell"))
-      }: _*)
-      slice(sort_array(scored), 1, n)
-    }
-
-    val assigned = c0.withColumn("__cell",
-      nearestCells(col("__v"), 1).getItem(0).getField("cell"))
-    val q = broadcast(queries
-      .select(col(qidCol).as("query_id"), col(qvecCol).cast("array<double>").as("__q"))
-      .withColumn("__probe", explode(nearestCells(col("__q"), nprobe)))
-      .select(col("query_id"), col("__q"), col("__probe.cell").as("__cell")))
-
-    val scored = assigned.join(q, "__cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__v"), col("__q")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = corpusSide(corpus, idCol, vecCol)
+      .withColumn("__cell", nearestCells(col("__v"), centroids, 1).getItem(0))
+    ivfProbe(assigned, centroids, queries, qidCol, qvecCol, k, nprobe)
   }
 
-  /** Bucketed ANN top-k: queries only compare against corpus vectors in
-    * the same LSH bucket (single table). Returns the same shape as
-    * bruteForceTopK; recall < 1 by construction.
+  // --- sign-bit LSH ----------------------------------------------------
+
+  /** Deterministic hyperplanes for `tables` × `bits` sign projections:
+    * component (t, b, d) is a splitmix-style hash of the indices scaled
+    * into [-1, 1]. Driver-sized (tables × bits × dim doubles); identical
+    * on every run and executor.
+    */
+  def lshPlanes(dim: Int, bits: Int, tables: Int, seed: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits) { (t, b) =>
+      Array.tabulate(dim) { d =>
+        var z = seed.toLong * 0x9E3779B97F4A7C15L + t * 0xBF58476D1CE4E5B9L +
+          b * 0x94D049BB133111EBL + d * 0x2545F4914F6CDD1DL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        z.toDouble / Long.MaxValue.toDouble
+      }
+    }
+
+  /** Packed sign-bit bucket for one table's planes: `bits` native dots. */
+  def lshBucketFor(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dot(vec, lit(p)) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Multi-table LSH ANN top-k (OR-amplification): a corpus vector is a
+    * candidate for a query if they share a bucket in ANY of the
+    * `tables` hash tables. Candidates are deduped before scoring, so
+    * each surviving pair costs exactly one dot product. Recall rises
+    * with `tables` (and falls with `bits`); scores are exact for every
+    * returned pair.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, bits: Int = 8, seed: Int = 42): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__bucket", lshBucket(col("__v"), bits, seed))
-    val q = broadcast(queries.select(col(qidCol).as("query_id"),
-      col(qvecCol).cast("array<double>").as("__q"))
-      .withColumn("__bucket", lshBucket(col("__q"), bits, seed)))
-    val scored = c.join(q, "__bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__v"), col("__q")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      k: Int, bits: Int = 8, tables: Int = 4, seed: Int = 42): DataFrame = {
+    val dim = queries.select(size(col(qvecCol))).first().getInt(0)
+    val planes = lshPlanes(dim, bits, tables, seed)
+
+    def withBuckets(df: DataFrame, vec: String): DataFrame =
+      planes.zipWithIndex.foldLeft(df) { case (acc, (tp, t)) =>
+        acc.withColumn(s"__b$t", lshBucketFor(col(vec), tp))
+      }
+
+    val c = withBuckets(corpusSide(corpus, idCol, vecCol), "__v")
+    val q = broadcast(withBuckets(querySide(queries, qidCol, qvecCol), "__q"))
+
+    // OR across tables in one join condition: the broadcast hash join
+    // degenerates to a broadcast nested-loop under OR, so instead join
+    // per table (hashable equi-join each) and dedupe candidate pairs.
+    val candidates = (0 until planes.length).map { t =>
+      c.join(q, c(s"__b$t") === q(s"__b$t"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("__v"), col("__nv"), col("__q"), col("__nq"))
+    }.reduce(_ unionByName _)
+      .dropDuplicates("query_id", "neighbor_id")
+
+    topK(scorePairs(candidates), k)
   }
 }

@@ -6,8 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search queries. Brute-force cosine top-k is the
   * exact baseline and is DuckDB-oracle-checked (list_cosine_similarity);
-  * the LSH-bucketed variant is the scale path and gets a rows-only
-  * check plus recall assertions in its spec.
+  * the LSH- and IVF-bucketed variants are the scale paths and get
+  * rows-only checks plus score-equality/recall assertions in their spec.
+  *
+  * IVF centroids + the cell-partitioned corpus are INGEST artifacts:
+  * computed once per dataset directory and reused by every query
+  * invocation (the reference pattern — FAISS trains the index before
+  * serving). The per-query cost is the probe: a partition-pruned scan
+  * of `nprobe/nlist` of the corpus.
   */
 object SimilarityOps {
   import Catalog.{Entry, Q}
@@ -20,6 +26,33 @@ object SimilarityOps {
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       queriesDf(s, dir), "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
+
+  private val lsh: Q = (s, dir) =>
+    Similarity.lshTopK(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      queriesDf(s, dir), "vec_id", "embedding", k = 5, bits = 4, tables = 4)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
+
+  /** Ingest artifact per dataset dir: (centroids, cell-partitioned corpus). */
+  private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], org.apache.spark.sql.DataFrame)]()
+
+  private def ivfFor(s: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int): (Array[Array[Double]], org.apache.spark.sql.DataFrame) =
+    ivfIndex.computeIfAbsent(s"$dir#$nlist", { _ =>
+      val corpus = Tables.load(s, dir, "embeddings")
+      val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nlist)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_").resolve("corpus").toString
+      (centroids, Similarity.ivfIngest(corpus, "vec_id", "embedding", centroids, path))
+    })
+
+  private val ivf: Q = (s, dir) => {
+    val (centroids, assigned) = ivfFor(s, dir, nlist = 16)
+    Similarity.ivfProbe(assigned, centroids,
+      queriesDf(s, dir), "vec_id", "embedding", k = 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
+  }
 
   private val bruteSql =
     """WITH q AS (
@@ -35,18 +68,6 @@ object SimilarityOps {
       |                                   ORDER BY cs DESC, neighbor_id) AS rn
       |      FROM scored) t
       |WHERE rn <= 5""".stripMargin
-
-  private val lsh: Q = (s, dir) =>
-    Similarity.lshTopK(
-      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      queriesDf(s, dir), "vec_id", "embedding", k = 5, bits = 4)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
-
-  private val ivf: Q = (s, dir) =>
-    Similarity.ivfTopK(
-      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      queriesDf(s, dir), "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
 
   val entries: Seq[Entry] = Seq(
     Entry("ann_brute_topk", brute, Some(bruteSql)),

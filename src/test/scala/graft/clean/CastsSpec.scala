@@ -44,6 +44,17 @@ class CastsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some("1989-01-01"), Some("2001-05-07"), None))
   }
 
+  test("RFC-822 datetimes parse in the timestamp cascade (constants.rs:18)") {
+    val out = Seq("Mon, 04 Sep 2023 11:00:59 GMT", "2023-09-04T11:00:59", "garbage")
+      .toDF("c")
+      .select(Casts.toTimestampMulti(col("c")).cast("string").as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(
+      Some("2023-09-04 11:00:59"), Some("2023-09-04 11:00:59"), None))
+    // and the cascade elects TimestampType for an RFC-822 column
+    assert(inferred(Seq("Mon, 04 Sep 2023 11:00:59 GMT")) == TimestampType)
+  }
+
   test("cascade: mixed garbage stays string") {
     assert(inferred(Seq("abc", "1", "true")) == StringType)
   }

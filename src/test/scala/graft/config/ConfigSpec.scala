@@ -93,6 +93,87 @@ class ConfigSpec extends SparkSpec {
     assert(json.contains("\"createdBy\": \"tester\""))
   }
 
+  test("TOML decode round-trips the same config as YAML (reference config_loader.rs:8-44)") {
+    val dir = Files.createTempDirectory("grafttoml")
+    write(dir, "hp_terms.csv", "id,label,synonyms\nHP:0001945,Fever,febrile|pyrexia\n")
+    write(dir, "data.csv", "Patient ID,Sex,Phenotypes,Onset\nP001,M,Fever,12\n")
+    val yamlPath = write(dir, "config.yaml",
+      s"""data_sources:
+         |  - type: csv
+         |    source: "${dir.resolve("data.csv")}"
+         |    series_contexts:
+         |      - identifier: "Patient ID"
+         |        data_context: subject_id
+         |      - identifier: "Sex"
+         |        data_context: subject_sex
+         |        alias_map:
+         |          output_data_type: string
+         |          mappings:
+         |            M: MALE
+         |            F: FEMALE
+         |      - identifier: "Onset"
+         |        data_context:
+         |          onset: age
+         |        building_block_id: "P"
+         |pipeline:
+         |  strategies: ["alias_map", "age_to_iso8601"]
+         |  loader:
+         |    file_system:
+         |      output_dir: "${dir.resolve("out")}"
+         |      create_dir: true
+         |  meta_data:
+         |    created_by: "tester"
+         |    cohort_name: "c1"
+         |    hpo_resource:
+         |      id: "hp"
+         |      version: "2024-01-01"
+         |      namespace_prefix: "HP"
+         |      terms_file: "${dir.resolve("hp_terms.csv")}"
+         |""".stripMargin)
+    val tomlPath = write(dir, "config.toml",
+      s"""[[data_sources]]
+         |type = "csv"
+         |source = "${dir.resolve("data.csv")}"
+         |
+         |[[data_sources.series_contexts]]
+         |identifier = "Patient ID"
+         |data_context = "subject_id"
+         |
+         |[[data_sources.series_contexts]]
+         |identifier = "Sex"
+         |data_context = "subject_sex"
+         |alias_map = { output_data_type = "string", mappings = { M = "MALE", F = "FEMALE" } }
+         |
+         |[[data_sources.series_contexts]]
+         |identifier = "Onset"
+         |data_context = { onset = "age" }
+         |building_block_id = "P"
+         |
+         |[pipeline]
+         |strategies = ["alias_map", "age_to_iso8601"]
+         |
+         |[pipeline.loader.file_system]
+         |output_dir = "${dir.resolve("out")}"
+         |create_dir = true
+         |
+         |[pipeline.meta_data]
+         |created_by = "tester"
+         |cohort_name = "c1"
+         |
+         |[pipeline.meta_data.hpo_resource]
+         |id = "hp"
+         |version = "2024-01-01"
+         |namespace_prefix = "HP"
+         |terms_file = "${dir.resolve("hp_terms.csv")}"
+         |""".stripMargin)
+    val fromYaml = ConfigLoader.load(yamlPath)
+    val fromToml = ConfigLoader.load(tomlPath)
+    assert(fromToml.csvSources == fromYaml.csvSources)
+    assert(fromToml.metaData == fromYaml.metaData)
+    assert(fromToml.strategies.map(_.name) == fromYaml.strategies.map(_.name))
+    assert(fromToml.loader == fromYaml.loader)
+  }
+
   test("parameterized quantitative context decodes") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
       new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
