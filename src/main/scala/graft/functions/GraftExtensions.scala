@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.isoDurationSeconds)
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.rfc1123)
+    ext.injectFunction(GraftExtensions.calendarAgeIso)
   }
 }
 
@@ -49,10 +50,20 @@ object GraftExtensions {
       Rfc1123Timestamp(children.head)
     })
 
+  private[functions] val calendarAgeIso
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("calendar_age_iso"),
+    new ExpressionInfo(classOf[CalendarAgeIso].getName, "calendar_age_iso"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "calendar_age_iso takes exactly two arguments")
+      CalendarAgeIso(children.head, children(1))
+    })
+
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(isoDurationSeconds, vecDot, rfc1123).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(isoDurationSeconds, vecDot, rfc1123, calendarAgeIso).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }
 
@@ -73,5 +84,12 @@ object GraftExtensions {
   def rfc1123_timestamp(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(Rfc1123Timestamp(GraftColumnBridge.expression(c)))
+  }
+
+  /** Calendar age between two dates as ISO-8601 (zero parts omitted). */
+  def calendar_age_iso(start: Column, end: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(CalendarAgeIso(
+      GraftColumnBridge.expression(start), GraftColumnBridge.expression(end)))
   }
 }

@@ -82,11 +82,11 @@ object StrategyOps {
     // The synthetic data has ship dates on both sides of the order date;
     // the reference errors on negative ages, so the query diffs
     // earlier → later (the strategy layer keeps the error semantics).
-    val diff = DateTimeFns.calendarDiff(
-      least(col("dob"), col("ship")), greatest(col("dob"), col("ship")))
+    // Native CalendarAgeIso — the codegen'd hot path the strategy uses.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
-        DateTimeFns.toIso8601(diff).as("age_iso"))
+        graft.functions.GraftExtensions.calendar_age_iso(
+          least(col("dob"), col("ship")), greatest(col("dob"), col("ship"))).as("age_iso"))
   }
   private val t4Sql =
     """SELECT l_orderkey, l_linenumber,

@@ -1,6 +1,5 @@
 package graft.strategy
 
-import graft.functions.DateTimeFns
 import graft.model._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -68,12 +67,14 @@ final case class DateToAgeStrategy(strict: Boolean = true) extends Strategy {
               "column(s) contain dates for patients with no date of birth")
         }
 
+        // Native CalendarAgeIso, not the calendarDiff+toIso8601 column
+        // algebra: the algebraic form re-inlines the multi-format date
+        // parse into every diff component and blew past janino's method
+        // limits (stage fell back to interpreted eval).
         val converted = targets.foldLeft(joined) { case (acc, (c, _)) =>
           acc.withColumn(c,
-            when(toDate(col(c)).isNotNull && col("__dob").isNotNull,
-              DateTimeFns.toIso8601(
-                DateTimeFns.calendarDiff(col("__dob"), toDate(col(c)))))
-              .otherwise(lit(null).cast("string")))
+            graft.functions.GraftExtensions.calendar_age_iso(
+              col("__dob"), toDate(col(c))))
         }.drop("__dob")
 
         // Context rewrite *(Date) → *(Age), driver-side.

@@ -48,6 +48,16 @@ class PropertySpec extends SparkSpec {
       assert((y, m, dd) == ((ey, em, ed)),
         s"$d1→$d2: got ${y}Y${m}M${dd}D, reference ${ey}Y${em}M${ed}D")
     }
+    // The native CalendarAgeIso expression must render exactly what the
+    // column-algebra formulation renders (it replaced it on the hot path).
+    val isoRows = df.select(
+      graft.functions.GraftExtensions.calendar_age_iso(
+        to_date(col("s")), to_date(col("e"))).as("native"),
+      DateTimeFns.toIso8601(
+        DateTimeFns.calendarDiff(to_date(col("s")), to_date(col("e")))).as("algebra"))
+      .collect()
+    isoRows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"native ${r.getString(0)} != algebra ${r.getString(1)}"))
   }
 
   test("property: cascade re-infers rendered longs losslessly incl. beyond 2^53") {

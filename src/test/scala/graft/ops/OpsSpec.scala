@@ -160,6 +160,24 @@ class OpsSpec extends SparkSpec {
     assert(assigned.columns.contains("__cell"))
   }
 
+  test("IVF probe partition-prunes the cell-partitioned corpus scan") {
+    val vecs = (0 until 120).map { i =>
+      val v = (0 until 8).map(d => math.sin(i * 0.29 + d).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+    val centroids = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_prune_").resolve("c").toString
+    val assigned = Similarity.ivfIngest(vecs, "vec_id", "embedding", centroids, path)
+    val probe = Similarity.ivfProbe(assigned, centroids,
+      queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    // The parquet scan must carry a PartitionFilters entry on __cell —
+    // a probe that scans all cells is the round-1 anti-pattern.
+    assert(plan.contains("PartitionFilters: [__cell"),
+      s"expected a __cell partition filter in:\n$plan")
+  }
+
   test("salted join equals plain join") {
     val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
     val right = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k2", "name")
