@@ -80,17 +80,36 @@ object Similarity {
 
   /** Deterministic coarse centroids: the `nlist` corpus vectors with the
     * smallest xxhash64(id) — a reproducible pseudo-random sample
-    * (driver-sized: nlist × dim doubles). ONE corpus pass; run at
-    * ingest, never per query.
+    * (driver-sized: nlist × dim doubles) — optionally refined with
+    * `refineSweeps` Lloyd (k-means) iterations: assign → per-cell
+    * per-dimension mean (posexplode + hash aggregate, fully
+    * distributed; only the nlist × dim means are collected). Cells that
+    * lose every member keep their previous centroid. Ingest-time cost,
+    * never per query.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): Array[Array[Double]] =
-    corpus
+      nlist: Int, refineSweeps: Int = 0): Array[Array[Double]] = {
+    val c0 = corpusSide(corpus, idCol, vecCol)
+    var cents: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("__v"),
         xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h")).limit(nlist)
       .select(col("__v")).collect()
       .map(r => r.getSeq[Double](0).toArray)
+    (0 until refineSweeps).foreach { _ =>
+      val means = c0
+        .withColumn("__cell", nearestCells(col("__v"), cents, 1).getItem(0))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    cents
+  }
 
   /** The `n` nearest centroid cell ids for a vector, best-first (exact
     * cosine against each centroid — nlist native dots per row).
@@ -151,6 +170,59 @@ object Similarity {
     val assigned = corpusSide(corpus, idCol, vecCol)
       .withColumn("__cell", nearestCells(col("__v"), centroids, 1).getItem(0))
     ivfProbe(assigned, centroids, queries, qidCol, qvecCol, k, nprobe)
+  }
+
+  // --- embedding near-dup ---------------------------------------------
+
+  /** Exact embedding near-dup pairs: all (id_a < id_b) with cosine >=
+    * threshold. QUADRATIC — the oracle twin for bounded subsets, like
+    * `Dedup.ngramJaccardPairs`; the scale path is
+    * [[embeddingNearDupLsh]].
+    */
+  def embeddingNearDupExact(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpusSide(corpus, idCol, vecCol)
+      .select(col("neighbor_id").as("id_a"), col("__v").as("__va"), col("__nv").as("__na"))
+    val b = corpusSide(corpus, idCol, vecCol)
+      .select(col("neighbor_id").as("id_b"), col("__v").as("__vb"), col("__nv").as("__nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** LSH-bucketed embedding near-dup (scale path): candidate pairs are
+    * corpus rows sharing a sign-bit bucket in ANY of the `tables`
+    * hash tables (per-table EQUI self-joins — never an all-pairs
+    * product), deduped before the single exact scoring pass. Same
+    * recall/tables trade-off as [[lshTopK]]; high-cosine pairs (true
+    * near-dups) collide with high probability.
+    */
+  def embeddingNearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 12, tables: Int = 6, seed: Int = 42): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = lshPlanes(dim, bits, tables, seed)
+    val base = corpusSide(corpus, idCol, vecCol)
+    val bucketed = planes.zipWithIndex.foldLeft(base) { case (acc, (tp, t)) =>
+      acc.withColumn(s"__b$t", lshBucketFor(col("__v"), tp))
+    }
+    def side(tag: String) = bucketed.select(
+      (Seq(col("neighbor_id").as(s"id_$tag"),
+        col("__v").as(s"__v$tag"), col("__nv").as(s"__n$tag")) ++
+        (0 until tables).map(t => col(s"__b$t").as(s"__b$tag$t"))): _*)
+    val a = side("a")
+    val b = side("b")
+    val candidates = (0 until tables).map { t =>
+      a.join(b, col(s"__ba$t") === col(s"__bb$t") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          col("__va"), col("__na"), col("__vb"), col("__nb"))
+    }.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   // --- sign-bit LSH ----------------------------------------------------

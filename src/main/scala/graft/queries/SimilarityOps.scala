@@ -41,7 +41,8 @@ object SimilarityOps {
       nlist: Int): (Array[Array[Double]], org.apache.spark.sql.DataFrame) =
     ivfIndex.computeIfAbsent(s"$dir#$nlist", { _ =>
       val corpus = Tables.load(s, dir, "embeddings")
-      val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nlist)
+      val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        nlist, refineSweeps = 1)
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_").resolve("corpus").toString
       (centroids, Similarity.ivfIngest(corpus, "vec_id", "embedding", centroids, path))
@@ -53,6 +54,28 @@ object SimilarityOps {
       queriesDf(s, dir), "vec_id", "embedding", k = 5, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
   }
+
+  // Embedding near-dup: exact quadratic oracle twin vs the LSH-bucketed
+  // scale path (per-table equi self-joins, candidates deduped before the
+  // single scoring pass).
+  private val nearDupExact: Q = (s, dir) =>
+    Similarity.embeddingNearDupExact(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 5).as("cos_sim"))
+
+  private val nearDupExactSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin
+
+  private val nearDupLsh: Q = (s, dir) =>
+    Similarity.embeddingNearDupLsh(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, bits = 8, tables = 6)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 5).as("cos_sim"))
 
   private val bruteSql =
     """WITH q AS (
@@ -73,5 +96,7 @@ object SimilarityOps {
     Entry("ann_brute_topk", brute, Some(bruteSql)),
     Entry("ann_lsh_topk", lsh, None),
     Entry("ann_ivf_topk", ivf, None),
+    Entry("dedup_embedding_exact", nearDupExact, Some(nearDupExactSql)),
+    Entry("dedup_embedding_lsh", nearDupLsh, None),
   )
 }

@@ -160,6 +160,56 @@ class OpsSpec extends SparkSpec {
     assert(assigned.columns.contains("__cell"))
   }
 
+  test("embedding near-dup: LSH finds >= 0.9 of exact pairs on a perturbed-copy corpus") {
+    // 40 base vectors, each with 2 noisy copies (cosine ~0.99) — real
+    // near-dup structure, unlike the near-orthogonal random testdata.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      (0 until 3).map { c =>
+        val noisy = v.map(x => x + (if (c == 0) 0f else 0.05f * rnd.nextGaussian().toFloat))
+        ((i * 3 + c).toLong, noisy)
+      }
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.embeddingNearDupExact(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(exact.nonEmpty)
+    val lsh = Similarity.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+      0.95, bits = 12, tables = 6)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val recall = (exact.keySet intersect lsh.keySet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"near-dup LSH recall $recall < 0.9 (${exact.size} exact pairs)")
+    // scores for found pairs are exact, not approximate
+    lsh.foreach { case (pair, s) =>
+      exact.get(pair).foreach(es => assert(math.abs(es - s) < 1e-12))
+    }
+  }
+
+  test("IVF centroid k-means refinement keeps probe correctness and cell count") {
+    val vecs = (0 until 90).map { i =>
+      val v = (0 until 8).map(d => math.cos(i * 0.41 + d * 0.9).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val refined = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      nlist = 8, refineSweeps = 2)
+    assert(refined.length == 8 && refined.forall(_.length == 8))
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 89)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val path = java.nio.file.Files.createTempDirectory("ivf_kmeans_").resolve("c").toString
+    val ingested = Similarity.ivfIngest(vecs, "vec_id", "embedding", refined, path)
+    val probed = Similarity.ivfProbe(ingested, refined,
+      queries, "vec_id", "embedding", k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect()
+    assert(probed.nonEmpty)
+    probed.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
+  }
+
   test("IVF probe partition-prunes the cell-partitioned corpus scan") {
     val vecs = (0 until 120).map { i =>
       val v = (0 until 8).map(d => math.sin(i * 0.29 + d).toFloat).toArray
