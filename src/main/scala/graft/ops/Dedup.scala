@@ -162,6 +162,95 @@ object Dedup {
          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: every document of a
+    * near-dup cluster gets the cluster's smallest member id as its
+    * `component` (then "keep id == component" is the canonical-doc
+    * rule).
+    *
+    * Two regimes, selected by measured edge count — the same adaptive
+    * shape as broadcast-vs-shuffle join selection:
+    *  - at or below `driverEdgeLimit` edges, the graph is
+    *    broadcast-sized: a driver union-find answers in one collect
+    *    (verified near-dup PAIRS are a tiny fraction of any corpus;
+    *    iterative Spark sweeps would pay ~10 job launches for
+    *    microseconds of work);
+    *  - above it, distributed min-label propagation with pointer
+    *    jumping (label-through-label), one groupBy(min) per sweep,
+    *    O(log diameter) sweeps, lineage truncated per sweep via
+    *    localCheckpoint (iterative plans otherwise nest exponentially
+    *    and analysis itself OOMs).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 20,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    if (edges.count() <= driverEdgeLimit) {
+      // Broadcast-sized graph: classic union-find with path compression,
+      // then relabel every node by its component's minimum id.
+      import scala.collection.mutable
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val collected = edges.filter(col("src") < col("dst")).collect()
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val minOfRoot = mutable.LongMap.empty[Long]
+      nodes.foreach { n => val r = find(n); minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n) }
+      edges.unpersist()
+      import spark.implicits._
+      return nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "component")
+    }
+    // Each sweep is eagerly localCheckpoint'ed: iterative plans
+    // otherwise nest the whole previous plan into the next (lineage
+    // grows exponentially — analysis alone OOMs after ~10 sweeps).
+    // Truncating lineage per iteration is THE standard Spark shape for
+    // label propagation; on a real cluster this would be a reliable
+    // checkpoint dir instead of executor-local blocks.
+    var labels = edges.select(col("src").as("id"), col("src").as("component"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // One sweep = neighbor-min propagation PLUS pointer jumping
+      // (follow own label's label): jumping halves the remaining
+      // diameter each sweep, so convergence takes O(log d) sweeps —
+      // at cluster scale the per-sweep job overhead, not the data,
+      // is the cost to minimize.
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val viaJump = labels.select(col("id"), col("component").as("__via"))
+        .join(labels.select(col("id").as("__via"), col("component")), Seq("__via"))
+        .select(col("id"), col("component"))
+      val next = labels.union(viaNeighbors).union(viaJump)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over the token multiset, appended as column `out`.
     * Bit j of the result is set iff the sum over tokens of ±1 (sign from
     * bit j of the token's xxhash64) is positive. Pure column algebra

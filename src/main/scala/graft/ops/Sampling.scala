@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data splits.
+  *
+  * `rand()`-based sampling is seed- and partitioning-dependent — a
+  * re-run, a repartition, or a different engine yields a different
+  * split. Hashing the row KEY instead gives a split that is stable
+  * across runs, engines, and cluster layouts (md5 hex agrees
+  * byte-for-byte between Spark and DuckDB), composes under union
+  * (late-arriving rows land in the same bucket), and needs no shuffle:
+  * it is a plain codegen'd filter that parquet scans evaluate
+  * row-parallel.
+  */
+object Sampling {
+
+  /** 8-hex-digit threshold such that P(md5(key) < threshold) ≈ fraction
+    * under md5 uniformity.
+    */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** The sampling predicate: md5 of the (stringified) key below the
+    * fraction's hex threshold.
+    */
+  def samplePredicate(key: Column, fraction: Double): Column =
+    md5(key.cast("string")) < lit(hexThreshold(fraction))
+
+  /** Keep ≈`fraction` of rows, keyed deterministically by `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(samplePredicate(col(keyCol), fraction))
+
+  /** Disjoint deterministic split: bucket i of `weights.length` buckets,
+    * with cut points at the cumulative weight fractions. Rows with the
+    * same key always land in the same bucket.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, weights: Seq[Double]): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) && math.abs(weights.sum - 1.0) < 1e-9,
+      "weights must be non-negative and sum to 1")
+    val cuts = weights.scanLeft(0.0)(_ + _) // 0, w0, w0+w1, …, 1
+    val h = md5(col(keyCol).cast("string"))
+    cuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      df.filter(h >= lit(hexThreshold(lo)) && h < lit(hexThreshold(hi)))
+    }
+  }
+}

@@ -57,10 +57,35 @@ object DedupOps {
     Dedup.withSimhash(Tables.load(s, dir, "documents"), "text")
       .select(col("doc_id"), col("simhash"))
 
+  // Near-dup clusters: connected components over the exact
+  // embedding-cosine pair graph (min-label propagation); the oracle
+  // computes min-reachable-id per node with a recursive CTE.
+  private val components: Q = (s, dir) => {
+    val pairs = graft.ops.Similarity.embeddingNearDupExact(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+    Dedup.connectedComponents(pairs)
+  }
+  private val componentsSql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+      |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
     Entry("dedup_minhash_lsh", minhash, None),
     Entry("dedup_simhash", simhash, None),
+    Entry("dedup_components", components, Some(componentsSql)),
   )
 }

@@ -117,11 +117,24 @@ object TextOps {
       |  levenshtein(lang, 'en') AS dist_en
       |FROM documents""".stripMargin
 
+  // Deterministic md5-keyed 20% sample — the reproducible train/test
+  // split op (stable across runs, engines, and partitionings; a plain
+  // codegen'd filter, no shuffle). md5 agrees byte-for-byte with the
+  // DuckDB oracle.
+  private val hashSample: Q = (s, dir) =>
+    graft.ops.Sampling.hashSample(
+      Tables.load(s, dir, "documents"), "doc_id", fraction = 0.2)
+      .select(col("doc_id"), col("source"), col("lang"))
+  private val hashSampleSql =
+    s"""SELECT doc_id, source, lang FROM documents
+       |WHERE md5(CAST(doc_id AS VARCHAR)) < '${graft.ops.Sampling.hexThreshold(0.2)}'""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_edit_distance", editDist, Some(editDistSql)),
     Entry("text_token_count", tokCount, Some(tokCountSql)),
     Entry("text_quality", quality, Some(qualitySql)),
     Entry("text_langid", langid, Some(langidSql)),
     Entry("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    Entry("text_hash_sample", hashSample, Some(hashSampleSql)),
   )
 }

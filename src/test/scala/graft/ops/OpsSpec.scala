@@ -228,6 +228,42 @@ class OpsSpec extends SparkSpec {
       s"expected a __cell partition filter in:\n$plan")
   }
 
+  test("connected components labels every near-dup cluster by its min id") {
+    // Components: {1,2,3} (chain), {10,11}, singleton edges absent.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find regime (edges below the gate)
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == expected)
+    // distributed label-propagation regime (gate forced to zero)
+    val ccDist = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(ccDist == expected)
+    // longer chain exercises multi-sweep pointer-jumping convergence
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc2 = Dedup.connectedComponents(chain, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(cc2.values.toSet == Set(1L) && cc2.size == 12)
+  }
+
+  test("hash sampling is deterministic, fraction-accurate, and splits are disjoint") {
+    val df = (0 until 5000).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "text")
+    val a = Sampling.hashSample(df, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    assert(a == b) // re-run stable
+    assert(math.abs(a.size / 5000.0 - 0.2) < 0.03, s"fraction ${a.size / 5000.0}")
+    val Seq(train, dev, test) = Sampling.hashSplit(df, "doc_id", Seq(0.8, 0.1, 0.1))
+      .map(_.select("doc_id").as[Long].collect().toSet)
+    assert(train.size + dev.size + test.size == 5000) // disjoint, exhaustive
+    assert((train intersect dev).isEmpty && (dev intersect test).isEmpty &&
+      (train intersect test).isEmpty)
+    assert(math.abs(train.size / 5000.0 - 0.8) < 0.03)
+    // smaller fraction is a SUBSET of the larger (split-point stability)
+    val small = Sampling.hashSample(df, "doc_id", 0.1).select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+  }
+
   test("salted join equals plain join") {
     val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
     val right = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k2", "name")
