@@ -213,15 +213,16 @@ object Similarity {
         (0 until tables).map(t => col(s"__b$t").as(s"__b$tag$t"))): _*)
     val a = side("a")
     val b = side("b")
-    val candidates = (0 until tables).map { t =>
+    // Score inside each per-table branch, dedupe the narrow scored
+    // rows (see lshTopK — deduping first would shuffle vector payloads
+    // and SortAggregate over arrays).
+    (0 until tables).map { t =>
       a.join(b, col(s"__ba$t") === col(s"__bb$t") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          col("__va"), col("__na"), col("__vb"), col("__nb"))
+          (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
     }.reduce(_ unionByName _)
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .select(col("id_a"), col("id_b"),
-        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("cos_sim")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -273,14 +274,18 @@ object Similarity {
 
     // OR across tables in one join condition: the broadcast hash join
     // degenerates to a broadcast nested-loop under OR, so instead join
-    // per table (hashable equi-join each) and dedupe candidate pairs.
-    val candidates = (0 until planes.length).map { t =>
-      c.join(q, c(s"__b$t") === q(s"__b$t"))
-        .select(col("query_id"), col("neighbor_id"),
-          col("__v"), col("__nv"), col("__q"), col("__nq"))
+    // per table (hashable equi-join each). Pairs are SCORED inside each
+    // branch and deduped on the narrow (ids, score) rows — deduping
+    // before scoring would shuffle the vector payloads (~dim × 8 bytes
+    // per row) and force a SortAggregate (first() over arrays is not
+    // hash-aggregable); a duplicate candidate re-costs one dot product
+    // instead.
+    val scored = (0 until planes.length).map { t =>
+      scorePairs(c.join(q, c(s"__b$t") === q(s"__b$t")))
     }.reduce(_ unionByName _)
-      .dropDuplicates("query_id", "neighbor_id")
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("cos_sim")).as("cos_sim")) // duplicates score identically
 
-    topK(scorePairs(candidates), k)
+    topK(scored, k)
   }
 }
