@@ -251,6 +251,39 @@ object Dedup {
     labels
   }
 
+  /** Paragraph-level exact dedup (the Dolma/CCNet shape): the corpus is
+    * exploded into (doc, position, paragraph) rows; of all occurrences
+    * of an identical paragraph, only the GLOBALLY FIRST (smallest
+    * (doc id, position)) survives; each document is reassembled from
+    * its surviving paragraphs in original order (empty string when
+    * every paragraph was removed).
+    *
+    * Scale shape: one shuffle keyed by the paragraph (window
+    * first-occurrence), one keyed by doc id (reassembly) — paragraph
+    * bodies ride each shuffle once; no driver-side state.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+    val w = Window.partitionBy(col("para")).orderBy(col("id"), col("pos"))
+    val kept = paras
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val reassembled = kept
+      .groupBy(col("id"))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para"))).as("text"))
+    // Documents whose every paragraph was removed still exist, with
+    // empty text.
+    df.select(col(idCol).as("id")).distinct()
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** 64-bit SimHash over the token multiset, appended as column `out`.
     * Bit j of the result is set iff the sum over tokens of ±1 (sign from
     * bit j of the token's xxhash64) is positive. Pure column algebra

@@ -81,11 +81,47 @@ object DedupOps {
       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
       |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin
 
+  // Paragraph-level exact dedup. The synthetic documents are one long
+  // word-soup line, so paragraph structure is synthesized
+  // deterministically first (a break every 5 words) — the oracle then
+  // checks the whole explode → global-first-occurrence → reassemble
+  // pipeline; `OpsSpec` covers the semantics on a corpus with real
+  // shared-boilerplate paragraphs.
+  private val paraBreak = "((?:\\S+ ){4}\\S+) "
+  private val paragraphs: Q = (s, dir) =>
+    Dedup.paragraphDedup(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), paraBreak, "$1\n\n").as("text")),
+      "doc_id", "text")
+  private val paragraphsSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1' || chr(10) || chr(10), 'g') AS t
+       |  FROM documents),
+       |paras AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(t, chr(10) || chr(10))) AS para,
+       |    unnest(range(1, len(string_split(t, chr(10) || chr(10))) + 1)) AS pos
+       |  FROM docs),
+       |kept AS (
+       |  SELECT doc_id, pos, para,
+       |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+       |  FROM paras)
+       |SELECT d.doc_id AS id,
+       |  coalesce(k.text, '') AS text
+       |FROM (SELECT DISTINCT doc_id FROM docs) d
+       |LEFT JOIN (
+       |  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+       |  FROM kept WHERE rn = 1 GROUP BY doc_id) k
+       |USING (doc_id)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
     Entry("dedup_minhash_lsh", minhash, None),
     Entry("dedup_simhash", simhash, None),
     Entry("dedup_components", components, Some(componentsSql)),
+    Entry("dedup_paragraphs", paragraphs, Some(paragraphsSql)),
   )
 }

@@ -228,6 +228,24 @@ class OpsSpec extends SparkSpec {
       s"expected a __cell partition filter in:\n$plan")
   }
 
+  test("paragraph dedup keeps the globally-first occurrence and reassembles in order") {
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"unique one\n\n$boiler\n\nunique two"),
+      (2L, s"$boiler\n\nfresh content"),          // boiler already seen in doc 1
+      (3L, s"$boiler"),                           // ONLY boiler → empty after dedup
+      (4L, "fresh content\n\nfresh content")      // in-doc duplicate: first kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == s"unique one\n\n$boiler\n\nunique two") // first occurrence keeps it
+    assert(out(2L) == "fresh content") // boiler removed, own content kept
+    assert(out(3L) == "")              // consisted entirely of boiler
+    // "fresh content" first occurred in doc 2, so BOTH of doc 4's
+    // copies (cross-doc + in-doc duplicate) are removed
+    assert(out(4L) == "")
+  }
+
   test("connected components labels every near-dup cluster by its min id") {
     // Components: {1,2,3} (chain), {10,11}, singleton edges absent.
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
