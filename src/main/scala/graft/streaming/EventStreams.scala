@@ -29,6 +29,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup for a document feed: the FIRST arrival of
+    * each content fingerprint passes, later copies within the
+    * watermark horizon are dropped. State is one 16-byte digest per
+    * distinct document, keyed in the state store (RocksDB at scale)
+    * and EXPIRED by the watermark — bounded state, unlike a naive
+    * `dropDuplicates` whose fingerprint set grows forever.
+    */
+  def dedupDocuments(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)

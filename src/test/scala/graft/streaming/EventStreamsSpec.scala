@@ -31,6 +31,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupDocuments: first arrival wins, later copies within watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val query = EventStreams.dedupDocuments(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "alpha"),
+        (ts("2024-01-01 00:01:00"), 2L, "alpha"), // same content, same batch
+        (ts("2024-01-01 00:02:00"), 3L, "beta"))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 00:10:00"), 4L, "alpha")) // dup, later batch
+      query.processAllAvailable()
+      val kept = spark.sql("select doc_id from dedup_docs").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"kept $kept")
+    } finally query.stop()
+  }
+
   test("sessionize: gap-based sessions close on timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
