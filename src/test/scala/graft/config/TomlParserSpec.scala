@@ -1,0 +1,98 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge cases of the vendored TOML reader (beyond the ConfigSpec
+  * YAML↔TOML round-trip): quoting, comments, multi-line arrays, dotted
+  * and quoted keys, arrays of tables, loud rejection of unsupported
+  * syntax.
+  */
+class TomlParserSpec extends AnyFunSuite {
+
+  private def parse(s: String) = TomlParser.parse(s)
+
+  test("scalars: strings (basic + literal + escapes), ints, floats, bools") {
+    val n = parse(
+      """a = "x \"quoted\" y"
+        |b = 'literal \n kept'
+        |c = 42
+        |d = -3.5
+        |e = true
+        |f = 1_000_000
+        |""".stripMargin)
+    assert(n.get("a").asText == "x \"quoted\" y")
+    assert(n.get("b").asText == "literal \\n kept") // literal strings keep backslashes
+    assert(n.get("c").asLong == 42L)
+    assert(n.get("d").asDouble == -3.5)
+    assert(n.get("e").asBoolean)
+    assert(n.get("f").asLong == 1000000L)
+  }
+
+  test("comments stripped outside strings, kept inside") {
+    val n = parse(
+      """a = "has # inside" # trailing comment
+        |# full-line comment
+        |b = 1
+        |""".stripMargin)
+    assert(n.get("a").asText == "has # inside")
+    assert(n.get("b").asInt == 1)
+  }
+
+  test("tables, dotted keys, quoted key segments") {
+    val n = parse(
+      """[outer.inner]
+        |x = 1
+        |"dotted.key" = 2
+        |[other]
+        |y.z = 3
+        |""".stripMargin)
+    assert(n.at("/outer/inner/x").asInt == 1)
+    assert(n.at("/outer/inner/dotted.key").asInt == 2)
+    assert(n.at("/other/y/z").asInt == 3)
+  }
+
+  test("arrays: inline, nested, multi-line") {
+    val n = parse(
+      """a = [1, 2, 3]
+        |b = [[1, 2], ["x", "y"]]
+        |c = [
+        |  "one",
+        |  "two",
+        |]
+        |""".stripMargin)
+    assert(n.get("a").size == 3 && n.get("a").get(2).asInt == 3)
+    assert(n.get("b").get(1).get(0).asText == "x")
+    assert(n.get("c").size == 2 && n.get("c").get(1).asText == "two")
+  }
+
+  test("arrays of tables with nested array-of-table children") {
+    val n = parse(
+      """[[src]]
+        |name = "a"
+        |[[src.cols]]
+        |id = 1
+        |[[src.cols]]
+        |id = 2
+        |[[src]]
+        |name = "b"
+        |[[src.cols]]
+        |id = 9
+        |""".stripMargin)
+    assert(n.get("src").size == 2)
+    assert(n.at("/src/0/cols/1/id").asInt == 2)
+    assert(n.at("/src/1/cols/0/id").asInt == 9) // children attach to the LAST table
+  }
+
+  test("inline tables, including nested keys") {
+    val n = parse("""m = { a = 1, b = "x", c.d = true }""")
+    assert(n.at("/m/a").asInt == 1)
+    assert(n.at("/m/b").asText == "x")
+    assert(n.at("/m/c/d").asBoolean)
+  }
+
+  test("unsupported syntax fails loudly, never mis-parses") {
+    intercept[IllegalArgumentException](parse("a = 1979-05-27")) // dates unsupported
+    intercept[IllegalArgumentException](parse("just a line"))
+    intercept[IllegalArgumentException](parse("a = [1, 2")) // unterminated
+  }
+}
