@@ -421,8 +421,10 @@ object GenomicInterpretations {
 }
 
 /** B5 — parse a cell into a protobuf TimeElement: date/datetime →
-  * RFC-3339 timestamp; ISO-8601 duration → Age (reference
-  * `transform/utils.rs:22-51`).
+  * RFC-3339 timestamp; ISO-8601 duration → Age; anything else is an
+  * ERROR, exactly like the reference (`transform/utils.rs:34-51`
+  * returns None and every builder call site maps that to a
+  * ParsingError — junk never rides silently into a packet).
   */
 object TimeParse {
   import java.time.LocalDate
@@ -444,15 +446,20 @@ object TimeParse {
     }.nextOption()
   }
 
+  /** RFC-3339 timestamp string for a date/datetime cell, or error
+    * (reference `try_parse_timestamp(...).ok_or(ParsingError)`).
+    */
   def toTimestampString(v: String): String =
-    parseDate(v).map(d => s"${d}T00:00:00Z").getOrElse(v)
+    parseDate(v).map(d => s"${d}T00:00:00Z").getOrElse(
+      throw new IllegalStateException(s"could not parse timestamp: '$v'"))
 
   def parse(v: String): TimeElement = {
     val s = v.trim
     if (IsoDuration.findFirstIn(s).isDefined) TimeElement(age = Some(Age(s)))
     else parseDate(s) match {
       case Some(d) => TimeElement(timestamp = Some(s"${d}T00:00:00Z"))
-      case None    => TimeElement(age = Some(Age(s)))
+      case None => throw new IllegalStateException(
+        s"could not parse time element: '$s' is neither a date/datetime nor an ISO-8601 duration")
     }
   }
 }

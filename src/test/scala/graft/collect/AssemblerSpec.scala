@@ -142,6 +142,21 @@ class AssemblerSpec extends SparkSpec {
     assert(p.phenotypicFeatures.map(_.`type`.id) == Seq("HP:1", "HP:2", "HP:3"))
   }
 
+  test("unparseable time cells error like the reference (never ride into a packet)") {
+    val hp = BiDict.fromEntries(Resource("hp", "HPO", "u", "v", "HP", "i"),
+      Seq(("HP:1", "f1", Seq.empty)))
+    val l2 = BiDictLibrary(Seq(hp))
+    val facts = Seq(
+      fact(0, "t1", 0, "A", FactKinds.HpoCell).copy(hpo = "HP:1", onset = "not-a-time"))
+    val e = intercept[IllegalStateException] {
+      Assembler.assembleOne("P1", facts, l2, cfg)
+    }
+    assert(e.getMessage.contains("not-a-time"))
+    // valid forms still parse: ISO duration → age, date → timestamp
+    assert(TimeParse.parse("P3Y2M").age.isDefined)
+    assert(TimeParse.parse("25.04.1998").timestamp.contains("1998-04-25T00:00:00Z"))
+  }
+
   test("block-less gene/variant columns produce no interpretation facts") {
     import spark.implicits._
     import graft.model._
