@@ -44,7 +44,11 @@ object Sampling {
     val cuts = weights.scanLeft(0.0)(_ + _) // 0, w0, w0+w1, …, 1
     val h = md5(col(keyCol).cast("string"))
     cuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
-      df.filter(h >= lit(hexThreshold(lo)) && h < lit(hexThreshold(hi)))
+      // The final bucket is unbounded above: a `< hexThreshold(1.0)`
+      // cap would orphan keys whose digest starts with 0xffffffff
+      // (one per ~4 billion rows — invisible in tests, real at scale).
+      if (hi >= 1.0) df.filter(h >= lit(hexThreshold(lo)))
+      else df.filter(h >= lit(hexThreshold(lo)) && h < lit(hexThreshold(hi)))
     }
   }
 }
