@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.rfc1123)
     ext.injectFunction(GraftExtensions.calendarAgeIso)
+    ext.injectFunction(GraftExtensions.nfcNormalize)
   }
 }
 
@@ -59,9 +60,18 @@ object GraftExtensions {
       CalendarAgeIso(children.head, children(1))
     })
 
+  private[functions] val nfcNormalize
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "nfc_normalize takes exactly one argument")
+      NfcNormalize(children.head)
+    })
+
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(isoDurationSeconds, vecDot, rfc1123, calendarAgeIso).foreach {
+    Seq(isoDurationSeconds, vecDot, rfc1123, calendarAgeIso, nfcNormalize).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -91,5 +101,11 @@ object GraftExtensions {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(CalendarAgeIso(
       GraftColumnBridge.expression(start), GraftColumnBridge.expression(end)))
+  }
+
+  /** Unicode NFC normalization (ASCII fast path, codegen'd). */
+  def nfc_normalize(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
   }
 }

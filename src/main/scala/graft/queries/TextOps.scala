@@ -129,7 +129,20 @@ object TextOps {
     s"""SELECT doc_id, source, lang FROM documents
        |WHERE md5(CAST(doc_id AS VARCHAR)) < '${graft.ops.Sampling.hexThreshold(0.2)}'""".stripMargin
 
+  // Unicode NFC canonicalization before fingerprinting — composed vs
+  // decomposed accents otherwise make byte-identical text hash apart.
+  // Native codegen'd expression; DuckDB nfc_normalize is the oracle twin.
+  private val normalize: Q = (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(graft.functions.GraftExtensions.nfc_normalize(lower(trim(col("text")))))
+          .as("canonical_fp"))
+  private val normalizeSql =
+    """SELECT doc_id, md5(nfc_normalize(lower(trim(text)))) AS canonical_fp
+      |FROM documents""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("text_nfc_fingerprint", normalize, Some(normalizeSql)),
     Entry("text_edit_distance", editDist, Some(editDistSql)),
     Entry("text_token_count", tokCount, Some(tokCountSql)),
     Entry("text_quality", quality, Some(qualitySql)),

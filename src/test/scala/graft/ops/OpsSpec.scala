@@ -228,6 +228,18 @@ class OpsSpec extends SparkSpec {
       s"expected a __cell partition filter in:\n$plan")
   }
 
+  test("NFC normalization unifies composed and decomposed accents; ASCII passes through") {
+    val composed = "café"            // é as one codepoint
+    val decomposed = "café"         // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+      .select($"id", graft.functions.GraftExtensions.nfc_normalize($"t").as("n"))
+    val out = df.as[(Long, String)].collect().toMap
+    assert(out(1L) == out(2L))            // normalize to the same bytes
+    assert(out(1L) == composed)           // NFC = composed form
+    assert(out(3L) == "plain ascii")      // ASCII fast path identity
+  }
+
   test("paragraph dedup keeps the globally-first occurrence and reassembles in order") {
     val boiler = "subscribe to our newsletter"
     val docs = Seq(
