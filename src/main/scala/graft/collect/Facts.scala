@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * built — this matters at 100 TB where the fact union is the dominant
   * shuffle payload.
   *
-  * Ordering: `(src, seq, idx)` = (data-source registration order, row
-  * order within the table, series order within the row) — the exact
-  * iteration order of the reference's collectors, reconstructed after
-  * the shuffle (the shuffle reader yields groups in arbitrary order).
+  * Ordering: the assembler sorts by `(src, idx, seq)` = (data-source
+  * registration order, COLUMN order, row order within the column) —
+  * column-major within a table, because the reference's collectors
+  * iterate the Polars column store series-by-series (verified against
+  * the reference's own expected_P001 golden). The shuffle reader yields
+  * groups in arbitrary order; these ordinals reconstruct it.
   */
 final case class Fact(
     subject: String,
@@ -82,6 +84,11 @@ object Facts {
     if (factCols.isEmpty) return spark.emptyDataset[Fact]
 
     cdf.df
+      // A blank subject cell can slip past construction-time validation
+      // (it checks nulls BEFORE the preprocessor trims whitespace to
+      // null); rows with no subject must not become a "cohort-null"
+      // packet via the presence fact.
+      .filter(col(subject).isNotNull && trim(col(subject).cast("string")) =!= "")
       .withColumn("__seq", monotonically_increasing_id())
       .select(
         col(subject).cast("string").as("subject"),

@@ -88,8 +88,10 @@ object ConfigRunner {
       case "alias_map"               => AliasMapStrategy
       case "default_mapping" =>
         spec.params.map(_.asText("")).getOrElse("sex") match {
+          case "sex"          => MappingStrategy.defaultSex
           case "vital_status" => MappingStrategy.defaultVitalStatus
-          case _              => MappingStrategy.defaultSex
+          case other => throw new IllegalArgumentException(
+            s"unknown default_mapping '$other' (expected sex | vital_status)")
         }
       case "mapping"                 => MappingStrategy.defaultSex
       case "default_sex_mapping"     => MappingStrategy.defaultSex

@@ -165,12 +165,17 @@ object TomlParser {
   private[config] def value(s: String): com.fasterxml.jackson.databind.JsonNode = s match {
     case "" => fail("empty value")
     case _ if s.startsWith("\"") =>
-      require(s.endsWith("\"") && s.length >= 2, s"unterminated string: $s")
+      // The closing quote must END the value — trailing tokens after it
+      // (`name = "a" "b"`) are rejected, not silently dropped (Jackson
+      // alone would parse the first string and ignore the rest).
+      require(s.length >= 2 && closingQuoteIndex(s) == s.length - 1,
+        s"malformed string value: $s")
       // Jackson understands JSON string escapes, a superset match for
       // the TOML basic-string escapes used in configs.
       new ObjectMapper().readTree(s)
     case _ if s.startsWith("'") =>
-      require(s.endsWith("'") && s.length >= 2, s"unterminated string: $s")
+      require(s.endsWith("'") && s.length >= 2 &&
+        s.indexOf('\'', 1) == s.length - 1, s"malformed literal string: $s")
       F.textNode(s.substring(1, s.length - 1))
     case "true"  => F.booleanNode(true)
     case "false" => F.booleanNode(false)
@@ -215,6 +220,21 @@ object TomlParser {
     }
     out += s.substring(start)
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the unescaped closing quote of a basic string starting
+    * at 0, or -1.
+    */
+  private def closingQuoteIndex(s: String): Int = {
+    var i = 1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => i += 2
+        case '"'  => return i
+        case _    => i += 1
+      }
+    }
+    -1
   }
 
   private def fail(msg: String): Nothing =

@@ -130,9 +130,19 @@ final case class ExcelReaderFactory(sheet: String, hasHeaders: Boolean,
     val file = partition.asInstanceOf[ExcelFilePartition].file
     val grid = ExcelDataSourceV2.sheetGrid(file, sheet)
     val dataRows = if (hasHeaders && grid.nonEmpty) grid.tail else grid
+    // Required columns are resolved against THIS FILE's own header, not
+    // positionally against the first file's: workbooks with the same
+    // columns in a different order read correctly, and a file missing a
+    // required column is a per-file data error, never silent
+    // column-swapping.
+    val fileColumns: IndexedSeq[String] =
+      if (hasHeaders && grid.nonEmpty)
+        grid.head.zipWithIndex.map { case (h, i) => Option(h).getOrElse(i.toString) }
+      else allColumns.toIndexedSeq
     val ordinals = requiredColumns.map { c =>
-      val i = allColumns.indexOf(c)
-      require(i >= 0, s"$file: column '$c' not in schema ${allColumns.mkString(",")}")
+      val i = fileColumns.indexOf(c)
+      require(i >= 0,
+        s"$file: column '$c' not found (file has ${fileColumns.mkString(", ")})")
       i
     }
     new PartitionReader[InternalRow] {

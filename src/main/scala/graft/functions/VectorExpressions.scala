@@ -32,13 +32,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  // A null ELEMENT poisons the whole dot product to null — same
+  // semantics as the aggregate(zip_with(...)) formulation this
+  // replaces; treating the slot as 0.0 would fabricate a finite, wrong
+  // similarity score. isNullAt on UnsafeArrayData is a bit test — the
+  // branch is free next to the multiply.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -47,8 +56,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"""
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-         |${ev.value} = s;
+         |boolean anyNull = false;
+         |for (int i = 0; i < n; i++) {
+         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
+         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |}
+         |if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = s; }
        """.stripMargin)
 
   override protected def withNewChildrenInternal(

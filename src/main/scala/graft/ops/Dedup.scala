@@ -184,8 +184,24 @@ object Dedup {
       idB: String = "id_b", maxIters: Int = 20,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+    // Ids keep their NATURAL type — numeric and string ids both order
+    // correctly under Spark min() and the driver comparator below;
+    // silently casting (e.g. UUID strings → null longs) would lose
+    // every cluster. Other id types are rejected loudly.
+    val idType = pairs.schema(idA).dataType
+    require(idType == pairs.schema(idB).dataType,
+      s"pair columns disagree on type: $idType vs ${pairs.schema(idB).dataType}")
+    val cmp: (Any, Any) => Int = idType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        (a, b) => java.lang.Double.compare(
+          a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents supports numeric or string ids, got $other")
+    }
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -193,26 +209,36 @@ object Dedup {
       // Broadcast-sized graph: classic union-find with path compression,
       // then relabel every node by its component's minimum id.
       import scala.collection.mutable
-      val parent = mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
+      val parent = mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val collected = edges.filter(col("src") < col("dst")).collect()
-      collected.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      val collected = edges.collect().map(r => (r.get(0), r.get(1)))
+        .filter { case (a, b) => cmp(a, b) < 0 }
+      collected.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        if (ra != rb) {
+          if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb
+        }
       }
-      val nodes = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-      val minOfRoot = mutable.LongMap.empty[Long]
-      nodes.foreach { n => val r = find(n); minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n) }
+      val nodes = collected.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val minOfRoot = mutable.HashMap.empty[Any, Any]
+      nodes.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = minOfRoot.get(r).filter(m => cmp(m, n) <= 0).getOrElse(n)
+      }
       edges.unpersist()
-      import spark.implicits._
-      return nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "component")
+      val rows = nodes.toSeq.map(n =>
+        org.apache.spark.sql.Row(n, minOfRoot(find(n))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
     }
     // Each sweep is eagerly localCheckpoint'ed: iterative plans
     // otherwise nest the whole previous plan into the next (lineage

@@ -41,13 +41,15 @@ object Sampling {
   def hashSplit(df: DataFrame, keyCol: String, weights: Seq[Double]): Seq[DataFrame] = {
     require(weights.nonEmpty && weights.forall(_ >= 0) && math.abs(weights.sum - 1.0) < 1e-9,
       "weights must be non-negative and sum to 1")
-    val cuts = weights.scanLeft(0.0)(_ + _) // 0, w0, w0+w1, …, 1
+    val cuts = weights.scanLeft(0.0)(_ + _) // 0, w0, w0+w1, …, ~1
     val h = md5(col(keyCol).cast("string"))
-    cuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
-      // The final bucket is unbounded above: a `< hexThreshold(1.0)`
-      // cap would orphan keys whose digest starts with 0xffffffff
-      // (one per ~4 billion rows — invisible in tests, real at scale).
-      if (hi >= 1.0) df.filter(h >= lit(hexThreshold(lo)))
+    // The final bucket (by INDEX — float accumulation can leave the last
+    // cut at 0.99999…, not 1.0) is unbounded above: any upper cap would
+    // orphan keys whose digest starts with 0xffffffff — one per ~4
+    // billion rows, invisible in tests, real row-loss at scale.
+    val windows = cuts.sliding(2).toSeq
+    windows.zipWithIndex.map { case (Seq(lo, hi), i) =>
+      if (i == windows.size - 1) df.filter(h >= lit(hexThreshold(lo)))
       else df.filter(h >= lit(hexThreshold(lo)) && h < lit(hexThreshold(hi)))
     }
   }

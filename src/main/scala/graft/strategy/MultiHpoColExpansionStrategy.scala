@@ -44,18 +44,19 @@ object MultiHpoColExpansionStrategy extends Strategy {
         var ctx = cdf.context
         byBlock.foreach { case (block, cols) =>
           val seqd = df.withColumn("__row", monotonically_increasing_id())
-          val mentions = cols.map { c =>
-            seqd.select(col(subject).as("__s"), col("__row"),
+          val mentions = cols.zipWithIndex.map { case (c, ci) =>
+            seqd.select(col(subject).as("__s"), col("__row"), lit(ci).as("__col"),
               posexplode(regexp_extract_all(col(c).cast("string"), lit(HpoRe), lit(1)))
                 .as(Seq("__pos", "__hpo")))
           }.reduce(_ unionByName _)
 
           // Discovered ids keep FIRST-SEEN order — row order, then
-          // appearance order within the cell (reference iterates rows
-          // and regex matches positionally; the output column order,
-          // hence the emitted feature order, follows it).
+          // source-column order, then appearance order within the cell
+          // (the column ordinal breaks (row, pos) ties between two text
+          // columns of the same block — without it the pivot column
+          // order, hence the emitted feature order, is nondeterministic).
           val ids = mentions.groupBy(col("__hpo"))
-            .agg(min(struct(col("__row"), col("__pos"))).as("__first"))
+            .agg(min(struct(col("__row"), col("__col"), col("__pos"))).as("__first"))
             .orderBy(col("__first"))
             .collect().map(_.getString(0))
           if (ids.nonEmpty) {

@@ -94,5 +94,8 @@ class TomlParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse("a = 1979-05-27")) // dates unsupported
     intercept[IllegalArgumentException](parse("just a line"))
     intercept[IllegalArgumentException](parse("a = [1, 2")) // unterminated
+    // trailing tokens after a closed string are rejected, not dropped
+    intercept[IllegalArgumentException](parse("""a = "x" "y""""))
+    intercept[IllegalArgumentException](parse("""a = 'x' trailing"""))
   }
 }

