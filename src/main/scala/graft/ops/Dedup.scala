@@ -277,6 +277,28 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination (the eval-leakage guard every training
+    * pipeline needs): drop every corpus document that shares ANY word
+    * n-gram with the reference (benchmark/eval) set.
+    *
+    * Scale shape: reference n-grams are distinct'd (benchmark-sized —
+    * orders of magnitude smaller than the corpus, typically broadcast),
+    * a LEFT SEMI join marks contaminated doc ids, a LEFT ANTI join
+    * removes them — corpus text rides no shuffle beyond its own shingle
+    * rows, and no pairwise comparison ever happens.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      n: Int): DataFrame = {
+    val corpusShingles = shingleRows(corpus, idCol, textCol, n)
+    val refShingles = shingleRows(reference, refIdCol, refTextCol, n)
+      .select(col("g")).distinct()
+    val contaminated = corpusShingles
+      .join(refShingles, Seq("g"), "left_semi")
+      .select(col("id")).distinct()
+    corpus.join(contaminated.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Paragraph-level exact dedup (the Dolma/CCNet shape): the corpus is
     * exploded into (doc, position, paragraph) rows; of all occurrences
     * of an identical paragraph, only the GLOBALLY FIRST (smallest

@@ -116,6 +116,31 @@ object DedupOps {
        |  FROM kept WHERE rn = 1 GROUP BY doc_id) k
        |USING (doc_id)""".stripMargin
 
+  // Eval-set decontamination: src0 is the training corpus, src1 plays
+  // the benchmark set; any shared word 4-gram disqualifies the doc.
+  private val decontaminate: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.decontaminate(
+      docs.filter(col("source") === "src0"), "doc_id", "text",
+      docs.filter(col("source") === "src1"), "doc_id", "text",
+      n = 4)
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+  private val decontaminateSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(len(toks) - 3),
+      |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+      |  FROM d WHERE len(toks) >= 4),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM sh
+      |  WHERE source = 'src0' AND g IN (SELECT g FROM sh WHERE source = 'src1'))
+      |SELECT doc_id, source, lang FROM documents
+      |WHERE source = 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
@@ -123,5 +148,6 @@ object DedupOps {
     Entry("dedup_simhash", simhash, None),
     Entry("dedup_components", components, Some(componentsSql)),
     Entry("dedup_paragraphs", paragraphs, Some(paragraphsSql)),
+    Entry("dedup_decontaminate", decontaminate, Some(decontaminateSql)),
   )
 }

@@ -240,6 +240,21 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == "plain ascii")      // ASCII fast path identity
   }
 
+  test("decontamination drops exactly the docs sharing an n-gram with the reference") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),       // contains ref 4-gram
+      (2L, "totally clean document here now"),
+      (3L, "another spotless training text")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "benchmark says the quick brown fox runs")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text",
+      benchmark, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // doc 1 shares "the quick brown fox"
+  }
+
   test("paragraph dedup keeps the globally-first occurrence and reassembles in order") {
     val boiler = "subscribe to our newsletter"
     val docs = Seq(
