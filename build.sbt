@@ -14,6 +14,9 @@ run / fork := true
 // Forked run output goes straight to stdout (no "[info] " decoration) —
 // the bench/verify JSON lines must be machine-parseable from the log.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line so the bench
+// JSON line is the LAST line of stdout (the driver parses the tail).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -11,9 +11,9 @@ import scala.jdk.CollectionConverters._
   * `phenoxtract/src/config/config_loader.rs:8-44`,
   * `CONFIG_YAML_README.md`): YAML/YML/JSON/TOML configs with
   * `${ENV_VAR}` shell expansion, decoded strictly (unknown strategy /
-  * context names fail fast). TOML rides the vendored
-  * [[TomlParser]]; RON is not supported (documented divergence — the
-  * reference ships no RON examples either).
+  * context names fail fast). TOML rides the vendored [[TomlParser]],
+  * RON the vendored [[RonParser]] — every format the reference's
+  * config crate accepts.
   */
 object ConfigLoader {
 
@@ -55,6 +55,7 @@ object ConfigLoader {
       if (path.endsWith(".yaml") || path.endsWith(".yml"))
         new ObjectMapper(new YAMLFactory()).readTree(expanded)
       else if (path.endsWith(".toml")) TomlParser.parse(expanded)
+      else if (path.endsWith(".ron")) RonParser.parse(expanded)
       else new ObjectMapper().readTree(expanded)
     decode(tree, Paths.get(path).getParent)
   }

@@ -172,6 +172,56 @@ class ConfigSpec extends SparkSpec {
     assert(fromToml.metaData == fromYaml.metaData)
     assert(fromToml.strategies.map(_.name) == fromYaml.strategies.map(_.name))
     assert(fromToml.loader == fromYaml.loader)
+
+    val ronPath = write(dir, "config.ron",
+      s"""// RON flavor of the same pipeline config
+         |(
+         |  data_sources: [
+         |    (
+         |      type: csv,
+         |      source: "${dir.resolve("data.csv")}",
+         |      series_contexts: [
+         |        (identifier: "Patient ID", data_context: subject_id),
+         |        (
+         |          identifier: "Sex",
+         |          data_context: subject_sex,
+         |          alias_map: (
+         |            output_data_type: string,
+         |            mappings: { "M": "MALE", "F": "FEMALE" },
+         |          ),
+         |        ),
+         |        (
+         |          identifier: "Onset",
+         |          data_context: (onset: age),
+         |          building_block_id: Some("P"),
+         |        ),
+         |      ],
+         |    ),
+         |  ],
+         |  pipeline: (
+         |    strategies: ["alias_map", "age_to_iso8601"],
+         |    loader: (file_system: (
+         |      output_dir: "${dir.resolve("out")}",
+         |      create_dir: true,
+         |    )),
+         |    meta_data: (
+         |      created_by: "tester",
+         |      cohort_name: "c1",
+         |      hpo_resource: (
+         |        id: "hp",
+         |        version: "2024-01-01",
+         |        namespace_prefix: "HP",
+         |        terms_file: "${dir.resolve("hp_terms.csv")}",
+         |      ),
+         |    ),
+         |  ),
+         |)
+         |""".stripMargin)
+    val fromRon = ConfigLoader.load(ronPath)
+    assert(fromRon.csvSources == fromYaml.csvSources)
+    assert(fromRon.metaData == fromYaml.metaData)
+    assert(fromRon.strategies.map(_.name) == fromYaml.strategies.map(_.name))
+    assert(fromRon.loader == fromYaml.loader)
   }
 
   test("parameterized quantitative context decodes") {
