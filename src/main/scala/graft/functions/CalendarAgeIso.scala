@@ -36,10 +36,11 @@ case class CalendarAgeIso(left: Expression, right: Expression) extends BinaryExp
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = CalendarAgeIso.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val out = ctx.freshName("out")
     nullSafeCodeGen(ctx, ev, (s, e) =>
       s"""
-         |UTF8String out = ($cls).evalBoxed($s, $e);
-         |if (out == null) { ${ev.isNull} = true; } else { ${ev.value} = out; }
+         |UTF8String $out = ($cls).evalBoxed($s, $e);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
        """.stripMargin)
   }
 

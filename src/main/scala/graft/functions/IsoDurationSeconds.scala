@@ -34,10 +34,11 @@ case class IsoDurationSeconds(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = IsoDurationSeconds.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val boxed = ctx.freshName("boxed")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |Long boxed = ($cls).evalBoxed($c);
-         |if (boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = boxed.longValue(); }
+         |Long $boxed = ($cls).evalBoxed($c);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
        """.stripMargin)
   }
 

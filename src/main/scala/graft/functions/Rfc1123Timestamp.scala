@@ -31,10 +31,11 @@ case class Rfc1123Timestamp(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = Rfc1123Timestamp.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val boxed = ctx.freshName("boxed")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |Long boxed = ($cls).evalBoxed($c);
-         |if (boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = boxed.longValue(); }
+         |Long $boxed = ($cls).evalBoxed($c);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
        """.stripMargin)
   }
 

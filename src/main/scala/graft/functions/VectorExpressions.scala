@@ -51,18 +51,27 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     s
   }
 
+  // Locals go through ctx.freshName: two vec_dot calls can land in the
+  // same generated function (e.g. one projection computing scores
+  // against two query vectors), where fixed names collide and knock the
+  // whole stage back to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val anyNull = ctx.freshName("anyNull")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |boolean anyNull = false;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
-         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = s; }
-       """.stripMargin)
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

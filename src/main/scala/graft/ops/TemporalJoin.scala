@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Temporal joins: as-of (merge) join and point-in-interval range join.
   *
@@ -23,6 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoin {
 
+  /** Seconds-since-epoch for any sane time column type: numeric columns
+    * are taken as epoch seconds verbatim; timestamp/date/string go
+    * through `unix_timestamp`. Anything else is rejected eagerly (the
+    * silent alternative is an analysis error deep inside the plan).
+    */
+  private def epochSeconds(c: Column, dt: DataType, what: String): Column = dt match {
+    case _: NumericType                          => c.cast(LongType)
+    case TimestampType | DateType | StringType   => unix_timestamp(c)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what has unsupported time type $other; need numeric epoch, timestamp, date or string")
+  }
+
+  private def requireCols(df: DataFrame, cols: Seq[String], side: String): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"$side side is missing column(s): ${missing.mkString(", ")}")
+  }
+
   /** Backward (most-recent-at-or-before) as-of join.
     *
     * For every left row, attaches the `payload` columns of the right
@@ -36,7 +55,17 @@ object TemporalJoin {
     * Plan: one shuffle (hash partition by `keys`), one sort within
     * partitions, no join node at all. A left row at the same instant
     * as a right row DOES see it (inclusive), because the right side
-    * sorts first at equal timestamps.
+    * sorts first at equal timestamps. All payload columns ride in ONE
+    * struct column so a right row whose payload value is null still
+    * wins (per-column `last(ignoreNulls)` would skip it and resurrect
+    * an older row's value — wrong row semantics).
+    *
+    * Scale note: one window partition per key value; a single hot key
+    * serializes into one task. If key skew is expected, pre-split hot
+    * keys into (key, coarse-time-slice) sub-partitions and carry the
+    * last right row of the previous slice forward — not done here
+    * because the per-key cardinalities in this engine's workloads
+    * (users, patients) are bounded.
     *
     * @param tolerance optional max staleness in seconds: matches older
     *                  than `leftTime - tolerance` are nulled out.
@@ -49,41 +78,55 @@ object TemporalJoin {
       rightTime: String,
       payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    requireCols(left, keys :+ leftTime, "left")
+    requireCols(right, (keys :+ rightTime) ++ payload, "right")
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__asof_ts") && !leftCols.contains("__asof_side"),
-      "reserved column name collision")
+    val reserved = Seq("__asof_ts", "__asof_side", "__asof_row")
+    require(!leftCols.exists(reserved.contains),
+      s"left reserves column name(s) ${reserved.mkString(", ")}")
+    val clash = payload.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"payload column(s) ${clash.mkString(", ")} collide with left columns; alias them first")
+    require(!payload.contains(rightTime) || !leftCols.contains(rightTime),
+      s"right time column $rightTime collides with a left column")
 
-    // Common layout: keys, event time, side tag (right sorts before
-    // left at equal times → inclusive match), left payload, right
-    // payload. Each side nulls the other's columns.
+    // The matched right row travels as one atomic struct (payload
+    // fields + its own timestamp for the staleness check).
+    val rowType = StructType(
+      payload.map(c => StructField(c, right.schema(c).dataType)) :+
+        StructField("__rts", right.schema(rightTime).dataType))
     val leftPart = left.select(
       (keys.map(col) :+ col(leftTime).as("__asof_ts") :+ lit(1).as("__asof_side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        (payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-          lit(null).cast(right.schema(rightTime).dataType).as("__asof_rts")): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(rowType).as("__asof_row"): _*)
     val rightPart = right.select(
       (keys.map(col) :+ col(rightTime).as("__asof_ts") :+ lit(0).as("__asof_side")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (payload.map(col) :+ col(rightTime).as("__asof_rts")): _*)
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col) :+ col(rightTime).as("__rts"): _*).cast(rowType)
+          .as("__asof_row"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = (payload :+ "__asof_rts").foldLeft(leftPart.unionByName(rightPart)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = leftPart.unionByName(rightPart)
+      .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
+
     val stale: Column = tolerance match {
       case Some(sec) =>
-        col("__asof_rts").isNull ||
-          unix_timestamp(col("__asof_ts")) - unix_timestamp(col("__asof_rts")) > sec
+        val lts = epochSeconds(col("__asof_ts"), left.schema(leftTime).dataType, "leftTime")
+        val rts = epochSeconds(col("__asof_row").getField("__rts"),
+          right.schema(rightTime).dataType, "rightTime")
+        col("__asof_row").isNull || lts - rts > sec
       case None => lit(false)
     }
     filled
       .filter(col("__asof_side") === 1)
-      .select(leftCols.map(col) ++
-        payload.map(c => when(stale, lit(null)).otherwise(col(c)).as(c)): _*)
+      .select(leftCols.map(col) ++ payload.map(c =>
+        when(stale, lit(null)).otherwise(col("__asof_row").getField(c)).as(c)): _*)
   }
 
   /** Point-in-interval range join: pairs every point with every
@@ -95,7 +138,9 @@ object TemporalJoin {
     * (interval, point) pair is produced exactly once — no post-join
     * dedup. The bucket column turns the range predicate into a
     * hash-join key; pick `binSeconds` ≈ the typical interval width so
-    * the explosion factor stays ~2.
+    * the explosion factor stays ~2. Intervals much longer than the bin
+    * width multiply their row count by width/binSeconds — clamp the
+    * bin up (or pre-split pathological intervals) before calling.
     */
   def pointsInIntervals(
       intervals: DataFrame,
@@ -106,18 +151,32 @@ object TemporalJoin {
       timeCol: String,
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    require(keys.nonEmpty, "range join needs at least one key column")
+    requireCols(intervals, keys ++ Seq(startCol, endCol), "intervals")
+    requireCols(points, keys :+ timeCol, "points")
+    val renamed = keys.map(k => s"__p_$k")
+    val allNames = intervals.columns.toSeq ++ points.columns
+    require(!allNames.contains("__bin") && !renamed.exists(allNames.contains),
+      "reserved column name collision (__bin / __p_<key>)")
+    val shared = intervals.columns.toSeq.intersect(
+      points.columns.toSeq.filterNot(keys.contains))
+    require(shared.isEmpty,
+      s"non-key column(s) ${shared.mkString(", ")} exist on both sides; alias them first")
+
+    val sEpoch = epochSeconds(col(startCol), intervals.schema(startCol).dataType, "startCol")
+    val eEpoch = epochSeconds(col(endCol), intervals.schema(endCol).dataType, "endCol")
     val binned = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(unix_timestamp(col(startCol)) / binSeconds),
-        floor(unix_timestamp(col(endCol)) / binSeconds))))
+      explode(sequence(floor(sEpoch / binSeconds), floor(eEpoch / binSeconds))))
     val pts = points
-      .withColumn("__bin", floor(unix_timestamp(col(timeCol)) / binSeconds))
+      .withColumn("__bin",
+        floor(epochSeconds(col(timeCol), points.schema(timeCol).dataType, "timeCol") / binSeconds))
       .withColumnsRenamed(keys.map(k => k -> s"__p_$k").toMap)
-    binned
-      .join(pts,
-        keys.map(k => col(k) === col(s"__p_$k")).reduce(_ && _) &&
-          binned("__bin") === pts("__bin") &&
-          col(timeCol) > col(startCol) && col(timeCol) <= col(endCol))
-      .drop("__bin", keys.map(k => s"__p_$k"): _*)
+    val joined = binned.join(pts,
+      keys.map(k => binned(k) === pts(s"__p_$k")).reduce(_ && _) &&
+        binned("__bin") === pts("__bin") &&
+        pts(timeCol) > binned(startCol) && pts(timeCol) <= binned(endCol))
+    keys.foldLeft(joined.drop(binned("__bin")).drop(pts("__bin"))) {
+      (df, k) => df.drop(pts(s"__p_$k"))
+    }
   }
 }
