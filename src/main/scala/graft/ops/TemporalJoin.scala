@@ -37,6 +37,16 @@ object TemporalJoin {
         s"$what has unsupported time type $other; need numeric epoch, timestamp, date or string")
   }
 
+  /** Eager version of the [[epochSeconds]] type gate, run before any
+    * plan is built — otherwise a bad time column surfaces as an opaque
+    * analysis error from deep inside the union/join.
+    */
+  private def checkTimeType(dt: DataType, what: String): Unit = dt match {
+    case _: NumericType | TimestampType | DateType | StringType => ()
+    case other => throw new IllegalArgumentException(
+      s"$what has unsupported time type $other; need numeric epoch, timestamp, date or string")
+  }
+
   private def requireCols(df: DataFrame, cols: Seq[String], side: String): Unit = {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"$side side is missing column(s): ${missing.mkString(", ")}")
@@ -82,6 +92,8 @@ object TemporalJoin {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     requireCols(left, keys :+ leftTime, "left")
     requireCols(right, (keys :+ rightTime) ++ payload, "right")
+    checkTimeType(left.schema(leftTime).dataType, "leftTime")
+    checkTimeType(right.schema(rightTime).dataType, "rightTime")
     val leftCols = left.columns.toSeq
     val reserved = Seq("__asof_ts", "__asof_side", "__asof_row")
     require(!leftCols.exists(reserved.contains),
@@ -154,6 +166,9 @@ object TemporalJoin {
     require(keys.nonEmpty, "range join needs at least one key column")
     requireCols(intervals, keys ++ Seq(startCol, endCol), "intervals")
     requireCols(points, keys :+ timeCol, "points")
+    checkTimeType(intervals.schema(startCol).dataType, "startCol")
+    checkTimeType(intervals.schema(endCol).dataType, "endCol")
+    checkTimeType(points.schema(timeCol).dataType, "timeCol")
     val renamed = keys.map(k => s"__p_$k")
     val allNames = intervals.columns.toSeq ++ points.columns
     require(!allNames.contains("__bin") && !renamed.exists(allNames.contains),

@@ -17,7 +17,8 @@ object Catalog {
   def all: Seq[Entry] =
     Relational.entries ++ EtlScalarOps.entries ++ StrategyOps.entries ++
       GroupingOps.entries ++ TextOps.entries ++ DedupOps.entries ++
-      SimilarityOps.entries ++ MultimodalOps.entries ++ EtlAssembly.entries
+      SimilarityOps.entries ++ MultimodalOps.entries ++ EtlAssembly.entries ++
+      TemporalOps.entries
 
   lazy val queries: Map[String, Q] = {
     val names = all.map(_.name)

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TemporalJoin
+import graft.queries.Catalog.{Entry, Q}
+
+/** Gate queries for the temporal join operators (`graft.ops.TemporalJoin`).
+  *
+  * Shapes mirror the reference's longitudinal-record pairing (most
+  * recent observation at-or-before an encounter; events inside a
+  * treatment window) re-cast onto the synthetic `events` table: clicks
+  * are the probe side, purchases the attribute side, `user_id` the
+  * entity key.
+  *
+  * Timestamps never appear in the output — events.parquet is
+  * TIMESTAMP(NANOS), which Spark reads truncated to micros while DuckDB
+  * keeps nanos; ids and values hash identically, raw timestamps would
+  * not. (Truncation cannot flip any comparison here: the generator
+  * emits whole-microsecond stamps, verified per scale factor.)
+  */
+object TemporalOps {
+
+  // temporal_asof — for every click, the user's most recent purchase
+  // at-or-before the click (DuckDB ASOF LEFT JOIN is the oracle).
+  private val tAsof: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    TemporalJoin.asofBackward(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"))
+      .select("click_id", "user_id", "purchase_id", "purchase_value")
+  }
+
+  private val tAsofSql =
+    """SELECT l.event_id AS click_id, l.user_id,
+      |  r.event_id AS purchase_id, r.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  // temporal_asof_tol — same join with a 48-hour staleness bound:
+  // matches older than 2 days are nulled. DuckDB has no ASOF tolerance,
+  // so the oracle is the correlated top-1 lateral formulation (fine at
+  // oracle scale; the Spark side stays the single-shuffle merge plan).
+  private val tAsofTol: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    TemporalJoin.asofBackward(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        tolerance = Some(172800L))
+      .select("click_id", "user_id", "purchase_id", "purchase_value")
+  }
+
+  private val tAsofTolSql =
+    """SELECT l.event_id AS click_id, l.user_id,
+      |  r.purchase_id, r.purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |LEFT JOIN LATERAL (
+      |  SELECT p.event_id AS purchase_id, p.value AS purchase_value
+      |  FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = l.user_id
+      |    AND p.ts <= l.ts AND epoch(l.ts) - epoch(p.ts) <= 172800
+      |  ORDER BY p.ts DESC LIMIT 1
+      |) r ON true""".stripMargin
+
+  // temporal_range — every click landing within one day after a
+  // purchase by the same user (half-open: strictly after the purchase,
+  // at-or-before purchase + 1 day). Bin width = the interval width, so
+  // each interval explodes over at most 2 buckets.
+  private val tRange: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("end_ts"),
+        col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    TemporalJoin.pointsInIntervals(purchases, clicks,
+        keys = Seq("user_id"), startCol = "start_ts", endCol = "end_ts",
+        timeCol = "ts", binSeconds = 86400L)
+      .select("user_id", "purchase_id", "click_id")
+  }
+
+  private val tRangeSql =
+    """SELECT i.user_id, i.event_id AS purchase_id, p.event_id AS click_id
+      |FROM events i JOIN events p
+      |  ON p.user_id = i.user_id
+      | AND p.ts > i.ts AND p.ts <= i.ts + INTERVAL 1 DAY
+      |WHERE i.event_type = 'purchase' AND p.event_type = 'click'""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+    Entry("temporal_asof", tAsof, Some(tAsofSql)),
+    Entry("temporal_asof_tol", tAsofTol, Some(tAsofTolSql)),
+    Entry("temporal_range", tRange, Some(tRangeSql)))
+}

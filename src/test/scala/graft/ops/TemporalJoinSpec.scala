@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Left: probes at epoch seconds; right: (key, ts, tag, value) facts.
+  private def leftDf = Seq(
+    (1L, 100L, "a"), (1L, 200L, "b"), (1L, 50L, "c"),
+    (2L, 100L, "d"), (3L, 100L, "e"))
+    .toDF("k", "t", "probe")
+  private def rightDf = Seq(
+    (1L, 100L, "r1", 1.0), (1L, 150L, "r2", 2.0),
+    (2L, 101L, "r3", 3.0))
+    .toDF("k", "rt", "tag", "v")
+
+  test("asof backward: most recent at-or-before per key, inclusive at equal ts, null when none") {
+    val out = TemporalJoin.asofBackward(leftDf, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "rt",
+        payload = Seq("tag", "v"))
+      .select("k", "t", "probe", "tag", "v")
+      .as[(Long, Long, String, Option[String], Option[Double])]
+      .collect().toSet
+    assert(out === Set(
+      (1L, 100L, "a", Some("r1"), Some(1.0)), // inclusive: rt == t matches
+      (1L, 200L, "b", Some("r2"), Some(2.0)), // most recent, not first
+      (1L, 50L, "c", None, None),             // nothing at-or-before
+      (2L, 100L, "d", None, None),            // right row is 1s later
+      (3L, 100L, "e", None, None)))           // key absent on right
+  }
+
+  test("asof tolerance: matches staler than the bound are nulled, fresher kept") {
+    val out = TemporalJoin.asofBackward(leftDf, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "rt",
+        payload = Seq("tag"), tolerance = Some(60L))
+      .select("k", "t", "tag").as[(Long, Long, Option[String])].collect().toSet
+    assert(out.contains((1L, 200L, Some("r2"))), "within 60s: kept")
+    assert(out.contains((1L, 100L, Some("r1"))), "0s staleness: kept")
+    // a probe 120s after r2 with tolerance 60 must null out
+    val far = Seq((1L, 270L, "z")).toDF("k", "t", "probe")
+    val tol = TemporalJoin.asofBackward(far, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "rt",
+        payload = Seq("tag"), tolerance = Some(60L))
+      .select("tag").as[Option[String]].head()
+    assert(tol.isEmpty)
+  }
+
+  test("asof: empty right side leaves every left row with null payload") {
+    val out = TemporalJoin.asofBackward(leftDf, rightDf.filter(lit(false)),
+        keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"))
+    assert(out.count() === leftDf.count())
+    assert(out.filter(col("tag").isNotNull).count() === 0)
+  }
+
+  test("asof: a null payload VALUE on the winning row is kept (not skipped for an older row)") {
+    val right = Seq(
+      (1L, 100L, Some("old"), 1.0),
+      (1L, 150L, None: Option[String], 2.0)) // winner for t>=150, tag legitimately null
+      .toDF("k", "rt", "tag", "v")
+    val probe = Seq((1L, 160L, "p")).toDF("k", "t", "probe")
+    val row = TemporalJoin.asofBackward(probe, right,
+        keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag", "v"))
+      .select("tag", "v").as[(Option[String], Option[Double])].head()
+    assert(row === ((None, Some(2.0))), "winning row's null tag must survive; v proves row identity")
+  }
+
+  test("asof: timestamp time columns work end-to-end (not just numeric epochs)") {
+    val l = Seq(("u1", "2024-01-02 00:00:00", "p1")).toDF("k", "ts", "probe")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = Seq(("u1", "2024-01-01 00:00:00", 7.0)).toDF("k", "rts", "v")
+      .withColumn("rts", to_timestamp(col("rts")))
+    val out = TemporalJoin.asofBackward(l, r, Seq("k"), "ts", "rts", Seq("v"),
+      tolerance = Some(2 * 86400L))
+    assert(out.select("v").as[Option[Double]].head() === Some(7.0))
+  }
+
+  test("asof: reserved and colliding names are rejected eagerly") {
+    val badLeft = leftDf.withColumn("__asof_row", lit(1))
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.asofBackward(badLeft, rightDf, Seq("k"), "t", "rt", Seq("tag"))
+    }
+    // payload column name already present on the left
+    val clash = rightDf.withColumnRenamed("tag", "probe")
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.asofBackward(leftDf, clash, Seq("k"), "t", "rt", Seq("probe"))
+    }
+    // missing column
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.asofBackward(leftDf, rightDf, Seq("k"), "t", "rt", Seq("nope"))
+    }
+  }
+
+  test("asof: unsupported time type fails loudly when tolerance needs epoch math") {
+    val l = leftDf.withColumn("arr", array(lit(1)))
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.asofBackward(l, rightDf, Seq("k"), "arr", "rt", Seq("tag"),
+        tolerance = Some(1L))
+    }
+  }
+
+  // ---- range join -------------------------------------------------
+
+  private def intervalsDf = Seq(
+    (1L, 100L, 200L, "i1"), (1L, 150L, 250L, "i2"), (2L, 0L, 1000L, "i3"))
+    .toDF("k", "s", "e", "iid")
+  private def pointsDf = Seq(
+    (1L, 100L, "p_at_start"),  // == start: excluded (half-open)
+    (1L, 200L, "p_at_end"),    // == end of i1: included; inside i2
+    (1L, 160L, "p_inside"),    // inside both i1 and i2
+    (1L, 300L, "p_outside"),
+    (2L, 500L, "p_other_key"),
+    (3L, 150L, "p_no_interval"))
+    .toDF("k", "t", "pid")
+
+  test("range join: half-open containment, per-key, each pair exactly once") {
+    val out = TemporalJoin.pointsInIntervals(intervalsDf, pointsDf,
+        keys = Seq("k"), startCol = "s", endCol = "e", timeCol = "t", binSeconds = 100L)
+      .select("iid", "pid").as[(String, String)].collect().toList
+    assert(out.size === out.distinct.size, "no duplicate pairs")
+    assert(out.toSet === Set(
+      ("i1", "p_at_end"), ("i2", "p_at_end"),
+      ("i1", "p_inside"), ("i2", "p_inside"),
+      ("i3", "p_other_key")))
+  }
+
+  test("range join: result is bin-width invariant (explosion factor changes, answer doesn't)") {
+    def run(bin: Long) = TemporalJoin.pointsInIntervals(intervalsDf, pointsDf,
+        keys = Seq("k"), startCol = "s", endCol = "e", timeCol = "t", binSeconds = bin)
+      .select("iid", "pid").as[(String, String)].collect().toSet
+    val wide = run(10000L) // every interval in ~1 bucket
+    val narrow = run(7L)   // i3 alone explodes over ~143 buckets
+    assert(wide === narrow)
+    assert(wide.size === 5)
+  }
+
+  test("range join: reserved and shared column names are rejected eagerly") {
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.pointsInIntervals(intervalsDf.withColumn("__bin", lit(1)), pointsDf,
+        Seq("k"), "s", "e", "t", 100L)
+    }
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.pointsInIntervals(intervalsDf, pointsDf.withColumnRenamed("pid", "iid"),
+        Seq("k"), "s", "e", "t", 100L)
+    }
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.pointsInIntervals(intervalsDf, pointsDf, Seq("k"), "s", "e", "t", 0L)
+    }
+  }
+
+  test("asof plan: single hash-partition window, no join operator") {
+    val out = TemporalJoin.asofBackward(leftDf, rightDf,
+      keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"), s"merge-asof must not contain a join node:\n$physical")
+    assert(physical.contains("Window"), "expected a window operator")
+  }
+
+  test("range join plan: hash join on (key, bin), never nested-loop") {
+    val out = TemporalJoin.pointsInIntervals(intervalsDf, pointsDf,
+      keys = Seq("k"), startCol = "s", endCol = "e", timeCol = "t", binSeconds = 100L)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") && !physical.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$physical")
+  }
+}
