@@ -88,6 +88,92 @@ object TemporalJoin {
       rightTime: String,
       payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
+    val (unioned, leftCols) = asofUnion(left, right, keys, leftTime, rightTime, payload)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = unioned
+      .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
+    asofFinish(filled, leftCols, payload,
+      left.schema(leftTime).dataType, right.schema(rightTime).dataType, tolerance)
+  }
+
+  /** [[asofBackward]] with bounded window tasks for skewed keys.
+    *
+    * Identical semantics; different plan. Time is cut into
+    * `sliceSeconds` slices and the single per-key window becomes:
+    *
+    *  1. a per-(key, slice) window — every task bounded by the rows one
+    *     key produces in one slice, so a hot key spreads over
+    *     timespan/sliceSeconds tasks instead of serializing into one;
+    *  2. a per-key carry of each slice's LAST right row across slice
+    *     boundaries — this window sees one row per (key, slice), orders
+    *     of magnitude smaller than the data;
+    *  3. an equi-join of the carry back on (key, slice), then
+    *     `coalesce(local, carried)`.
+    *
+    * Pick `sliceSeconds` so a hot key's rows-per-slice fit a task
+    * comfortably (e.g. hottest key at ~10⁹ rows/year → hourly slices ≈
+    * 10⁵ rows/task). Use plain [[asofBackward]] when per-key volumes
+    * are bounded — it is one shuffle cheaper.
+    */
+  def asofBackwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      sliceSeconds: Long,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(sliceSeconds > 0, "sliceSeconds must be positive")
+    val (u0, leftCols) = asofUnion(left, right, keys, leftTime, rightTime, payload)
+
+    val u = u0.withColumn("__slice",
+      floor(epochSeconds(col("__asof_ts"), u0.schema("__asof_ts").dataType, "time") /
+        sliceSeconds))
+    val sliceKeys = (keys :+ "__slice").map(col)
+
+    val wLocal = Window.partitionBy(sliceKeys: _*)
+      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("__asof_row",
+      last(col("__asof_row"), ignoreNulls = true).over(wLocal))
+
+    // Last right row of every slice, carried forward across slices —
+    // strictly-before frame: rows in slice s already saw s's own right
+    // rows up to their own timestamp in the local pass.
+    val sliceFinal = u.filter(col("__asof_side") === 0)
+      .groupBy(sliceKeys: _*)
+      .agg(max_by(col("__asof_row"), col("__asof_ts")).as("__slice_final"))
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.select(sliceKeys: _*).distinct()
+      .join(sliceFinal, keys :+ "__slice", "left")
+      .withColumn("__carry", last(col("__slice_final"), ignoreNulls = true).over(wCarry))
+      .select(sliceKeys :+ col("__carry"): _*)
+
+    val filled = local.join(carry, keys :+ "__slice", "left")
+      .withColumn("__asof_row", coalesce(col("__asof_row"), col("__carry")))
+    asofFinish(filled, leftCols, payload,
+      left.schema(leftTime).dataType, right.schema(rightTime).dataType, tolerance)
+  }
+
+  /** Shared as-of validation + both-sides-in-one-frame layout: keys,
+    * event time, side tag (right sorts before left at equal times →
+    * inclusive match), left columns (nulled on right rows), and the
+    * candidate right row as one `__asof_row` struct (nulled on left
+    * rows).
+    */
+  private def asofUnion(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): (DataFrame, Seq[String]) = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     requireCols(left, keys :+ leftTime, "left")
@@ -95,9 +181,12 @@ object TemporalJoin {
     checkTimeType(left.schema(leftTime).dataType, "leftTime")
     checkTimeType(right.schema(rightTime).dataType, "rightTime")
     val leftCols = left.columns.toSeq
-    val reserved = Seq("__asof_ts", "__asof_side", "__asof_row")
+    val reserved =
+      Seq("__asof_ts", "__asof_side", "__asof_row", "__slice", "__slice_final", "__carry")
     require(!leftCols.exists(reserved.contains),
       s"left reserves column name(s) ${reserved.mkString(", ")}")
+    require(!payload.exists(reserved.contains),
+      s"payload reserves column name(s) ${reserved.mkString(", ")}")
     val clash = payload.filter(leftCols.contains)
     require(clash.isEmpty,
       s"payload column(s) ${clash.mkString(", ")} collide with left columns; alias them first")
@@ -119,19 +208,22 @@ object TemporalJoin {
           lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col) :+ col(rightTime).as("__rts"): _*).cast(rowType)
           .as("__asof_row"): _*)
+    (leftPart.unionByName(rightPart), leftCols)
+  }
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val filled = leftPart.unionByName(rightPart)
-      .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
-
+  /** Staleness filter + final projection shared by both as-of plans. */
+  private def asofFinish(
+      filled: DataFrame,
+      leftCols: Seq[String],
+      payload: Seq[String],
+      leftTimeType: DataType,
+      rightTimeType: DataType,
+      tolerance: Option[Long]): DataFrame = {
     val stale: Column = tolerance match {
       case Some(sec) =>
-        val lts = epochSeconds(col("__asof_ts"), left.schema(leftTime).dataType, "leftTime")
+        val lts = epochSeconds(col("__asof_ts"), leftTimeType, "leftTime")
         val rts = epochSeconds(col("__asof_row").getField("__rts"),
-          right.schema(rightTime).dataType, "rightTime")
+          rightTimeType, "rightTime")
         col("__asof_row").isNull || lts - rts > sec
       case None => lit(false)
     }

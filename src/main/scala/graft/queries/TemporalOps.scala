@@ -74,6 +74,25 @@ object TemporalOps {
       |  ORDER BY p.ts DESC LIMIT 1
       |) r ON true""".stripMargin
 
+  // temporal_asof_salted — the skew-hardened two-level plan, same
+  // semantics as temporal_asof and checked against the SAME ASOF JOIN
+  // oracle: bounded per-(key, slice) window tasks + a tiny per-key
+  // carry across slice boundaries. Weekly slices over the one-month
+  // event range → every key spreads over ~5 tasks.
+  private val tAsofSalted: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    TemporalJoin.asofBackwardSalted(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        sliceSeconds = 7L * 86400L)
+      .select("click_id", "user_id", "purchase_id", "purchase_value")
+  }
+
   // temporal_range — every click landing within one day after a
   // purchase by the same user (half-open: strictly after the purchase,
   // at-or-before purchase + 1 day). Bin width = the interval width, so
@@ -102,5 +121,6 @@ object TemporalOps {
   def entries: Seq[Entry] = Seq(
     Entry("temporal_asof", tAsof, Some(tAsofSql)),
     Entry("temporal_asof_tol", tAsofTol, Some(tAsofTolSql)),
+    Entry("temporal_asof_salted", tAsofSalted, Some(tAsofSql)),
     Entry("temporal_range", tRange, Some(tRangeSql)))
 }

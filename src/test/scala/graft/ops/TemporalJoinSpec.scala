@@ -150,6 +150,52 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("salted asof == plain asof on adversarial data (hot key, slice boundaries, ties)") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    // key 1 is hot (many rows, many slices); keys 2-4 sparse; right
+    // timestamps collide with left ones and with slice edges.
+    val lrows = (1 to 2000).map { i =>
+      val k = if (i % 4 == 0) 1L + rnd.nextInt(4) else 1L
+      (k, rnd.nextInt(5000).toLong, s"p$i")
+    }
+    val rrows = (1 to 600).map { i =>
+      val k = if (i % 4 == 0) 1L + rnd.nextInt(4) else 1L
+      (k, i * 7L % 5000, s"r$i", rnd.nextDouble())
+    }.distinctBy(r => (r._1, r._2)) // unique per (key, ts)
+    val l = lrows.toDF("k", "t", "probe")
+    val r = rrows.toDF("k", "rt", "tag", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "probe", "tag", "v")
+        .as[(Long, Long, String, Option[String], Option[Double])].collect().sorted.toList
+    val plain = canon(TemporalJoin.asofBackward(l, r, Seq("k"), "t", "rt", Seq("tag", "v")))
+    // slice width 100 → hot key spreads over ~50 slices; also an
+    // extreme width-1 slicing (every ts its own slice)
+    for (slice <- Seq(100L, 1L, 100000L)) {
+      val salted = canon(TemporalJoin.asofBackwardSalted(
+        l, r, Seq("k"), "t", "rt", Seq("tag", "v"), sliceSeconds = slice))
+      assert(salted === plain, s"sliceSeconds=$slice diverged")
+    }
+    // and with tolerance
+    val plainTol = canon(TemporalJoin.asofBackward(l, r, Seq("k"), "t", "rt",
+      Seq("tag", "v"), tolerance = Some(200L)))
+    val saltedTol = canon(TemporalJoin.asofBackwardSalted(l, r, Seq("k"), "t", "rt",
+      Seq("tag", "v"), sliceSeconds = 100L, tolerance = Some(200L)))
+    assert(saltedTol === plainTol)
+  }
+
+  test("salted asof: carry crosses empty slices; local pass respects within-slice order") {
+    val l = Seq((1L, 5L, "before"), (1L, 950L, "far_later"), (1L, 902L, "early_in_slice"))
+      .toDF("k", "t", "probe")
+    val r = Seq((1L, 10L, "r_early"), (1L, 920L, "r_late")).toDF("k", "rt", "tag")
+    val out = TemporalJoin.asofBackwardSalted(l, r, Seq("k"), "t", "rt", Seq("tag"),
+        sliceSeconds = 100L)
+      .select("probe", "tag").as[(String, Option[String])].collect().toMap
+    assert(out("before") === None)                 // t=5 precedes first right row
+    assert(out("early_in_slice") === Some("r_early")) // r_late is in SAME slice but later
+    assert(out("far_later") === Some("r_late"))    // carry + local across 8 empty slices
+  }
+
   test("asof plan: single hash-partition window, no join operator") {
     val out = TemporalJoin.asofBackward(leftDf, rightDf,
       keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"))
