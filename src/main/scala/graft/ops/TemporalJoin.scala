@@ -37,6 +37,22 @@ object TemporalJoin {
         s"$what has unsupported time type $other; need numeric epoch, timestamp, date or string")
   }
 
+  /** Fractional epoch seconds, for tolerance/distance math. Matching
+    * the oracle engine bit-for-bit matters here: DuckDB's `epoch()` is
+    * a fractional double, so truncated whole-second math would disagree
+    * with it for sub-second timestamp components near a threshold.
+    * Timestamps cast to double are exact for micro-precision data in
+    * both engines (same real number, same double rounding).
+    */
+  private def epochFine(c: Column, dt: DataType, what: String): Column = dt match {
+    case _: NumericType           => c.cast(DoubleType)
+    case TimestampType            => c.cast(DoubleType)
+    case DateType | StringType    => unix_timestamp(c).cast(DoubleType)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what has unsupported time type $other; need numeric epoch, timestamp, date or string")
+  }
+
   /** Eager version of the [[epochSeconds]] type gate, run before any
     * plan is built — otherwise a bad time column surfaces as an opaque
     * analysis error from deep inside the union/join.
@@ -71,11 +87,8 @@ object TemporalJoin {
     * an older row's value — wrong row semantics).
     *
     * Scale note: one window partition per key value; a single hot key
-    * serializes into one task. If key skew is expected, pre-split hot
-    * keys into (key, coarse-time-slice) sub-partitions and carry the
-    * last right row of the previous slice forward — not done here
-    * because the per-key cardinalities in this engine's workloads
-    * (users, patients) are bounded.
+    * serializes into one task. Use [[asofBackwardSalted]] when key
+    * skew is expected — identical semantics, bounded tasks.
     *
     * @param tolerance optional max staleness in seconds: matches older
     *                  than `leftTime - tolerance` are nulled out.
@@ -88,7 +101,7 @@ object TemporalJoin {
       rightTime: String,
       payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
-    val (unioned, leftCols) = asofUnion(left, right, keys, leftTime, rightTime, payload)
+    val (unioned, leftCols, _) = asofUnion(left, right, keys, leftTime, rightTime, payload)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
@@ -98,6 +111,80 @@ object TemporalJoin {
       .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
     asofFinish(filled, leftCols, payload,
       left.schema(leftTime).dataType, right.schema(rightTime).dataType, tolerance)
+  }
+
+  /** Forward (earliest-at-or-after) as-of join: for every left row,
+    * the payload of the right row with the SMALLEST `rightTime` >= the
+    * left row's `leftTime` in the same key group (pandas `merge_asof`
+    * `direction='forward'`; DuckDB `ASOF JOIN ... ON l.t <= r.t`).
+    * Same single-shuffle merge plan as [[asofBackward]], sorted
+    * descending; inclusive at equal timestamps; `tolerance` bounds how
+    * far in the FUTURE the match may be.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val (unioned, leftCols, _) = asofUnion(left, right, keys, leftTime, rightTime, payload)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").desc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = unioned
+      .withColumn("__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
+    asofFinish(filled, leftCols, payload,
+      left.schema(leftTime).dataType, right.schema(rightTime).dataType, tolerance,
+      forward = true)
+  }
+
+  /** Nearest as-of join: the right row minimizing |rightTime −
+    * leftTime| within the key group; ties (equidistant before/after)
+    * go to the BACKWARD candidate (pandas `direction='nearest'` with
+    * deterministic tie-break). Both directional fills run in the same
+    * single shuffle — two sorts over one exchange — then the closer
+    * in-tolerance candidate wins per row.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val (unioned, leftCols, rowType) = asofUnion(left, right, keys, leftTime, rightTime, payload)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").desc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("__asof_bwd", last(col("__asof_row"), ignoreNulls = true).over(wB))
+      .withColumn("__asof_fwd", last(col("__asof_row"), ignoreNulls = true).over(wF))
+
+    val lts = epochFine(col("__asof_ts"), left.schema(leftTime).dataType, "leftTime")
+    def rts(c: String) = epochFine(col(c).getField("__rts"),
+      right.schema(rightTime).dataType, "rightTime")
+    val bDist = lts - rts("__asof_bwd")
+    val fDist = rts("__asof_fwd") - lts
+    val bound = tolerance.map(t => lit(t.toDouble)).getOrElse(lit(Double.MaxValue))
+    val bOk = col("__asof_bwd").isNotNull && bDist <= bound
+    val fOk = col("__asof_fwd").isNotNull && fDist <= bound
+    val chosen = when(bOk && (!fOk || bDist <= fDist), col("__asof_bwd"))
+      .when(fOk, col("__asof_fwd"))
+      .otherwise(lit(null).cast(rowType))
+
+    filled
+      .filter(col("__asof_side") === 1)
+      .withColumn("__asof_row", chosen)
+      .select(leftCols.map(col) ++ payload.map(c =>
+        col("__asof_row").getField(c).as(c)): _*)
   }
 
   /** [[asofBackward]] with bounded window tasks for skewed keys.
@@ -129,7 +216,7 @@ object TemporalJoin {
       sliceSeconds: Long,
       tolerance: Option[Long] = None): DataFrame = {
     require(sliceSeconds > 0, "sliceSeconds must be positive")
-    val (u0, leftCols) = asofUnion(left, right, keys, leftTime, rightTime, payload)
+    val (u0, leftCols, _) = asofUnion(left, right, keys, leftTime, rightTime, payload)
 
     val u = u0.withColumn("__slice",
       floor(epochSeconds(col("__asof_ts"), u0.schema("__asof_ts").dataType, "time") /
@@ -173,7 +260,7 @@ object TemporalJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): (DataFrame, Seq[String]) = {
+      payload: Seq[String]): (DataFrame, Seq[String], StructType) = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     requireCols(left, keys :+ leftTime, "left")
@@ -208,23 +295,29 @@ object TemporalJoin {
           lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col) :+ col(rightTime).as("__rts"): _*).cast(rowType)
           .as("__asof_row"): _*)
-    (leftPart.unionByName(rightPart), leftCols)
+    (leftPart.unionByName(rightPart), leftCols, rowType)
   }
 
-  /** Staleness filter + final projection shared by both as-of plans. */
+  /** Staleness filter + final projection shared by the directional
+    * as-of plans. Tolerance math uses fractional epochs ([[epochFine]])
+    * so it agrees with a fractional-`epoch()` oracle engine near the
+    * threshold.
+    */
   private def asofFinish(
       filled: DataFrame,
       leftCols: Seq[String],
       payload: Seq[String],
       leftTimeType: DataType,
       rightTimeType: DataType,
-      tolerance: Option[Long]): DataFrame = {
+      tolerance: Option[Long],
+      forward: Boolean = false): DataFrame = {
     val stale: Column = tolerance match {
       case Some(sec) =>
-        val lts = epochSeconds(col("__asof_ts"), leftTimeType, "leftTime")
-        val rts = epochSeconds(col("__asof_row").getField("__rts"),
+        val lts = epochFine(col("__asof_ts"), leftTimeType, "leftTime")
+        val rts = epochFine(col("__asof_row").getField("__rts"),
           rightTimeType, "rightTime")
-        col("__asof_row").isNull || lts - rts > sec
+        val dist = if (forward) rts - lts else lts - rts
+        col("__asof_row").isNull || dist > sec.toDouble
       case None => lit(false)
     }
     filled

@@ -74,6 +74,55 @@ object TemporalOps {
       |  ORDER BY p.ts DESC LIMIT 1
       |) r ON true""".stripMargin
 
+  // temporal_asof_fwd — earliest purchase at-or-after each click
+  // (DuckDB ASOF accepts the <= inequality for the forward direction).
+  private val tAsofFwd: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    TemporalJoin.asofForward(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"))
+      .select("click_id", "user_id", "purchase_id", "purchase_value")
+  }
+
+  private val tAsofFwdSql =
+    """SELECT l.event_id AS click_id, l.user_id,
+      |  r.event_id AS purchase_id, r.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin
+
+  // temporal_asof_near — the purchase closest in time to each click,
+  // either direction; equidistant ties go to the backward (earlier)
+  // candidate, which the oracle's (|Δt|, ts) ordering reproduces.
+  private val tAsofNear: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    TemporalJoin.asofNearest(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"))
+      .select("click_id", "user_id", "purchase_id", "purchase_value")
+  }
+
+  private val tAsofNearSql =
+    """SELECT l.event_id AS click_id, l.user_id,
+      |  r.purchase_id, r.purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |LEFT JOIN LATERAL (
+      |  SELECT p.event_id AS purchase_id, p.value AS purchase_value
+      |  FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = l.user_id
+      |  ORDER BY abs(epoch(l.ts) - epoch(p.ts)), p.ts LIMIT 1
+      |) r ON true""".stripMargin
+
   // temporal_asof_salted — the skew-hardened two-level plan, same
   // semantics as temporal_asof and checked against the SAME ASOF JOIN
   // oracle: bounded per-(key, slice) window tasks + a tiny per-key
@@ -121,6 +170,8 @@ object TemporalOps {
   def entries: Seq[Entry] = Seq(
     Entry("temporal_asof", tAsof, Some(tAsofSql)),
     Entry("temporal_asof_tol", tAsofTol, Some(tAsofTolSql)),
+    Entry("temporal_asof_fwd", tAsofFwd, Some(tAsofFwdSql)),
+    Entry("temporal_asof_near", tAsofNear, Some(tAsofNearSql)),
     Entry("temporal_asof_salted", tAsofSalted, Some(tAsofSql)),
     Entry("temporal_range", tRange, Some(tRangeSql)))
 }

@@ -150,6 +150,42 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("asof forward: earliest at-or-after, inclusive, tolerance bounds the future") {
+    val out = TemporalJoin.asofForward(leftDf, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"))
+      .select("k", "t", "tag").as[(Long, Long, Option[String])].collect().toSet
+    assert(out === Set(
+      (1L, 100L, Some("r1")),  // inclusive at equal ts
+      (1L, 200L, None),        // nothing at-or-after 200
+      (1L, 50L, Some("r1")),   // earliest >= 50 is r1@100, not r2@150
+      (2L, 100L, Some("r3")),
+      (3L, 100L, None)))
+    val tol = TemporalJoin.asofForward(leftDf, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"),
+        tolerance = Some(10L))
+      .select("k", "t", "tag").as[(Long, Long, Option[String])].collect().toSet
+    assert(tol.contains((1L, 50L, None)), "r1 is 50s in the future, beyond tolerance 10")
+    assert(tol.contains((2L, 100L, Some("r3"))), "1s in the future, within tolerance")
+  }
+
+  test("asof nearest: minimal |distance|, ties prefer the backward candidate") {
+    // k=1: probe 120 → r1@100 (d=20) beats r2@150 (d=30); probe 130 →
+    // r2@150 (d=20) beats r1@100 (d=30); probe 125 → tie (25/25) → r1.
+    val probes = Seq((1L, 120L, "a"), (1L, 130L, "b"), (1L, 125L, "tie"),
+      (3L, 100L, "none")).toDF("k", "t", "probe")
+    val out = TemporalJoin.asofNearest(probes, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"))
+      .select("probe", "tag").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "a" -> Some("r1"), "b" -> Some("r2"), "tie" -> Some("r1"), "none" -> None))
+    // tolerance kills both directions when neither is close enough
+    val tol = TemporalJoin.asofNearest(probes, rightDf,
+        keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"),
+        tolerance = Some(5L))
+      .select("probe", "tag").as[(String, Option[String])].collect().toMap
+    assert(tol("a").isEmpty && tol("b").isEmpty && tol("tie").isEmpty)
+  }
+
   test("salted asof == plain asof on adversarial data (hot key, slice boundaries, ties)") {
     import scala.util.Random
     val rnd = new Random(7)
