@@ -339,6 +339,67 @@ object TemporalJoin {
     * width multiply their row count by width/binSeconds — clamp the
     * bin up (or pre-split pathological intervals) before calling.
     */
+  /** Interval-overlap join: pairs every `a` interval with every `b`
+    * interval of the same key that overlaps it. Intervals are CLOSED —
+    * touching endpoints count (`aStart <= bEnd && bStart <= aEnd`).
+    * Rows whose end precedes their start are empty intervals and match
+    * nothing.
+    *
+    * Both sides explode over their bins; the pair is emitted only in
+    * the FIRST bin the two intervals share — `max(aStartBin,
+    * bStartBin)`, which the overlap predicate guarantees lies in both
+    * bin ranges — so each qualifying pair appears exactly once with no
+    * post-join distinct. Same scale shape as [[pointsInIntervals]]:
+    * the range predicate becomes a hash-join key, never a nested loop.
+    */
+  def intervalsOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String],
+      aStart: String,
+      aEnd: String,
+      bStart: String,
+      bEnd: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(keys.nonEmpty, "overlap join needs at least one key column")
+    requireCols(a, keys ++ Seq(aStart, aEnd), "a")
+    requireCols(b, keys ++ Seq(bStart, bEnd), "b")
+    Seq(aStart -> "aStart", aEnd -> "aEnd").foreach { case (c, w) =>
+      checkTimeType(a.schema(c).dataType, w) }
+    Seq(bStart -> "bStart", bEnd -> "bEnd").foreach { case (c, w) =>
+      checkTimeType(b.schema(c).dataType, w) }
+    val renamed = keys.map(k => s"__p_$k") ++ Seq("__p_sbin", "__p_bin")
+    val allNames = a.columns.toSeq ++ b.columns
+    require(!Seq("__bin", "__sbin").exists(allNames.contains) &&
+      !renamed.exists(allNames.contains),
+      "reserved column name collision (__bin / __sbin / __p_*)")
+    val shared = a.columns.toSeq.intersect(b.columns.toSeq.filterNot(keys.contains))
+    require(shared.isEmpty,
+      s"non-key column(s) ${shared.mkString(", ")} exist on both sides; alias them first")
+
+    def binned(df: DataFrame, start: String, end: String): DataFrame = {
+      val s = epochSeconds(col(start), df.schema(start).dataType, start)
+      val e = epochSeconds(col(end), df.schema(end).dataType, end)
+      df.filter(col(end) >= col(start))
+        .withColumn("__sbin", floor(s / binSeconds))
+        .withColumn("__bin", explode(sequence(col("__sbin"), floor(e / binSeconds))))
+    }
+    val aB = binned(a, aStart, aEnd)
+    val bB = binned(b, bStart, bEnd)
+      .withColumnsRenamed(
+        (keys.map(k => k -> s"__p_$k") ++ Seq("__sbin" -> "__p_sbin", "__bin" -> "__p_bin")).toMap)
+
+    val joined = aB.join(bB,
+      keys.map(k => aB(k) === bB(s"__p_$k")).reduce(_ && _) &&
+        aB("__bin") === bB("__p_bin") &&
+        aB("__bin") === greatest(aB("__sbin"), bB("__p_sbin")) &&
+        aB(aStart) <= bB(bEnd) && bB(bStart) <= aB(aEnd))
+    val dropped = joined
+      .drop(aB("__bin")).drop(aB("__sbin")).drop(bB("__p_bin")).drop(bB("__p_sbin"))
+    keys.foldLeft(dropped)((df, k) => df.drop(bB(s"__p_$k")))
+  }
+
   def pointsInIntervals(
       intervals: DataFrame,
       points: DataFrame,

@@ -167,11 +167,39 @@ object TemporalOps {
       | AND p.ts > i.ts AND p.ts <= i.ts + INTERVAL 1 DAY
       |WHERE i.event_type = 'purchase' AND p.event_type = 'click'""".stripMargin
 
+  // temporal_overlap — purchase windows [ts, ts+6h] × error windows
+  // [ts, ts+6h] of the same user that overlap (closed intervals,
+  // touching counts). Bin = the window width.
+  private val tOverlap: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 6 HOUR")).as("p_end"),
+        col("event_id").as("purchase_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_start"),
+        (col("ts") + expr("INTERVAL 6 HOUR")).as("e_end"),
+        col("event_id").as("error_id"))
+    TemporalJoin.intervalsOverlap(purchases, errors,
+        keys = Seq("user_id"), aStart = "p_start", aEnd = "p_end",
+        bStart = "e_start", bEnd = "e_end", binSeconds = 21600L)
+      .select("user_id", "purchase_id", "error_id")
+  }
+
+  private val tOverlapSql =
+    """SELECT i.user_id, i.event_id AS purchase_id, e.event_id AS error_id
+      |FROM events i JOIN events e
+      |  ON e.user_id = i.user_id
+      | AND i.ts <= e.ts + INTERVAL 6 HOUR
+      | AND e.ts <= i.ts + INTERVAL 6 HOUR
+      |WHERE i.event_type = 'purchase' AND e.event_type = 'error'""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("temporal_asof", tAsof, Some(tAsofSql)),
     Entry("temporal_asof_tol", tAsofTol, Some(tAsofTolSql)),
     Entry("temporal_asof_fwd", tAsofFwd, Some(tAsofFwdSql)),
     Entry("temporal_asof_near", tAsofNear, Some(tAsofNearSql)),
     Entry("temporal_asof_salted", tAsofSalted, Some(tAsofSql)),
-    Entry("temporal_range", tRange, Some(tRangeSql)))
+    Entry("temporal_range", tRange, Some(tRangeSql)),
+    Entry("temporal_overlap", tOverlap, Some(tOverlapSql)))
 }

@@ -232,6 +232,43 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out("far_later") === Some("r_late"))    // carry + local across 8 empty slices
   }
 
+  test("interval overlap: closed-interval matrix, exactly-once, invalid intervals match nothing") {
+    val as = Seq(
+      (1L, 100L, 200L, "a1"),
+      (1L, 300L, 300L, "a_pointlike"),
+      (1L, 500L, 400L, "a_invalid"),  // end < start: empty
+      (2L, 0L, 50L, "a_other"))
+      .toDF("k", "as_", "ae", "aid")
+    val bs = Seq(
+      (1L, 200L, 250L, "b_touch"),     // touches a1 at 200 → counts (closed)
+      (1L, 150L, 160L, "b_nested"),    // inside a1
+      (1L, 50L, 99L, "b_before"),      // disjoint
+      (1L, 250L, 350L, "b_span"),      // covers a_pointlike
+      (1L, 390L, 600L, "b_vs_invalid"),// would overlap a_invalid if it were valid
+      (3L, 100L, 200L, "b_other_key"))
+      .toDF("k", "bs_", "be", "bid")
+    def run(bin: Long) = TemporalJoin.intervalsOverlap(as, bs,
+        keys = Seq("k"), aStart = "as_", aEnd = "ae", bStart = "bs_", bEnd = "be",
+        binSeconds = bin)
+      .select("aid", "bid").as[(String, String)].collect().toList
+    val out = run(100L)
+    assert(out.size === out.distinct.size, "each pair exactly once")
+    assert(out.toSet === Set(
+      ("a1", "b_touch"), ("a1", "b_nested"), ("a_pointlike", "b_span")))
+    // bin-width invariance: tiny bins multiply exploded rows, not pairs
+    assert(run(7L).toSet === out.toSet)
+    assert(run(100000L).toSet === out.toSet)
+  }
+
+  test("interval overlap plan: equi-join on (key, bin), never nested-loop") {
+    val as = Seq((1L, 0L, 10L, "a")).toDF("k", "as_", "ae", "aid")
+    val bs = Seq((1L, 5L, 15L, "b")).toDF("k", "bs_", "be", "bid")
+    val out = TemporalJoin.intervalsOverlap(as, bs, Seq("k"), "as_", "ae", "bs_", "be", 10L)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") && !physical.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n$physical")
+  }
+
   test("asof plan: single hash-partition window, no join operator") {
     val out = TemporalJoin.asofBackward(leftDf, rightDf,
       keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"))
