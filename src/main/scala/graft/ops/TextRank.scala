@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 relevance scoring of a document corpus against a fixed
+  * query-term set — the retrieval/quality-ranking primitive of a
+  * training-data pipeline (cf. CCNet/RefinedWeb-style quality buckets
+  * and retrieval-based data selection).
+  *
+  * Built for the 100 TB shape:
+  *  - ONE tokenize-explode pass; per-document term frequencies for the
+  *    (few, literal) query terms and the document length come out of a
+  *    single map-side-combinable aggregation keyed by document — the
+  *    per-term tf columns are `count(when(term === t))` pivots, so no
+  *    (doc, term) shuffle key and no per-term join;
+  *  - corpus statistics (N, avgdl, per-term document frequencies) are
+  *    one tiny scalar aggregate, broadcast back via a 1-row cross
+  *    join — never a shuffle;
+  *  - score arithmetic is fixed-order column algebra (term order =
+  *    input order), so results are bit-deterministic and reproducible
+  *    against a sequential-engine oracle.
+  *
+  * Integer sums (lengths, counts) stay exact in doubles below 2^53, so
+  * `avgdl` is partition-order-independent; only the final score mixes
+  * non-associative double math, in a fixed expression tree.
+  */
+object TextRank {
+
+  /** Per-document BM25 score for `queryTerms`; documents matching no
+    * term are dropped. Tokenization: lowercase, split on runs of
+    * non-alphanumerics, empty tokens discarded.
+    *
+    * @param k1 term-frequency saturation (Robertson's default 1.2)
+    * @param b  length normalization strength (default 0.75)
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.distinct == queryTerms, "duplicate query terms")
+    val safe = queryTerms.map(t => t -> s"__tf_${t.replaceAll("[^a-z0-9]", "_")}")
+
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__term"))
+      .filter(col("__term") =!= "")
+
+    val docTf = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__dl"),
+      safe.map { case (t, c) => count(when(col("__term") === t, 1)).as(c) }: _*)
+
+    val stats = docTf.agg(
+      count(lit(1)).as("__n"),
+      (avg(col("__dl")).as("__avgdl") +:
+        safe.map { case (t, c) =>
+          count(when(col(c) > 0, 1)).as(s"__df_${c.stripPrefix("__tf_")}")
+        }): _*)
+
+    def contrib(tf: Column, df: Column): Column = {
+      val idf = log((col("__n") - df + 0.5) / (df + 0.5) + 1)
+      val norm = tf + (lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+      when(tf > 0, idf * (tf * lit(k1 + 1)) / norm).otherwise(lit(0.0))
+    }
+    val score = safe.map { case (_, c) =>
+      contrib(col(c), col(s"__df_${c.stripPrefix("__tf_")}"))
+    }.reduce(_ + _)
+
+    docTf.crossJoin(broadcast(stats))
+      .filter(safe.map { case (_, c) => col(c) > 0 }.reduce(_ || _))
+      .select(col(idCol), score.as("bm25"))
+  }
+}

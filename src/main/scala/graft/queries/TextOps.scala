@@ -141,7 +141,52 @@ object TextOps {
     """SELECT doc_id, md5(nfc_normalize(lower(trim(text)))) AS canonical_fp
       |FROM documents""".stripMargin
 
+  // BM25 relevance of every document against a fixed query-term set
+  // (ops.TextRank) — retrieval-based data selection / quality
+  // bucketing. The oracle mirrors the exact expression tree (same
+  // literals, same association) so doubles match bit-for-bit before
+  // the shared round(4).
+  private val bm25: Q = (s, dir) =>
+    graft.ops.TextRank.bm25(Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text",
+        queryTerms = Seq("spark", "join", "stream"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+  private val bm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+      |    FROM documents) u WHERE t <> ''
+      |), dtf AS (
+      |  SELECT doc_id, count(*) AS dl,
+      |    count(CASE WHEN t = 'spark' THEN 1 END) AS tf_spark,
+      |    count(CASE WHEN t = 'join' THEN 1 END) AS tf_join,
+      |    count(CASE WHEN t = 'stream' THEN 1 END) AS tf_stream
+      |  FROM toks GROUP BY doc_id
+      |), st AS (
+      |  SELECT count(*) AS n, avg(dl) AS avgdl,
+      |    count(CASE WHEN tf_spark > 0 THEN 1 END) AS df_spark,
+      |    count(CASE WHEN tf_join > 0 THEN 1 END) AS df_join,
+      |    count(CASE WHEN tf_stream > 0 THEN 1 END) AS df_stream
+      |  FROM dtf
+      |)
+      |SELECT doc_id, round(
+      |    CASE WHEN tf_spark > 0
+      |         THEN ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1)
+      |              * (tf_spark * 2.2) / (tf_spark + (1.2 * (0.25 + 0.75 * dl / avgdl)))
+      |         ELSE 0.0 END
+      |  + CASE WHEN tf_join > 0
+      |         THEN ln((n - df_join + 0.5) / (df_join + 0.5) + 1)
+      |              * (tf_join * 2.2) / (tf_join + (1.2 * (0.25 + 0.75 * dl / avgdl)))
+      |         ELSE 0.0 END
+      |  + CASE WHEN tf_stream > 0
+      |         THEN ln((n - df_stream + 0.5) / (df_stream + 0.5) + 1)
+      |              * (tf_stream * 2.2) / (tf_stream + (1.2 * (0.25 + 0.75 * dl / avgdl)))
+      |         ELSE 0.0 END, 4) AS bm25
+      |FROM dtf, st
+      |WHERE tf_spark > 0 OR tf_join > 0 OR tf_stream > 0""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("text_bm25", bm25, Some(bm25Sql)),
     Entry("text_nfc_fingerprint", normalize, Some(normalizeSql)),
     Entry("text_edit_distance", editDist, Some(editDistSql)),
     Entry("text_token_count", tokCount, Some(tokCountSql)),

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 matches the hand-computed Okapi formula on a tiny corpus") {
+    val docs = Seq(
+      (1L, "spark join spark table"),
+      (2L, "join the stream"),
+      (3L, "table scan only"),
+      (4L, "SPARK, spark; nonsparkword!")).toDF("id", "txt")
+    val out = TextRank.bm25(docs, "id", "txt", Seq("spark", "stream"))
+      .as[(Long, Double)].collect().toMap
+
+    // N=4; dl = 4,3,3,3 → avgdl = 13/4; df_spark=2 (docs 1,4), df_stream=1.
+    val avgdl = 13.0 / 4
+    def idf(df: Int) = math.log((4 - df + 0.5) / (df + 0.5) + 1)
+    def c(df: Int, tf: Long, dl: Long) =
+      idf(df) * (tf * 2.2) / (tf + (1.2 * (0.25 + 0.75 * dl / avgdl)))
+
+    assert(out.keySet === Set(1L, 2L, 4L), "doc 3 matches nothing and is dropped")
+    assert(math.abs(out(1L) - c(2, 2, 4)) < 1e-12)
+    assert(math.abs(out(2L) - c(1, 1, 3)) < 1e-12)
+    // doc 4: case-folded + punctuation-split → tf_spark=2; the
+    // substring inside "nonsparkword" is NOT a token match
+    assert(math.abs(out(4L) - c(2, 2, 3)) < 1e-12)
+  }
+
+  test("bm25: longer documents score below shorter ones at equal tf (length normalization)") {
+    val docs = Seq(
+      (1L, "spark alpha"),
+      (2L, "spark " + Seq.fill(50)("filler").mkString(" "))).toDF("id", "txt")
+    val out = TextRank.bm25(docs, "id", "txt", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L))
+  }
+
+  test("bm25 plan: one doc-level aggregate + broadcast stats, no shuffle join") {
+    val docs = Seq((1L, "spark join")).toDF("id", "txt")
+    val physical = TextRank.bm25(docs, "id", "txt", Seq("spark", "join", "stream"))
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("SortMergeJoin") && !physical.contains("ShuffledHashJoin"),
+      s"stats must ride a broadcast, not a shuffle join:\n$physical")
+  }
+}
