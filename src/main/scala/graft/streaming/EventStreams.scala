@@ -44,6 +44,34 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Watermarked stream-stream interval join: every left event paired
+    * with the same user's right events from the preceding
+    * `horizonSeconds` (`left.ts - horizon <= right.ts <= left.ts`) —
+    * the streaming twin of `ops.TemporalJoin.pointsInIntervals`
+    * (attribution: clicks to recent purchases, symptoms to recent
+    * doses).
+    *
+    * Both inputs carry watermarks AND the join condition bounds event
+    * time on both sides — that pair is what lets Spark expire buffered
+    * rows from the state store; with either missing, stream-stream
+    * join state grows forever. Matches emit as they arrive (inner
+    * join); state is evicted `watermark` past the horizon.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame,
+      horizonSeconds: Long = 3600, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("left_id"), col("user_id"), col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("right_id"), col("user_id").as("__r_user"),
+        col("ts").as("right_ts"))
+    l.join(r,
+        col("user_id") === col("__r_user") &&
+          col("right_ts") >= col("left_ts") - expr(s"INTERVAL $horizonSeconds SECONDS") &&
+          col("right_ts") <= col("left_ts"))
+      .select(col("left_id"), col("user_id"), col("right_id"),
+        col("left_ts"), col("right_ts"))
+  }
+
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)

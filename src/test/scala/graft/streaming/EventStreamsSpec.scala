@@ -52,6 +52,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("joinWithin: stream-stream interval join pairs only in-horizon same-user events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = EventStreams.joinWithin(
+        clicks.toDF().withColumn("event_id", col("value").cast("long")),
+        purchases.toDF().withColumn("event_id", col("value").cast("long")),
+        horizonSeconds = 600)
+      .writeStream.format("memory").queryName("joined")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        Event(ts("2024-01-01 00:00:00"), 1, "purchase", 100),
+        Event(ts("2024-01-01 00:30:00"), 1, "purchase", 101),
+        Event(ts("2024-01-01 00:00:00"), 2, "purchase", 102))
+      clicks.addData(
+        Event(ts("2024-01-01 00:05:00"), 1, "click", 1), // 5 min after 100 → match
+        Event(ts("2024-01-01 00:31:00"), 1, "click", 2), // in-horizon of 101 only
+        Event(ts("2024-01-01 00:20:00"), 2, "click", 3), // 20 min after 102 → outside
+        Event(ts("2024-01-01 00:05:00"), 3, "click", 4)) // no purchases for user 3
+      query.processAllAvailable()
+      val pairs = spark.sql("select left_id, right_id from joined")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 100L), (2L, 101L)))
+      // streaming result == the batch twin on the same data
+      val batch = EventStreams.joinWithin(
+        Seq(Event(ts("2024-01-01 00:05:00"), 1, "click", 1),
+          Event(ts("2024-01-01 00:31:00"), 1, "click", 2),
+          Event(ts("2024-01-01 00:20:00"), 2, "click", 3),
+          Event(ts("2024-01-01 00:05:00"), 3, "click", 4))
+          .toDF().withColumn("event_id", col("value").cast("long")),
+        Seq(Event(ts("2024-01-01 00:00:00"), 1, "purchase", 100),
+          Event(ts("2024-01-01 00:30:00"), 1, "purchase", 101),
+          Event(ts("2024-01-01 00:00:00"), 2, "purchase", 102))
+          .toDF().withColumn("event_id", col("value").cast("long")),
+        horizonSeconds = 600)
+        .select("left_id", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === pairs)
+    } finally query.stop()
+  }
+
   test("sessionize: gap-based sessions close on timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
