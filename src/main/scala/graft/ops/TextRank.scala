@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 relevance scoring of a document corpus against a fixed
@@ -72,5 +73,50 @@ object TextRank {
     docTf.crossJoin(broadcast(stats))
       .filter(safe.map { case (_, c) => col(c) > 0 }.reduce(_ || _))
       .select(col(idCol), score.as("bm25"))
+  }
+
+  /** Gopher-style within-document repetition signals, the standard
+    * pretraining quality filters for template/boilerplate-generated
+    * text:
+    *
+    *  - `top_bigram_frac`: characters covered by the most frequent
+    *    word 2-gram (`count * len(bigram) / len(text)`); winner ties
+    *    break to the lexicographically greatest bigram — expressed as
+    *    a `row_number` ordering (not `max_by`) so a sequential oracle
+    *    engine reproduces the same winner;
+    *  - `dup_token_frac`: fraction of tokens whose token occurs more
+    *    than once in the document.
+    *
+    * All shuffles key by document (bigram counting, token histogram) —
+    * per-doc work is bounded by document length, embarrassingly
+    * parallel across 100 TB of documents. Whitespace tokenization.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), length(col(textCol)).as("__chars"),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = toks
+      .withColumn("__next", lead(col("__tok"), 1).over(byDoc))
+      .filter(col("__next").isNotNull)
+      .select(col(idCol), col("__chars"),
+        concat(col("__tok"), lit(" "), col("__next")).as("__bigram"))
+    val counts = bigrams.groupBy(col(idCol), col("__chars"), col("__bigram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val winner = counts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("__cnt").desc, col("__bigram").desc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol),
+        (col("__cnt") * length(col("__bigram")).cast("double") / col("__chars"))
+          .as("top_bigram_frac"))
+
+    val dup = toks.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg((sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0)).cast("double") /
+        sum(col("__cnt"))).as("dup_token_frac"))
+
+    winner.join(dup, Seq(idCol))
   }
 }

@@ -185,7 +185,49 @@ object TextOps {
       |FROM dtf, st
       |WHERE tf_spark > 0 OR tf_join > 0 OR tf_stream > 0""".stripMargin
 
+  // Gopher-style repetition quality signals (ops.TextRank): top-2-gram
+  // character coverage + duplicate-token fraction per document. The
+  // winner tie-break is a row_number ordering reproduced verbatim in
+  // the oracle.
+  private val repetition: Q = (s, dir) =>
+    graft.ops.TextRank.repetitionSignals(Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"),
+        round(col("top_bigram_frac"), 4).as("top_bigram_frac"),
+        round(col("dup_token_frac"), 4).as("dup_token_frac"))
+  private val repetitionSql =
+    """WITH base AS (
+      |  SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS toks
+      |  FROM documents
+      |), bc AS (
+      |  SELECT doc_id, chars, bigram, count(*) AS cnt FROM (
+      |    SELECT doc_id, chars,
+      |      unnest(list_transform(range(1, len(toks)),
+      |                            i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |    FROM base) b
+      |  GROUP BY 1, 2, 3
+      |), win AS (
+      |  SELECT doc_id,
+      |    CAST(cnt * length(bigram) AS DOUBLE) / chars AS top_bigram_frac,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY cnt DESC, bigram DESC) AS rn
+      |  FROM bc
+      |), dup AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt)
+      |      AS dup_token_frac
+      |  FROM (SELECT doc_id, tok, count(*) AS cnt FROM (
+      |          SELECT doc_id, unnest(toks) AS tok FROM base) t
+      |        GROUP BY 1, 2) tc
+      |  GROUP BY doc_id
+      |)
+      |SELECT w.doc_id, round(w.top_bigram_frac, 4) AS top_bigram_frac,
+      |  round(d.dup_token_frac, 4) AS dup_token_frac
+      |FROM win w JOIN dup d ON w.doc_id = d.doc_id
+      |WHERE w.rn = 1""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("text_repetition", repetition, Some(repetitionSql)),
     Entry("text_bm25", bm25, Some(bm25Sql)),
     Entry("text_nfc_fingerprint", normalize, Some(normalizeSql)),
     Entry("text_edit_distance", editDist, Some(editDistSql)),

@@ -37,6 +37,24 @@ class TextRankSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("repetition signals: hand-computed fractions, deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a b a b c"),        // bigrams: "a b"x2, "b a", "b c" → top "a b" (3 ch, 2x); 9 chars
+      (2L, "x y z w"),          // all bigrams unique → top is tie → lexicographically greatest
+      (3L, "q q q q")).toDF("id", "txt")
+    val out = TextRank.repetitionSignals(docs, "id", "txt")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(out(1L)._1 - 2.0 * 3 / 9) < 1e-12)
+    // doc 1 tokens: a:2, b:2, c:1 → dup fraction 4/5
+    assert(math.abs(out(1L)._2 - 0.8) < 1e-12)
+    // doc 2: ties on count 1 → "z w" wins (greatest); 7 chars text
+    assert(math.abs(out(2L)._1 - 1.0 * 3 / 7) < 1e-12)
+    assert(out(2L)._2 === 0.0)
+    // doc 3: "q q" occurs 3 times, 7 chars; all tokens duplicated
+    assert(math.abs(out(3L)._1 - 3.0 * 3 / 7) < 1e-12)
+    assert(out(3L)._2 === 1.0)
+  }
+
   test("bm25 plan: one doc-level aggregate + broadcast stats, no shuffle join") {
     val docs = Seq((1L, "spark join")).toDF("id", "txt")
     val physical = TextRank.bm25(docs, "id", "txt", Seq("spark", "join", "stream"))
