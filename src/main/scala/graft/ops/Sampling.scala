@@ -34,6 +34,32 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(samplePredicate(col(keyCol), fraction))
 
+  /** Stratified deterministic sampling: a different keep-fraction per
+    * stratum (e.g. downsample dominant languages, keep the long tail —
+    * the usual corpus rebalancing move). Same engine-portable md5
+    * predicate as [[hashSample]], with the threshold chosen per row by
+    * the stratum column: still a shuffle-free, codegen'd filter over
+    * the scan. Strata absent from `fractions` fall back to
+    * `defaultFraction` (0 = drop).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    // fraction 1.0 must keep ALL rows: the 8-hex cap "ffffffff" would
+    // drop digests with that prefix (one per ~4 billion rows — real
+    // loss at scale); "g" sorts above every hex digest.
+    def cut(f: Double): String = if (f >= 1.0) "g" else hexThreshold(f)
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(cut(defaultFraction))) { case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(cut(f))).otherwise(acc)
+      }
+    df.filter(md5(col(keyCol).cast("string")) < threshold)
+  }
+
   /** Disjoint deterministic split: bucket i of `weights.length` buckets,
     * with cut points at the cumulative weight fractions. Rows with the
     * same key always land in the same bucket.

@@ -129,6 +129,26 @@ object TextOps {
     s"""SELECT doc_id, source, lang FROM documents
        |WHERE md5(CAST(doc_id AS VARCHAR)) < '${graft.ops.Sampling.hexThreshold(0.2)}'""".stripMargin
 
+  // Corpus rebalancing: per-language keep fractions (downsample the
+  // dominant language, keep the tail) via the same engine-portable
+  // md5 predicate — still a shuffle-free codegen'd filter.
+  private val stratified: Q = (s, dir) =>
+    graft.ops.Sampling.stratifiedSample(
+      Tables.load(s, dir, "documents"), "doc_id", "lang",
+      fractions = Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.5),
+      defaultFraction = 0.1)
+      .select(col("doc_id"), col("lang"))
+  private val stratifiedSql = {
+    import graft.ops.Sampling.hexThreshold
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE md5(CAST(doc_id AS VARCHAR)) <
+       |  CASE lang WHEN 'en' THEN '${hexThreshold(0.25)}'
+       |            WHEN 'de' THEN 'g'
+       |            WHEN 'fr' THEN 'g'
+       |            WHEN 'es' THEN '${hexThreshold(0.5)}'
+       |            ELSE '${hexThreshold(0.1)}' END""".stripMargin
+  }
+
   // Unicode NFC canonicalization before fingerprinting — composed vs
   // decomposed accents otherwise make byte-identical text hash apart.
   // Native codegen'd expression; DuckDB nfc_normalize is the oracle twin.
@@ -236,5 +256,6 @@ object TextOps {
     Entry("text_langid", langid, Some(langidSql)),
     Entry("text_fingerprint", fingerprint, Some(fingerprintSql)),
     Entry("text_hash_sample", hashSample, Some(hashSampleSql)),
+    Entry("text_stratified_sample", stratified, Some(stratifiedSql)),
   )
 }

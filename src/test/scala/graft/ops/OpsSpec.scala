@@ -313,6 +313,23 @@ class OpsSpec extends SparkSpec {
     assert(tenFold == 5000L, s"10-fold split covered $tenFold of 5000 rows")
   }
 
+  test("stratified sampling: per-stratum fractions, keep-all strata lose nothing") {
+    val df = (0 until 6000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zz"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSample(df, "doc_id", "lang",
+        fractions = Map("en" -> 0.3, "de" -> 1.0), defaultFraction = 0.0)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("zz", 0) === 0, "default fraction 0 drops unlisted strata")
+    assert(byLang("de") === 2000, "fraction 1.0 keeps every row, no hex-cap loss")
+    assert(math.abs(byLang("en") / 2000.0 - 0.3) < 0.04)
+    // the en sample is the same rows hashSample(0.3) keeps — one predicate family
+    val plain = Sampling.hashSample(df.filter($"lang" === "en"), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "en").map(_._1).toSet === plain)
+  }
+
   test("connected components supports string ids (UUID-style) without silent loss") {
     val pairs = Seq(("doc-b", "doc-c"), ("doc-a", "doc-b"), ("x", "y")).toDF("id_a", "id_b")
     val expected = Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
