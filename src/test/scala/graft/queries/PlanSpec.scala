@@ -24,6 +24,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.split("ReadSchema").last.split("\n").head.contains("l_tax"))
   }
 
+  test("temporal queries: event_type filter pushes through the ts-normalization projection") {
+    for (q <- Seq("temporal_asof", "temporal_range", "temporal_overlap", "text_bm25")) {
+      val plan = planOf(q)
+      if (q.startsWith("temporal")) {
+        assert(plan.contains("PushedFilters:"), s"$q: no pushdown section")
+        assert(plan.contains("EqualTo(event_type,"),
+          s"$q: event_type equality must reach the parquet scan, not stop at the project")
+      }
+      // column pruning: none of these read the wide props column
+      assert(!plan.split("ReadSchema").last.split("\n").head.contains("props"),
+        s"$q: scan must prune unused columns")
+    }
+  }
+
   test("q3_join_agg: dimension joins broadcast, no shuffle for nation/region") {
     val plan = planOf("q3_join_agg")
     assert(plan.contains("BroadcastHashJoin"))
