@@ -149,6 +149,21 @@ object TextOps {
        |            ELSE '${hexThreshold(0.1)}' END""".stripMargin
   }
 
+  // Sequence packing (ops.Packing): concat-then-chunk token-budget
+  // layout over 8 deterministic shards, n_chars as the token proxy.
+  private val pack: Q = (s, dir) =>
+    graft.ops.Packing.packSequences(
+      Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+      idCol = "doc_id", tokenCol = "n_chars", budget = 2000L, shards = 8)
+      .select(col("doc_id"), col("shard"), col("pack"))
+  private val packSql =
+    """SELECT doc_id, doc_id % 8 AS shard,
+      |  CAST(floor(coalesce(
+      |    sum(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) / 2000) AS BIGINT) AS pack
+      |FROM documents""".stripMargin
+
   // Unicode NFC canonicalization before fingerprinting — composed vs
   // decomposed accents otherwise make byte-identical text hash apart.
   // Native codegen'd expression; DuckDB nfc_normalize is the oracle twin.
@@ -257,5 +272,6 @@ object TextOps {
     Entry("text_fingerprint", fingerprint, Some(fingerprintSql)),
     Entry("text_hash_sample", hashSample, Some(hashSampleSql)),
     Entry("text_stratified_sample", stratified, Some(stratifiedSql)),
+    Entry("text_pack_sequences", pack, Some(packSql)),
   )
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packing: exclusive-prefix assignment, straddling docs stay in their first pack") {
+    val docs = Seq((0L, 4L), (8L, 4L), (16L, 4L), (24L, 5L)).toDF("id", "toks")
+    // one shard (ids all ≡ 0 mod 1): prefixes 0, 4, 8, 12 → packs 0, 0, 0, 1;
+    // the id=16 doc spans tokens 8..12, straddling the budget-10 cut — pack 0.
+    val out = Packing.packSequences(docs, "id", "toks", budget = 10L, shards = 1)
+      .select("id", "pack").as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 0L, 8L -> 0L, 16L -> 0L, 24L -> 1L))
+  }
+
+  test("packing: shards are independent streams; every doc lands in exactly one pack") {
+    val docs = (0L until 1000L).map(i => (i, 100L + i % 7)).toDF("id", "toks")
+    val out = Packing.packSequences(docs, "id", "toks", budget = 512L, shards = 4)
+    assert(out.count() === 1000L)
+    val byShard = out.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet === Set(0L, 1L, 2L, 3L))
+    assert(byShard.values.sum === 1000L)
+    // reference recomputation: per shard, in id order, pack must equal
+    // floor(exclusive-prefix / budget)
+    val rows = out.select("id", "toks", "shard", "pack")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._3).foreach { case (s, docs) =>
+      var prefix = 0L
+      docs.sortBy(_._1).foreach { case (id, toks, _, pack) =>
+        assert(pack === prefix / 512L, s"doc $id in shard $s: pack $pack, prefix $prefix")
+        prefix += toks
+      }
+    }
+    // determinism: re-run identical
+    val again = Packing.packSequences(docs.repartition(13), "id", "toks", 512L, 4)
+      .select("id", "pack").as[(Long, Long)].collect().toMap
+    val first = out.select("id", "pack").as[(Long, Long)].collect().toMap
+    assert(again === first, "packing must not depend on input partitioning")
+  }
+}
