@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC changelog compaction: collapse an upsert/delete event log into
+  * the current snapshot (the lakehouse MERGE / "latest record wins"
+  * primitive, computed from scratch without a table format).
+  *
+  * One hash aggregate keyed by record id — `max_by` carries the whole
+  * latest row as a struct, so there is no per-key sort, the aggregate
+  * partial-combines map-side, and ties are impossible by contract
+  * (`seqCol` must be unique per id; a changelog with ambiguous
+  * ordering has no well-defined snapshot). Deletes win like any other
+  * version: if the LATEST event for an id is a delete, the id is
+  * absent from the snapshot.
+  */
+object Changelog {
+
+  /** @param opCol  event kind column; rows whose latest value equals
+    *               `deleteOp` drop their id from the snapshot
+    * @param payload columns of the snapshot row (must not include
+    *                id/seq/op columns)
+    */
+  def compact(
+      log: DataFrame,
+      idCol: String,
+      seqCol: String,
+      opCol: String,
+      payload: Seq[String],
+      deleteOp: String = "D"): DataFrame = {
+    require(payload.nonEmpty, "compact needs at least one payload column")
+    val missing = (Seq(idCol, seqCol, opCol) ++ payload).filterNot(log.columns.contains)
+    require(missing.isEmpty, s"changelog is missing column(s): ${missing.mkString(", ")}")
+    require(!payload.contains(idCol) && !payload.contains(seqCol) && !payload.contains(opCol),
+      "payload must not repeat the id/seq/op columns")
+    log.groupBy(col(idCol))
+      .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol)).as("__last"))
+      .filter(col("__last").getField(opCol) =!= deleteOp)
+      .select(col(idCol) +: payload.map(c => col("__last").getField(c).as(c)): _*)
+  }
+}

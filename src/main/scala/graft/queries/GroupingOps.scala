@@ -54,9 +54,31 @@ object GroupingOps {
       |  SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem) t
       |GROUP BY l_orderkey""".stripMargin
 
+  // CDC changelog compaction (ops.Changelog): orders replayed as a
+  // per-customer update log — o_orderkey is the (unique) sequence,
+  // the latest order's status decides deletion ('F' → customer gone).
+  // Oracle is the row_number-top-1 formulation, equivalent because the
+  // sequence is unique per id.
+  private val cdc: Q = (s, dir) =>
+    graft.ops.Changelog.compact(
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+          col("o_totalprice"), col("o_orderpriority")),
+      idCol = "o_custkey", seqCol = "o_orderkey", opCol = "op",
+      payload = Seq("o_totalprice", "o_orderpriority"))
+  private val cdcSql =
+    """SELECT o_custkey, o_totalprice, o_orderpriority FROM (
+      |  SELECT o_custkey, o_totalprice, o_orderpriority,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("g3_collect_by_key", g3, Some(g3Sql)),
     Entry("g4_single_multiplicity", g4, Some(g4Sql)),
     Entry("g5_distinct_pairs", g5, Some(g5Sql)),
+    Entry("g6_cdc_compact", cdc, Some(cdcSql)),
   )
 }

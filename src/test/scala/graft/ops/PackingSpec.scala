@@ -14,6 +14,26 @@ class PackingSpec extends SparkSpec {
     assert(out === Map(0L -> 0L, 8L -> 0L, 16L -> 0L, 24L -> 1L))
   }
 
+  test("changelog compaction: latest version wins, latest-delete removes the id") {
+    val log = Seq(
+      (1L, 10L, "U", "v1"), (1L, 20L, "U", "v2"),            // → v2
+      (2L, 10L, "U", "x1"), (2L, 30L, "D", "gone"),          // latest is delete → absent
+      (3L, 5L, "D", "dead"), (3L, 9L, "U", "revived"),       // delete then re-insert → present
+      (4L, 1L, "U", "only")).toDF("id", "seq", "op", "val")
+    val out = Changelog.compact(log, "id", "seq", "op", Seq("val"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "v2", 3L -> "revived", 4L -> "only"))
+  }
+
+  test("changelog compaction: a null payload value on the winning version survives") {
+    val log = Seq(
+      (1L, 1L, "U", Some("old")), (1L, 2L, "U", None: Option[String]))
+      .toDF("id", "seq", "op", "val")
+    val out = Changelog.compact(log, "id", "seq", "op", Seq("val"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> None), "latest version's null must not fall back to v1")
+  }
+
   test("packing: shards are independent streams; every doc lands in exactly one pack") {
     val docs = (0L until 1000L).map(i => (i, 100L + i % 7)).toDF("id", "toks")
     val out = Packing.packSequences(docs, "id", "toks", budget = 512L, shards = 4)
