@@ -60,6 +60,29 @@ object Sampling {
     df.filter(md5(col(keyCol).cast("string")) < threshold)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u = md5-uniform(key) ∈ (0, 1] and
+    * ranks by `-ln(u) / weight`; the k smallest ranks win, which is
+    * distributionally equivalent to sequential weighted draws without
+    * replacement — but embarrassingly parallel: the rank is a
+    * row-local codegen'd expression and the selection is a top-k
+    * (TakeOrderedAndProject), never a full sort or shuffle of the
+    * data. Deterministic in the key — the same rows win on any
+    * engine, run, or partitioning. Rows with non-positive weight are
+    * excluded.
+    */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // First 8 md5 hex digits → uniform in (0, 1]; +1 keeps ln finite.
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + 1) / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wrank", -log(u) / col(weightCol))
+      .orderBy(col("__wrank"), col(keyCol))
+      .limit(k)
+      .drop("__wrank")
+  }
+
   /** Disjoint deterministic split: bucket i of `weights.length` buckets,
     * with cut points at the cumulative weight fractions. Rows with the
     * same key always land in the same bucket.

@@ -149,6 +149,21 @@ object TextOps {
        |            ELSE '${hexThreshold(0.1)}' END""".stripMargin
   }
 
+  // Deterministic weighted sampling (ops.Sampling.weightedTopK):
+  // length-biased top-100 draw — Efraimidis–Spirakis keys off md5, so
+  // the oracle reproduces the exact same winners.
+  private val weighted: Q = (s, dir) =>
+    graft.ops.Sampling.weightedTopK(
+      Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+      keyCol = "doc_id", weightCol = "n_chars", k = 100)
+  private val weightedSql =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+      |        / 4294967296.0) / n_chars AS r
+      |  FROM documents WHERE n_chars > 0) t
+      |ORDER BY r, doc_id LIMIT 100""".stripMargin
+
   // Sequence packing (ops.Packing): concat-then-chunk token-budget
   // layout over 8 deterministic shards, n_chars as the token proxy.
   private val pack: Q = (s, dir) =>
@@ -273,5 +288,6 @@ object TextOps {
     Entry("text_hash_sample", hashSample, Some(hashSampleSql)),
     Entry("text_stratified_sample", stratified, Some(stratifiedSql)),
     Entry("text_pack_sequences", pack, Some(packSql)),
+    Entry("text_weighted_sample", weighted, Some(weightedSql)),
   )
 }

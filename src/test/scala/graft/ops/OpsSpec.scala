@@ -330,6 +330,32 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(_._2 == "en").map(_._1).toSet === plain)
   }
 
+  test("weighted sampling: deterministic, matches driver-side A-ES recomputation, top-k plan") {
+    val df = (0 until 3000).map(i => (i.toLong, 1L + i % 100)).toDF("doc_id", "w")
+    val picked = Sampling.weightedTopK(df, "doc_id", "w", 200)
+    val ids = picked.select("doc_id").as[Long].collect().toSet
+    assert(ids.size === 200)
+    // driver-side reference: same u, same rank, k smallest
+    val ref = (0 until 3000).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1) / 4294967296.0
+      (-math.log(u) / (1L + i % 100), i.toLong)
+    }.sorted.take(200).map(_._2).toSet
+    assert(ids === ref)
+    // re-run + repartition stable
+    val again = Sampling.weightedTopK(df.repartition(7), "doc_id", "w", 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === ids)
+    // heavier rows win more often: mean weight of winners > population mean
+    val meanW = picked.agg(avg($"w")).as[Double].head()
+    assert(meanW > 50.5 + 5, s"length bias missing: $meanW")
+    // selection is a top-k, not a global sort
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("connected components supports string ids (UUID-style) without silent loss") {
     val pairs = Seq(("doc-b", "doc-c"), ("doc-a", "doc-b"), ("x", "y")).toDF("id_a", "id_b")
     val expected = Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
