@@ -41,8 +41,13 @@ object Casts {
     */
   def toDateMulti(c: Column): Column = {
     val viaFormats = coalesce(dateFormats.map(f => try_to_timestamp(c, lit(f)).cast(DateType)): _*)
+    // Every format carries a -/./ separator; strings without one can
+    // only fail, and each failed try_to_timestamp walks an
+    // exception-throwing DateTimeFormatter — 10× per row. The regex
+    // guard makes the non-date fast path (e.g. a numeric column under
+    // ambivalent election) pure codegen'd regex, no parse attempts.
     when(c.rlike("^\\d{4}$"), to_date(concat(c, lit("-01-01"))))
-      .otherwise(viaFormats)
+      .otherwise(when(c.rlike("[-./]"), viaFormats))
   }
 
   /** P7: multi-format datetime parse; RFC-822/1123 (reference
@@ -53,10 +58,11 @@ object Casts {
     */
   def toTimestampMulti(c: Column): Column =
     coalesce(
-      (datetimeFormats.map(f => try_to_timestamp(c, lit(f))) ++
-        Seq(
-          graft.functions.GraftExtensions.rfc1123_timestamp(c),
-          toDateMulti(c).cast(TimestampType))): _*)
+      // ISO-ish formats all contain ':'; RFC-1123 always contains the
+      // alphabetic month name. Same guard rationale as toDateMulti.
+      when(c.rlike(":"), coalesce(datetimeFormats.map(f => try_to_timestamp(c, lit(f))): _*)),
+      when(c.rlike("[A-Za-z]"), graft.functions.GraftExtensions.rfc1123_timestamp(c)),
+      toDateMulti(c).cast(TimestampType))
 
   /** P5: strict case-insensitive boolean parse — only "true"/"false"
     * (any case) are accepted; anything else non-null yields null here
