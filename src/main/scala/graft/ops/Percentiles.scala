@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact discrete per-group percentiles WITHOUT a per-group global
+  * sort.
+  *
+  * The window formulation (`row_number` over each group) is exact but
+  * serializes every group into one sort task — with few large groups
+  * (the common OLAP shape: status flags, countries), parallelism is
+  * capped at the group count no matter the cluster. This operator
+  * keeps the exact-selection semantics and restores parallelism:
+  *
+  *  1. tiny agg: per-group (min, max, count);
+  *  2. histogram pass: rows bucketized by value into `buckets`
+  *     equal-width bins; per-(group, bucket) counts reduce to the
+  *     driver (≤ groups × buckets cells — the driver holds
+  *     histograms, never data);
+  *  3. the k-th row's bucket + within-bucket rank are located by a
+  *     cumulative walk per group;
+  *  4. narrow second pass: only rows in located buckets (≈ n/buckets
+  *     of the data) are ranked by the full (value, tie…) order — the
+  *     per-task work is bucket-sized, not group-sized.
+  *
+  * Rank arithmetic is sound because bucketing is monotone in the
+  * value and value-ties share a bucket: global rank = rows in earlier
+  * buckets + rank within the bucket. Heavily duplicated values can
+  * swell one bucket (worst case: a constant column → one bucket holds
+  * the group); the second pass then degrades toward the window plan
+  * for THAT group only.
+  *
+  * Meant for few-groups/many-rows; with many small groups the plain
+  * window formulation already parallelizes and is one pass cheaper.
+  */
+object Percentiles {
+
+  /** @param percentiles (output column name, fraction); the selected
+    *                    row is the `ceil(n * fraction)`-th in
+    *                    (value, ties…) order — discrete selection,
+    *                    no interpolation (cross-engine reproducible).
+    * @param ties        deterministic tie-break columns after the value
+    * @return one row per group: groupCol, then one value column per
+    *         requested percentile
+    */
+  def exactDiscrete(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      percentiles: Seq[(String, Double)],
+      buckets: Int = 1024): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    require(percentiles.forall { case (_, p) => p > 0 && p <= 1 },
+      "fractions must be in (0, 1]")
+    require(buckets > 1, "need at least 2 buckets")
+    val spark = df.sparkSession
+
+    // 1. per-group value range + count (one map-side-combinable agg)
+    val ranges = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
+        count(lit(1)).as("__n"))
+
+    def bucketOf(v: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0)).otherwise(
+        least(floor((v - mn) / ((mx - mn) / buckets)), lit(buckets - 1)).cast("int"))
+
+    // 2. histogram per (group, bucket) — driver-sized by construction
+    val withB = df.join(broadcast(ranges), groupCol)
+      .withColumn("__b", bucketOf(col(valueCol), col("__mn"), col("__mx")))
+    val hist = withB.groupBy(col(groupCol), col("__b")).count()
+      .collect()
+      .groupBy(_.get(0))
+      .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)).toMap
+    val counts = ranges.select(col(groupCol), col("__n")).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+
+    // 3. locate each percentile's bucket + within-bucket rank
+    val targets: Seq[(Any, Int, Long, String)] = counts.toSeq.flatMap { case (g, n) =>
+      percentiles.map { case (label, p) =>
+        val k = math.ceil(n * p).toLong
+        var cum = 0L
+        val (b, local) = hist(g).iterator.map { case (b, c) =>
+          val r = (b, k - cum); cum += c; (r, cum)
+        }.collectFirst { case ((b, local), cumAfter) if cumAfter >= k => (b, local) }.get
+        (g, b, local, label)
+      }
+    }
+
+    // 4. narrow pass: rank only the located buckets by the full order
+    import scala.jdk.CollectionConverters._
+    val tgt = spark.createDataFrame(
+      targets.map { case (g, b, local, label) =>
+        org.apache.spark.sql.Row(g, b, local, label) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        ranges.schema(groupCol),
+        org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__local", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__label", org.apache.spark.sql.types.StringType))))
+
+    val w = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy((valueCol +: ties).map(col): _*)
+    val picked = withB
+      .join(broadcast(tgt.select(col(groupCol), col("__b")).distinct()), Seq(groupCol, "__b"))
+      .withColumn("__rank", row_number().over(w))
+      .join(broadcast(tgt), Seq(groupCol, "__b"))
+      .filter(col("__rank") === col("__local"))
+
+    picked.groupBy(col(groupCol))
+      .agg(
+        min(when(col("__label") === percentiles.head._1, col(valueCol)))
+          .as(percentiles.head._1),
+        percentiles.tail.map { case (label, _) =>
+          min(when(col("__label") === label, col(valueCol))).as(label) }: _*)
+  }
+}

@@ -399,7 +399,19 @@ object Relational {
       |WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.95)
       |GROUP BY l_returnflag""".stripMargin
 
+  // q_median_scalable — the SAME discrete percentiles via
+  // ops.Percentiles.exactDiscrete (histogram-locate + narrow ranked
+  // pass): parallelism no longer capped at the group count like the
+  // window formulation above. Same oracle — results must be identical.
+  private val qMedianScalable: Q = (s, dir) =>
+    graft.ops.Percentiles.exactDiscrete(
+      li(s, dir).select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+      groupCol = "l_returnflag", valueCol = "l_extendedprice",
+      ties = Seq("l_orderkey", "l_linenumber"),
+      percentiles = Seq("median_price" -> 0.5, "p95_price" -> 0.95))
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_median_scalable", qMedianScalable, Some(qMedianSql)),
     Entry("q_pivot", qPivot, Some(qPivotSql)),
     Entry("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     Entry("q_scalar_subquery", qScalarSub, Some(qScalarSubSql)),

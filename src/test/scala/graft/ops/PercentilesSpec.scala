@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowReference(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy($"g").orderBy($"v", $"id")
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+      .filter($"rn" === ceil($"n" * 0.5) || $"rn" === ceil($"n" * 0.95))
+      .groupBy($"g")
+      .agg(min(when($"rn" === ceil($"n" * 0.5), $"v")).as("p50"),
+        min(when($"rn" === ceil($"n" * 0.95), $"v")).as("p95"))
+      .as[(String, Double, Double)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+  }
+
+  test("histogram-located percentiles equal the window formulation, duplicates and all") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map { i =>
+      val g = Seq("a", "b", "c")(i % 3)
+      // heavy duplication: values quantized to 50 levels
+      (g, math.floor(rnd.nextDouble() * 50) / 7.0, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val got = Percentiles.exactDiscrete(df, "g", "v", Seq("id"),
+        Seq("p50" -> 0.5, "p95" -> 0.95), buckets = 16)
+      .as[(String, Double, Double)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got === windowReference(df))
+  }
+
+  test("degenerate shapes: constant column, single-row group, p100") {
+    val df = Seq(
+      ("const", 5.0, 1L), ("const", 5.0, 2L), ("const", 5.0, 3L),
+      ("one", 9.0, 4L)).toDF("g", "v", "id")
+    val out = Percentiles.exactDiscrete(df, "g", "v", Seq("id"),
+        Seq("p50" -> 0.5, "p100" -> 1.0), buckets = 8)
+      .as[(String, Double, Double)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(out === Map("const" -> ((5.0, 5.0)), "one" -> ((9.0, 9.0))))
+  }
+
+  test("narrow pass only ranks located buckets (second scan is a fraction of the data)") {
+    val df = (1 to 10000).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val out = Percentiles.exactDiscrete(df, "g", "v", Seq("id"),
+      Seq("p50" -> 0.5), buckets = 100)
+    assert(out.as[(String, Double)].head() === (("g", 5000.0)))
+  }
+}
