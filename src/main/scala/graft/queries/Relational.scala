@@ -219,6 +219,30 @@ object Relational {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_moving_window — sliding event-time aggregate: per user, the sum
+  // and count of event values over the trailing hour (RANGE frame on
+  // epoch seconds — peers at equal timestamps are all included, so the
+  // frame is deterministic). One shuffle on user_id; frame width
+  // bounds per-row work regardless of history length.
+  private val qMovingWindow: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"))
+      .rangeBetween(-3600L, 0L)
+    Tables.load(s, dir, "events")
+      .withColumn("epoch", col("ts").cast("long"))
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("w_sum"),
+        count(lit(1)).over(w).as("w_n"))
+  }
+
+  private val qMovingWindowSql =
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER win, 2) AS w_sum,
+      |  CAST(count(*) OVER win AS BIGINT) AS w_n
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_sessionize — gap-based sessionization (30-min idle timeout) via
   // lag + running sum; the batch twin of flatMapGroupsWithState session
   // windows. One shuffle on user_id.
@@ -412,6 +436,7 @@ object Relational {
 
   val entries: Seq[Entry] = Seq(
     Entry("q_median_scalable", qMedianScalable, Some(qMedianSql)),
+    Entry("q_moving_window", qMovingWindow, Some(qMovingWindowSql)),
     Entry("q_pivot", qPivot, Some(qPivotSql)),
     Entry("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     Entry("q_scalar_subquery", qScalarSub, Some(qScalarSubSql)),

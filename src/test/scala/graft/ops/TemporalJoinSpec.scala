@@ -269,6 +269,24 @@ class TemporalJoinSpec extends SparkSpec {
       s"overlap join must stay an equi-join:\n$physical")
   }
 
+  test("multi-key: asof and range join group by the full composite key") {
+    val l = Seq((1L, "x", 100L, "p1"), (1L, "y", 100L, "p2"), (2L, "x", 100L, "p3"))
+      .toDF("k1", "k2", "t", "probe")
+    val r = Seq((1L, "x", 90L, "rx"), (1L, "y", 95L, "ry"), (2L, "z", 80L, "rz"))
+      .toDF("k1", "k2", "rt", "tag")
+    val asof = TemporalJoin.asofBackward(l, r, Seq("k1", "k2"), "t", "rt", Seq("tag"))
+      .select("probe", "tag").as[(String, Option[String])].collect().toMap
+    assert(asof === Map("p1" -> Some("rx"), "p2" -> Some("ry"), "p3" -> None))
+
+    val ivs = Seq((1L, "x", 50L, 150L, "i1"), (1L, "y", 50L, 150L, "i2"))
+      .toDF("k1", "k2", "s", "e", "iid")
+    val pts = Seq((1L, "x", 100L, "q1"), (1L, "z", 100L, "q2"))
+      .toDF("k1", "k2", "t", "pid")
+    val rng = TemporalJoin.pointsInIntervals(ivs, pts, Seq("k1", "k2"), "s", "e", "t", 100L)
+      .select("iid", "pid").as[(String, String)].collect().toSet
+    assert(rng === Set(("i1", "q1")), "k2 must participate in the join key")
+  }
+
   test("asof plan: single hash-partition window, no join operator") {
     val out = TemporalJoin.asofBackward(leftDf, rightDf,
       keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"))
