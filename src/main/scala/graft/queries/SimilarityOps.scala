@@ -55,6 +55,37 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
   }
 
+  // Filtered vector search (the RAG shape: metadata predicate + top-k).
+  // The filter is applied BEFORE scoring — post-filtering a plain top-k
+  // under-fills k whenever neighbors fail the predicate. The semi-join
+  // keeps only qualifying corpus vectors; at scale the predicate side
+  // is a broadcast or DPP-pruned dimension.
+  private val filtered: Q = (s, dir) => {
+    val en = Tables.load(s, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val corpus = Tables.load(s, dir, "embeddings")
+      .join(en, col("vec_id") === col("doc_id"), "left_semi")
+    Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queriesDf(s, dir), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
+  }
+
+  private val filteredSql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cs
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> q.query_id
+      |    AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en'))
+      |SELECT query_id, neighbor_id, round(cs, 5) AS cos_sim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cs DESC, neighbor_id) AS rn
+      |      FROM scored) t
+      |WHERE rn <= 5""".stripMargin
+
   // Embedding near-dup: exact quadratic oracle twin vs the LSH-bucketed
   // scale path (per-table equi self-joins, candidates deduped before the
   // single scoring pass).
@@ -94,6 +125,7 @@ object SimilarityOps {
 
   val entries: Seq[Entry] = Seq(
     Entry("ann_brute_topk", brute, Some(bruteSql)),
+    Entry("ann_filtered_topk", filtered, Some(filteredSql)),
     Entry("ann_lsh_topk", lsh, None),
     Entry("ann_ivf_topk", ivf, None),
     Entry("dedup_embedding_exact", nearDupExact, Some(nearDupExactSql)),
