@@ -75,6 +75,31 @@ object TextRank {
       .select(col(idCol), score.as("bm25"))
   }
 
+  /** Unigram language-model quality score (the CCNet-style move:
+    * rank documents by how probable a reference LM finds them; here
+    * the LM is the corpus's own unigram distribution). Score = mean
+    * per-token natural-log probability — higher (less negative) =
+    * more typical text; template junk and OOV-heavy noise sink.
+    *
+    * The vocabulary (term → count) is a corpus-level aggregate small
+    * enough to broadcast (cap it with a top-K + OOV floor when the
+    * corpus vocabulary outgrows broadcast size); the scoring join is
+    * then a BroadcastHashJoin — tokens never shuffle, each document's
+    * log-sum accumulates map-side in token order, deterministically.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__term"))
+      .filter(col("__term") =!= "")
+    val vocab = toks.groupBy(col("__term")).agg(count(lit(1)).as("__cnt"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    toks
+      .join(broadcast(vocab), "__term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg((sum(log(col("__cnt") / col("__total"))) / count(lit(1))).as("mean_logprob"))
+  }
+
   /** Gopher-style within-document repetition signals, the standard
     * pretraining quality filters for template/boilerplate-generated
     * text:

@@ -235,6 +235,25 @@ object TextOps {
       |FROM dtf, st
       |WHERE tf_spark > 0 OR tf_join > 0 OR tf_stream > 0""".stripMargin
 
+  // Unigram-LM quality score (ops.TextRank.unigramLogProb): mean
+  // per-token log probability under the corpus unigram distribution.
+  private val lmScore: Q = (s, dir) =>
+    graft.ops.TextRank.unigramLogProb(Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), round(col("mean_logprob"), 4).as("mean_logprob"))
+  private val lmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+      |    FROM documents) u WHERE t <> ''
+      |), vocab AS (
+      |  SELECT t, count(*) AS cnt FROM toks GROUP BY t
+      |), tot AS (SELECT count(*) AS total FROM toks)
+      |SELECT doc_id,
+      |  round(sum(ln(cnt / total)) / count(*), 4) AS mean_logprob
+      |FROM toks JOIN vocab USING (t), tot
+      |GROUP BY doc_id""".stripMargin
+
   // Gopher-style repetition quality signals (ops.TextRank): top-2-gram
   // character coverage + duplicate-token fraction per document. The
   // winner tie-break is a row_number ordering reproduced verbatim in
@@ -278,6 +297,7 @@ object TextOps {
 
   val entries: Seq[Entry] = Seq(
     Entry("text_repetition", repetition, Some(repetitionSql)),
+    Entry("text_lm_score", lmScore, Some(lmScoreSql)),
     Entry("text_bm25", bm25, Some(bm25Sql)),
     Entry("text_nfc_fingerprint", normalize, Some(normalizeSql)),
     Entry("text_edit_distance", editDist, Some(editDistSql)),

@@ -55,6 +55,21 @@ class TextRankSpec extends SparkSpec {
     assert(out(3L)._2 === 1.0)
   }
 
+  test("unigram LM score: hand-computed mean log-prob; typical text outranks rare tokens") {
+    val docs = Seq(
+      (1L, "a a b"),   // common tokens
+      (2L, "a z")      // z is rare
+    ).toDF("id", "txt")
+    val out = TextRank.unigramLogProb(docs, "id", "txt")
+      .as[(Long, Double)].collect().toMap
+    // counts: a=3, b=1, z=1; total=5
+    val expected1 = (2 * math.log(3.0 / 5) + math.log(1.0 / 5)) / 3
+    val expected2 = (math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(math.abs(out(1L) - expected1) < 1e-12)
+    assert(math.abs(out(2L) - expected2) < 1e-12)
+    assert(out(1L) > out(2L), "rare-token doc must score lower")
+  }
+
   test("bm25 plan: one doc-level aggregate + broadcast stats, no shuffle join") {
     val docs = Seq((1L, "spark join")).toDF("id", "txt")
     val physical = TextRank.bm25(docs, "id", "txt", Seq("spark", "join", "stream"))
