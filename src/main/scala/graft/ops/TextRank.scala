@@ -75,6 +75,27 @@ object TextRank {
       .select(col(idCol), score.as("bm25"))
   }
 
+  /** Overlapping fixed-size chunking — the ingestion primitive for
+    * retrieval indexes and context-window-bounded training examples.
+    * Chunk starts advance by `size - overlap`; the final chunk may be
+    * shorter (it never pads), and empty documents produce no chunks.
+    * Pure row-local column algebra (sequence + explode + substring):
+    * no shuffle, scales with input splits.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0, "size must be positive")
+    require(overlap >= 0 && overlap < size, "overlap must be in [0, size)")
+    val step = size - overlap
+    docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), length(col(textCol)) - 1, lit(step))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / step).cast("long").as("chunk_idx"),
+        col(textCol).substr(col("__start") + 1, lit(size)).as("chunk"))
+  }
+
   /** Unigram language-model quality score (the CCNet-style move:
     * rank documents by how probable a reference LM finds them; here
     * the LM is the corpus's own unigram distribution). Score = mean

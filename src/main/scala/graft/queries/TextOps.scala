@@ -254,6 +254,19 @@ object TextOps {
       |FROM toks JOIN vocab USING (t), tot
       |GROUP BY doc_id""".stripMargin
 
+  // Overlapping chunking (ops.TextRank.chunk): 500-char chunks with
+  // 100-char overlap; chunks ship as md5 fingerprints so the oracle
+  // hash stays small.
+  private val chunks: Q = (s, dir) =>
+    graft.ops.TextRank.chunk(Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", size = 500, overlap = 100)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"))
+  private val chunksSql =
+    """SELECT doc_id, CAST(s / 400 AS BIGINT) AS chunk_idx,
+      |  md5(substring(text, s + 1, 500)) AS chunk_md5
+      |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) - 1, 400)) AS s
+      |      FROM documents WHERE length(text) > 0) t""".stripMargin
+
   // Gopher-style repetition quality signals (ops.TextRank): top-2-gram
   // character coverage + duplicate-token fraction per document. The
   // winner tie-break is a row_number ordering reproduced verbatim in
@@ -298,6 +311,7 @@ object TextOps {
   val entries: Seq[Entry] = Seq(
     Entry("text_repetition", repetition, Some(repetitionSql)),
     Entry("text_lm_score", lmScore, Some(lmScoreSql)),
+    Entry("text_chunk", chunks, Some(chunksSql)),
     Entry("text_bm25", bm25, Some(bm25Sql)),
     Entry("text_nfc_fingerprint", normalize, Some(normalizeSql)),
     Entry("text_edit_distance", editDist, Some(editDistSql)),

@@ -70,6 +70,20 @@ class TextRankSpec extends SparkSpec {
     assert(out(1L) > out(2L), "rare-token doc must score lower")
   }
 
+  test("chunking: overlap arithmetic, short tail, empty docs produce nothing") {
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy")).toDF("id", "txt")
+    val out = TextRank.chunk(docs, "id", "txt", size = 4, overlap = 2)
+      .select("id", "chunk_idx", "chunk").as[(Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, "abcd"), (1L, 1L, "cdef"), (1L, 2L, "efgh"), (1L, 3L, "ghij"),
+      (1L, 4L, "ij"),   // short tail, never padded
+      (3L, 0L, "xy")))  // doc shorter than one chunk
+    // every character of doc 1 is covered by at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap { case (_, idx, c) =>
+      (idx * 2 until idx * 2 + c.length).map(_.toInt) }.toSet
+    assert(covered === (0 until 10).toSet)
+  }
+
   test("bm25 plan: one doc-level aggregate + broadcast stats, no shuffle join") {
     val docs = Seq((1L, "spark join")).toDF("id", "txt")
     val physical = TextRank.bm25(docs, "id", "txt", Seq("spark", "join", "stream"))
