@@ -36,7 +36,8 @@ object Changelog {
       "payload must not repeat the id/seq/op columns")
     log.groupBy(col(idCol))
       .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol)).as("__last"))
-      .filter(col("__last").getField(opCol) =!= deleteOp)
+      // null-safe: a NULL op is "not a delete", not "discard the id"
+      .filter(!(col("__last").getField(opCol) <=> lit(deleteOp)))
       .select(col(idCol) +: payload.map(c => col("__last").getField(c).as(c)): _*)
   }
 }

@@ -39,6 +39,11 @@ object Packing {
     require(shards > 0, "shards must be positive")
     require(!docs.columns.contains("shard") && !docs.columns.contains("pack"),
       "reserved column name collision (shard/pack)")
+    // pmod on a non-numeric id would fail mid-job under ANSI (or
+    // worse, null every shard with ANSI off — one unbounded window)
+    require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol must be numeric for sharding, got ${docs.schema(idCol).dataType}; " +
+        "hash string ids to a numeric column first")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

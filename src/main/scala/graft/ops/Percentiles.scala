@@ -56,9 +56,13 @@ object Percentiles {
       "fractions must be in (0, 1]")
     require(buckets > 1, "need at least 2 buckets")
     val spark = df.sparkSession
+    // Null values have no rank: they'd produce a null bucket (driver
+    // NPE in the histogram) and inflate n past what the buckets cover.
+    // Standard percentile semantics: rank over non-null values only.
+    val data = df.filter(col(valueCol).isNotNull)
 
     // 1. per-group value range + count (one map-side-combinable agg)
-    val ranges = df.groupBy(col(groupCol))
+    val ranges = data.groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
         count(lit(1)).as("__n"))
 
@@ -67,7 +71,7 @@ object Percentiles {
         least(floor((v - mn) / ((mx - mn) / buckets)), lit(buckets - 1)).cast("int"))
 
     // 2. histogram per (group, bucket) — driver-sized by construction
-    val withB = df.join(broadcast(ranges), groupCol)
+    val withB = data.join(broadcast(ranges), groupCol)
       .withColumn("__b", bucketOf(col(valueCol), col("__mn"), col("__mx")))
     val hist = withB.groupBy(col(groupCol), col("__b")).count()
       .collect()

@@ -73,6 +73,7 @@ object Sampling {
     */
   def weightedTopK(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("__wrank"), "reserved column name collision (__wrank)")
     // First 8 md5 hex digits → uniform in (0, 1]; +1 keeps ln finite.
     val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long") + 1) / lit(4294967296.0)

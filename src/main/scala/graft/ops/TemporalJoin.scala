@@ -267,9 +267,21 @@ object TemporalJoin {
     requireCols(right, (keys :+ rightTime) ++ payload, "right")
     checkTimeType(left.schema(leftTime).dataType, "leftTime")
     checkTimeType(right.schema(rightTime).dataType, "rightTime")
+    // The two time columns union into ONE __asof_ts column; mixed type
+    // classes (e.g. timestamp left + string right) would silently
+    // coerce and then break the epoch math, so reject them eagerly.
+    def timeClass(dt: DataType): String = dt match {
+      case _: NumericType => "numeric"
+      case TimestampType | DateType => "datetime"
+      case _ => "string"
+    }
+    require(
+      timeClass(left.schema(leftTime).dataType) == timeClass(right.schema(rightTime).dataType),
+      s"leftTime (${left.schema(leftTime).dataType}) and rightTime " +
+        s"(${right.schema(rightTime).dataType}) must be the same kind of time column")
     val leftCols = left.columns.toSeq
-    val reserved =
-      Seq("__asof_ts", "__asof_side", "__asof_row", "__slice", "__slice_final", "__carry")
+    val reserved = Seq("__asof_ts", "__asof_side", "__asof_row", "__asof_bwd",
+      "__asof_fwd", "__rts", "__slice", "__slice_final", "__carry")
     require(!leftCols.exists(reserved.contains),
       s"left reserves column name(s) ${reserved.mkString(", ")}")
     require(!payload.exists(reserved.contains),
@@ -277,8 +289,6 @@ object TemporalJoin {
     val clash = payload.filter(leftCols.contains)
     require(clash.isEmpty,
       s"payload column(s) ${clash.mkString(", ")} collide with left columns; alias them first")
-    require(!payload.contains(rightTime) || !leftCols.contains(rightTime),
-      s"right time column $rightTime collides with a left column")
 
     // The matched right row travels as one atomic struct (payload
     // fields + its own timestamp for the staleness check).

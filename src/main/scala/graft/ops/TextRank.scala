@@ -44,7 +44,13 @@ object TextRank {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(queryTerms.distinct == queryTerms, "duplicate query terms")
+    // tokens are lowercased — an uppercase query term would silently
+    // match nothing and empty the result
+    require(queryTerms.forall(t => t == t.toLowerCase && t.nonEmpty),
+      s"query terms must be non-empty lowercase, got: ${queryTerms.mkString(", ")}")
     val safe = queryTerms.map(t => t -> s"__tf_${t.replaceAll("[^a-z0-9]", "_")}")
+    require(safe.map(_._2).distinct.size == safe.size,
+      s"query terms collide after name sanitization: ${queryTerms.mkString(", ")}")
 
     val toks = docs.select(col(idCol),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__term"))

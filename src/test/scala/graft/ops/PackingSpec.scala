@@ -25,6 +25,18 @@ class PackingSpec extends SparkSpec {
     assert(out === Map(1L -> "v2", 3L -> "revived", 4L -> "only"))
   }
 
+  test("packing rejects non-numeric ids eagerly; changelog keeps ids with null latest op") {
+    val strIds = Seq(("u-1", 5L)).toDF("id", "toks")
+    assertThrows[IllegalArgumentException] {
+      Packing.packSequences(strIds, "id", "toks", 10L, 2)
+    }
+    val log = Seq((1L, 1L, Option("U"), "x"), (1L, 2L, None: Option[String], "y"))
+      .toDF("id", "seq", "op", "val")
+    val out = Changelog.compact(log, "id", "seq", "op", Seq("val"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "y"), "null op is not a delete")
+  }
+
   test("changelog compaction: a null payload value on the winning version survives") {
     val log = Seq(
       (1L, 1L, "U", Some("old")), (1L, 2L, "U", None: Option[String]))

@@ -43,6 +43,14 @@ class PercentilesSpec extends SparkSpec {
     assert(out === Map("const" -> ((5.0, 5.0)), "one" -> ((9.0, 9.0))))
   }
 
+  test("null values are excluded from ranking (standard percentile semantics)") {
+    val df = Seq(("g", Some(1.0), 1L), ("g", None: Option[Double], 2L),
+      ("g", Some(3.0), 3L), ("g", None: Option[Double], 4L)).toDF("g", "v", "id")
+    val out = Percentiles.exactDiscrete(df, "g", "v", Seq("id"), Seq("p50" -> 0.5), 8)
+      .as[(String, Double)].head()
+    assert(out === (("g", 1.0)), "k = ceil(2 * 0.5) = 1st of the two non-null values")
+  }
+
   test("narrow pass only ranks located buckets (second scan is a fraction of the data)") {
     val df = (1 to 10000).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
     val out = Percentiles.exactDiscrete(df, "g", "v", Seq("id"),

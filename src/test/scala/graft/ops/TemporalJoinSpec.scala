@@ -93,6 +93,17 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("asof: mixed time-type classes and nearest-pass reserved names are rejected eagerly") {
+    val strTime = rightDf.withColumn("rt", col("rt").cast("string"))
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.asofBackward(leftDf, strTime, Seq("k"), "t", "rt", Seq("tag"))
+    }
+    val bwdCol = leftDf.withColumn("__asof_bwd", lit(1))
+    assertThrows[IllegalArgumentException] {
+      TemporalJoin.asofNearest(bwdCol, rightDf, Seq("k"), "t", "rt", Seq("tag"))
+    }
+  }
+
   test("asof: unsupported time type fails loudly when tolerance needs epoch math") {
     val l = leftDf.withColumn("arr", array(lit(1)))
     assertThrows[IllegalArgumentException] {
