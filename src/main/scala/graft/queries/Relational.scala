@@ -434,7 +434,27 @@ object Relational {
       ties = Seq("l_orderkey", "l_linenumber"),
       percentiles = Seq("median_price" -> 0.5, "p95_price" -> 0.95))
 
+  // q_topk_grouped — per-group top-3 by price via the bounded typed
+  // Aggregator (ops.TopK): only k rows per group per map task ride
+  // the shuffle, vs the window formulation sorting every group fully.
+  private val qTopkGrouped: Q = (s, dir) =>
+    graft.ops.TopK.topKPerGroup(
+      li(s, dir).withColumn("tie",
+        col("l_orderkey") * 10 + col("l_linenumber")),
+      groupCol = "l_returnflag", orderCol = "l_extendedprice",
+      tieCol = "tie", k = 3)
+
+  private val qTopkGroupedSql =
+    """SELECT l_returnflag, rank, l_extendedprice, tie FROM (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    l_orderkey * 10 + l_linenumber AS tie,
+      |    CAST(row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS BIGINT) AS rank
+      |  FROM lineitem) t
+      |WHERE rank <= 3""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_topk_grouped", qTopkGrouped, Some(qTopkGroupedSql)),
     Entry("q_median_scalable", qMedianScalable, Some(qMedianSql)),
     Entry("q_moving_window", qMovingWindow, Some(qMovingWindowSql)),
     Entry("q_pivot", qPivot, Some(qPivotSql)),
