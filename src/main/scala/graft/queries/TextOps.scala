@@ -179,6 +179,20 @@ object TextOps {
       |    0) / 2000) AS BIGINT) AS pack
       |FROM documents""".stripMargin
 
+  // Fuzzy self-join of source labels within edit distance 1
+  // (ops.FuzzyJoin, SymSpell deletion-neighborhood — rows×len work,
+  // never rows²). The quadratic levenshtein join is the oracle.
+  private val fuzzy: Q = (s, dir) => {
+    val src = Tables.load(s, dir, "documents").select(col("source"))
+    graft.ops.FuzzyJoin.withinEditDistance1(src, "source", src, "source")
+  }
+  private val fuzzySql =
+    """SELECT a.source AS source_l, b.source AS source_r,
+      |  CAST(levenshtein(a.source, b.source) AS INTEGER) AS distance
+      |FROM (SELECT DISTINCT source FROM documents) a,
+      |     (SELECT DISTINCT source FROM documents) b
+      |WHERE levenshtein(a.source, b.source) <= 1""".stripMargin
+
   // Unicode NFC canonicalization before fingerprinting — composed vs
   // decomposed accents otherwise make byte-identical text hash apart.
   // Native codegen'd expression; DuckDB nfc_normalize is the oracle twin.
@@ -312,6 +326,7 @@ object TextOps {
     Entry("text_repetition", repetition, Some(repetitionSql)),
     Entry("text_lm_score", lmScore, Some(lmScoreSql)),
     Entry("text_chunk", chunks, Some(chunksSql)),
+    Entry("text_fuzzy_join", fuzzy, Some(fuzzySql)),
     Entry("text_bm25", bm25, Some(bm25Sql)),
     Entry("text_nfc_fingerprint", normalize, Some(normalizeSql)),
     Entry("text_edit_distance", editDist, Some(editDistSql)),
