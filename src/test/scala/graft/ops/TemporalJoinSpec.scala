@@ -298,6 +298,24 @@ class TemporalJoinSpec extends SparkSpec {
     assert(rng === Set(("i1", "q1")), "k2 must participate in the join key")
   }
 
+  test("salted asof at volume: one hot key with 300k rows, bounded slices, equals plain") {
+    import org.apache.spark.sql.functions.{col => c, _}
+    // one pathological key: 250k left probes + 50k right facts
+    val spark0 = spark
+    import spark0.implicits._
+    val left = spark.range(250000)
+      .select(lit(1L).as("k"), (c("id") * 7 % 1000000).as("t"), c("id").as("probe"))
+    val right = spark.range(50000)
+      .select(lit(1L).as("k"), (c("id") * 37 % 1000000).as("rt"), c("id").as("tag"))
+      .dropDuplicates("k", "rt")
+    val plain = TemporalJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("tag"))
+      .agg(sum(c("tag")), count(c("tag")), sum(c("probe"))).as[(Long, Long, Long)].head()
+    val salted = TemporalJoin.asofBackwardSalted(left, right, Seq("k"), "t", "rt", Seq("tag"),
+        sliceSeconds = 10000L) // 100 slices over the 1e6 time range
+      .agg(sum(c("tag")), count(c("tag")), sum(c("probe"))).as[(Long, Long, Long)].head()
+    assert(salted === plain)
+  }
+
   test("asof plan: single hash-partition window, no join operator") {
     val out = TemporalJoin.asofBackward(leftDf, rightDf,
       keys = Seq("k"), leftTime = "t", rightTime = "rt", payload = Seq("tag"))
