@@ -244,21 +244,17 @@ object Relational {
 
   // ------------------------------------------------------------------
   // q_sessionize — gap-based sessionization (30-min idle timeout) via
-  // lag + running sum; the batch twin of flatMapGroupsWithState session
-  // windows. One shuffle on user_id.
-  private val qSessionize: Q = (s, dir) => {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.load(s, dir, "events")
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
-      .withColumn("session_id", sum(col("new_session")).over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_id"))
+  // ops.Sessionize (lag + running sum, one shuffle on user_id; the
+  // batch twin of flatMapGroupsWithState session windows). Integer
+  // microsecond gap math on both sides — the earlier inline version
+  // compared second-truncated casts against DuckDB's fractional
+  // epoch(), a latent boundary mismatch.
+  private val qSessionize: Q = (s, dir) =>
+    graft.ops.Sessionize.sessionize(Tables.load(s, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        gapMicros = 1800L * 1000000)
+      .groupBy(col("user_id"), col("session_idx").as("session_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
-  }
 
   private val qSessionizeSql =
     """SELECT user_id, session_id, count(*) AS n_events,
@@ -270,7 +266,7 @@ object Relational {
       |  FROM (
       |    SELECT user_id, ts, event_id, value,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+      |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
       |           THEN 1 ELSE 0 END AS new_session
       |    FROM events) g) t
       |GROUP BY user_id, session_id""".stripMargin

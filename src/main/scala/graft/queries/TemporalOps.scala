@@ -194,7 +194,33 @@ object TemporalOps {
       | AND e.ts <= i.ts + INTERVAL 6 HOUR
       |WHERE i.event_type = 'purchase' AND e.event_type = 'error'""".stripMargin
 
+  // events_zscore — per-type outlier flagging. The scale-correct shape:
+  // a tiny groupBy aggregate (one row per event_type) broadcast back,
+  // NOT an avg/stddev window over the whole fact table (which would
+  // shuffle + sort every row to compute four numbers). Predicate is on
+  // the ROUNDED z so the engines' float-sum-order difference cannot
+  // flip a row across the threshold.
+  private val tZscore: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("__m"), stddev_samp(col("value")).as("__sd"))
+    val z = round((col("value") - col("__m")) / col("__sd"), 4)
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), z.as("z"))
+      .filter(abs(col("z")) > 2.0)
+  }
+
+  private val tZscoreSql =
+    """SELECT event_id, event_type, z FROM (
+      |  SELECT e.event_id, e.event_type,
+      |    round((e.value - s.m) / s.sd, 4) AS z
+      |  FROM events e JOIN (
+      |    SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      |    FROM events GROUP BY event_type) s USING (event_type)) t
+      |WHERE abs(z) > 2.0""".stripMargin
+
   def entries: Seq[Entry] = Seq(
+    Entry("events_zscore", tZscore, Some(tZscoreSql)),
     Entry("temporal_asof", tAsof, Some(tAsofSql)),
     Entry("temporal_asof_tol", tAsofTol, Some(tAsofTolSql)),
     Entry("temporal_asof_fwd", tAsofFwd, Some(tAsofFwdSql)),
