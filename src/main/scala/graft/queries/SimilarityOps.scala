@@ -123,7 +123,55 @@ object SimilarityOps {
       |      FROM scored) t
       |WHERE rn <= 5""".stripMargin
 
+  // emb_centroid — per-label mean embedding via ops.VectorAgg (one
+  // bounded (sum, count) buffer per label per map task — the shuffle
+  // never sees a 64× exploded table). The tiny labels×dims RESULT is
+  // exploded only for the oracle compare.
+  private val centroid: Q = (s, dir) =>
+    graft.ops.VectorAgg.centroids(
+        Tables.load(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label").cast("int").as("label"),
+        posexplode(col("centroid")).as(Seq("dim", "mean_val")))
+      .select(col("label"), col("dim"),
+        // + 0.0 canonicalizes IEEE -0.0 (a rounded tiny negative) to 0.0
+        (round(col("mean_val"), 4) + lit(0.0)).as("mean_val"))
+
+  private val centroidSql =
+    """SELECT label, CAST(i - 1 AS INTEGER) AS dim, round(avg(e), 4) + 0.0 AS mean_val
+      |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
+      |             unnest(generate_series(1, len(embedding))) AS i
+      |      FROM embeddings) t
+      |GROUP BY label, i""".stripMargin
+
+  // emb_quantize — symmetric per-vector int8 quantization (the ANN
+  // ingest compression step: 4× smaller than float32). Row-local
+  // higher-order array functions — codegen'd, shuffle-free, scales
+  // with input splits. Division is forced to double on BOTH engines so
+  // round() sees bit-identical inputs.
+  private val quantize: Q = (s, dir) => {
+    val scale = array_max(transform(col("embedding"), x => abs(x)))
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .withColumn("__scale", scale)
+      .select(col("vec_id"), round(col("__scale").cast("double"), 5).as("scale"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") / col("__scale").cast("double") * 127, 0)
+            .cast("int"))).as(Seq("dim", "q")))
+
+  }
+
+  private val quantizeSql =
+    """SELECT vec_id, round(CAST(s AS DOUBLE), 5) AS scale, CAST(i - 1 AS INTEGER) AS dim,
+      |  CAST(round(CAST(e AS DOUBLE) / CAST(s AS DOUBLE) * 127, 0) AS INTEGER) AS q
+      |FROM (SELECT vec_id,
+      |        list_max(list_transform(embedding, x -> abs(x))) AS s,
+      |        unnest(embedding) AS e,
+      |        unnest(generate_series(1, len(embedding))) AS i
+      |      FROM embeddings WHERE vec_id < 100) t""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("emb_centroid", centroid, Some(centroidSql)),
+    Entry("emb_quantize", quantize, Some(quantizeSql)),
     Entry("ann_brute_topk", brute, Some(bruteSql)),
     Entry("ann_filtered_topk", filtered, Some(filteredSql)),
     Entry("ann_lsh_topk", lsh, None),

@@ -322,7 +322,45 @@ object TextOps {
       |FROM win w JOIN dup d ON w.doc_id = d.doc_id
       |WHERE w.rn = 1""".stripMargin
 
+  // Capped inverted index: term → document frequency + the first 20
+  // postings. Per-doc `array_distinct` dedupes BEFORE the explode so
+  // each (term, doc) pair rides the shuffle once; df is a map-side-
+  // combined count; postings come from the bounded ops.TopK aggregator
+  // (k rows per term per map task — a stopword appearing in every
+  // document costs 20 buffer slots, not an unbounded collect_list).
+  // Both aggregates hash-partition on term, so the final join reuses
+  // the exchange. Output is (term, df, rank, doc_id) rows — no
+  // list-typed columns, which keeps the oracle compare engine-neutral.
+  private val inverted: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))).as("term"))
+    val dfAgg = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = graft.ops.TopK.topKPerGroup(
+      toks.withColumn("__ord", -col("doc_id").cast("double")),
+      groupCol = "term", orderCol = "__ord", tieCol = "doc_id", k = 20)
+    top.join(dfAgg, "term").filter(col("df") >= 10)
+      .select(col("term"), col("df"), col("rank"), col("doc_id"))
+  }
+  private val invertedSql =
+    """WITH td AS (
+      |  SELECT DISTINCT doc_id, t AS term FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+      |    FROM documents) u WHERE t <> ''
+      |), d AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY term
+      |), r AS (
+      |  SELECT term, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY term ORDER BY doc_id) AS BIGINT)
+      |      AS "rank"
+      |  FROM td
+      |)
+      |SELECT r.term, d.df, r."rank", r.doc_id
+      |FROM r JOIN d USING (term)
+      |WHERE d.df >= 10 AND r."rank" <= 20""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("text_inverted_index", inverted, Some(invertedSql)),
     Entry("text_repetition", repetition, Some(repetitionSql)),
     Entry("text_lm_score", lmScore, Some(lmScoreSql)),
     Entry("text_chunk", chunks, Some(chunksSql)),
