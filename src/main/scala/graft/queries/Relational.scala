@@ -449,7 +449,60 @@ object Relational {
       |  FROM lineitem) t
       |WHERE rank <= 3""".stripMargin
 
+  // q_zorder_key — Morton clustering key (ops.ZOrder) over the two
+  // join/filter dimensions of lineitem. The key itself is pure
+  // codegen'd bit algebra; at write time clusterByZ range-partitions
+  // and sorts by it so every parquet file holds a compact rectangle of
+  // (partkey, suppkey) space — row-group pruning for predicates on
+  // EITHER column. The oracle reproduces the interleave bit-by-bit.
+  private val qZorder: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.ZOrder.interleave2(
+          col("l_partkey") % 65536, col("l_suppkey") % 65536).as("zkey"))
+
+  private val qZorderSql = {
+    val terms = (0 until graft.ops.ZOrder.Bits).flatMap { i =>
+      Seq(s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i + 1})",
+        s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i})")
+    }.mkString(" | ")
+    s"SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zkey FROM lineitem"
+  }
+
+  // q_dq_audit — Deequ-style data-quality audit in ONE scan: row count,
+  // null counts, domain-violation counts, exact distinct cardinality,
+  // extrema. At 100 TB the difference between auditing in one pass and
+  // one query per metric is the whole job cost; everything here rides
+  // a single aggregate (the distinct triggers Spark's Expand-based
+  // two-phase plan — still one scan of the data).
+  private val qDqAudit: Q = (s, dir) =>
+    Tables.load(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_flags"),
+      sum(when(col("l_quantity") <= 0 || col("l_quantity") > 100, 1L)
+        .otherwise(0L)).as("bad_quantity"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("bad_discount"),
+      countDistinct(col("l_returnflag")).as("n_flag_values"),
+      round(min(col("l_extendedprice")), 2).as("min_price"),
+      round(max(col("l_extendedprice")), 2).as("max_price"))
+
+  private val qDqAuditSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS null_flags,
+      |  CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 100 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS bad_quantity,
+      |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS bad_discount,
+      |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flag_values,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM lineitem""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("q_zorder_key", qZorder, Some(qZorderSql)),
+    Entry("q_dq_audit", qDqAudit, Some(qDqAuditSql)),
     Entry("q_topk_grouped", qTopkGrouped, Some(qTopkGroupedSql)),
     Entry("q_median_scalable", qMedianScalable, Some(qMedianSql)),
     Entry("q_moving_window", qMovingWindow, Some(qMovingWindowSql)),
