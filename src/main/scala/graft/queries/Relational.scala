@@ -500,9 +500,34 @@ object Relational {
       |  round(max(l_extendedprice), 2) AS max_price
       |FROM lineitem""".stripMargin
 
+  // q_bloom_prune_join — ops.BloomJoin pre-filter + deliberate
+  // sort-merge join (the bloom matters exactly when the dim side is
+  // too big to broadcast): fact rows that cannot match never enter the
+  // shuffle. False positives are discarded by the real join, so the
+  // oracle is the PLAIN join — the bloom must be invisible in the
+  // result, like the salt in q_skew_salted_join.
+  private val qBloomPrune: Q = (s, dir) => {
+    val dim = Tables.load(s, dir, "supplier")
+      .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+    val pruned = graft.ops.BloomJoin.pruneLarge(
+      Tables.load(s, dir, "lineitem"), "l_suppkey", dim, "s_suppkey",
+      expectedItems = 100000L)
+    pruned.join(dim.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
+  private val qBloomPruneSql =
+    """SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey = 3
+      |GROUP BY s_suppkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_zorder_key", qZorder, Some(qZorderSql)),
     Entry("q_dq_audit", qDqAudit, Some(qDqAuditSql)),
+    Entry("q_bloom_prune_join", qBloomPrune, Some(qBloomPruneSql)),
     Entry("q_topk_grouped", qTopkGrouped, Some(qTopkGroupedSql)),
     Entry("q_median_scalable", qMedianScalable, Some(qMedianSql)),
     Entry("q_moving_window", qMovingWindow, Some(qMovingWindowSql)),
