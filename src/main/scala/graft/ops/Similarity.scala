@@ -226,6 +226,71 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  // --- semantic dedup --------------------------------------------------
+
+  /** Sign-bit sketch of the first `bits` dimensions: bit i is set when
+    * `vec[i] > 0`. A crude but deterministic cluster key (each bit is a
+    * coordinate-hyperplane LSH cut), with one property the random-plane
+    * buckets lack: it is expressible in plain SQL, so a semantic-dedup
+    * run clustered by it can be oracle-verified end-to-end. Production
+    * runs should prefer [[nearestCells]] over [[ivfCentroids]] — real
+    * k-means cells cluster semantically alike vectors far better.
+    */
+  def signBitSketch(vec: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
+    (0 until bits).map(i =>
+      when(element_at(vec, i + 1) > 0, lit(1 << (bits - 1 - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** SemDeDup-style semantic deduplication: within each cluster, drop
+    * every row that has ANY smaller-id neighbor with cosine >=
+    * `threshold` (dropped rows still dominate — a near-dup CHAIN
+    * a~b~c keeps only its smallest id even when a !~ c). Returns the
+    * surviving `corpus` rows unchanged.
+    *
+    * The cluster key bounds the quadratic pairwise scoring — cosine is
+    * computed only inside clusters, never across the corpus (the
+    * SemDeDup recipe: k-means cells ~ this op with a
+    * [[nearestCells]]-derived key; the harness uses [[signBitSketch]]
+    * to stay SQL-checkable). Clusters larger than `maxCluster` pass
+    * through UNJUDGED (every member kept — dedup stays best-effort,
+    * never a straggler task); the skip is observable via the
+    * "semantic_dedup_clusters" observation without an extra job.
+    *
+    * Plan shape: one shuffle of (id, vec, cluster) by cluster for the
+    * size count + self-join; the anti-join back is on the narrow id
+    * set. No driver collection, no cross-cluster pairs.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      clusterKey: Column, threshold: Double, maxCluster: Int = 4096): DataFrame = {
+    require(maxCluster > 1, "maxCluster must allow at least one pair")
+    val reserved = Seq("__c", "__csize", "__sd_dropid")
+    require(!corpus.columns.exists(reserved.contains),
+      s"corpus reserves column name(s) ${reserved.mkString(", ")}")
+    val e = corpus.withColumn("__c", clusterKey)
+      .select(col(idCol).as("__id"), col("__c"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__nv", norm(col("__v")))
+    val sizes = e.groupBy(col("__c")).agg(count(lit(1)).as("__csize"))
+      .observe("semantic_dedup_clusters",
+        sum(when(col("__csize") > maxCluster, 1L).otherwise(0L)).as("skipped_clusters"),
+        max(col("__csize")).as("max_cluster"))
+      .filter(col("__csize") <= maxCluster)
+      .select(col("__c"))
+    val judged = e.join(sizes, "__c")
+    val a = judged.select(col("__c"), col("__id").as("__ida"),
+      col("__v").as("__va"), col("__nv").as("__na"))
+    val b = judged.select(col("__c"), col("__id").as("__idb"),
+      col("__v").as("__vb"), col("__nv").as("__nb"))
+    val dropped = a.join(b, "__c")
+      .filter(col("__ida") < col("__idb"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
+      .select(col("__idb").as("__sd_dropid"))
+      .distinct()
+    corpus.join(dropped, col(idCol) === col("__sd_dropid"), "left_anti")
+  }
+
   // --- sign-bit LSH ----------------------------------------------------
 
   /** Deterministic hyperplanes for `tables` × `bits` sign projections:

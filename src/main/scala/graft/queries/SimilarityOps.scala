@@ -169,8 +169,34 @@ object SimilarityOps {
       |        unnest(generate_series(1, len(embedding))) AS i
       |      FROM embeddings WHERE vec_id < 100) t""".stripMargin
 
+  // dedup_semantic — SemDeDup (cluster → within-cluster cosine →
+  // keep-smallest-id). Clustered by the 4-bit sign sketch so the WHOLE
+  // run — clustering included — is SQL-expressible and oracle-checked;
+  // production would pass a k-means (ivfCentroids) cluster key instead.
+  private val semantic: Q = (s, dir) =>
+    graft.ops.Similarity.semanticDedup(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      graft.ops.Similarity.signBitSketch(col("embedding"), 4), threshold = 0.4)
+      .select(col("vec_id"), col("label"))
+
+  private val semanticSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+      |   + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+      |   + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+      |   + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS c
+      |  FROM embeddings),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id FROM e a JOIN e b
+      |    ON a.c = b.c AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("emb_centroid", centroid, Some(centroidSql)),
+    Entry("dedup_semantic", semantic, Some(semanticSql)),
     Entry("emb_quantize", quantize, Some(quantizeSql)),
     Entry("ann_brute_topk", brute, Some(bruteSql)),
     Entry("ann_filtered_topk", filtered, Some(filteredSql)),
