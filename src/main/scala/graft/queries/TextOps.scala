@@ -359,7 +359,49 @@ object TextOps {
       |FROM r JOIN d USING (term)
       |WHERE d.df >= 10 AND r."rank" <= 20""".stripMargin
 
+  // text_pii_redact — ops.Redact over the corpus. The synthetic corpus
+  // contains no PII, so the query INJECTS deterministic emails / IPs /
+  // phones (keyed off doc_id, identically in Spark and the oracle SQL)
+  // and then redacts: every rule is exercised on every row and the
+  // redacted text + per-rule audit counts hash-match the oracle.
+  private val piiRedact: Q = (s, dir) => {
+    val injected = concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(" mail user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" from 10.1."), pmod(col("doc_id"), lit(200)), lit(".7"))).otherwise(lit("")),
+      concat(lit(" call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+    Tables.load(s, dir, "documents")
+      .withColumn("__inj", injected)
+      .select((col("doc_id") +: graft.ops.Redact.redact(col("__inj")).as("red") +:
+        graft.ops.Redact.counts(col("__inj"))): _*)
+  }
+
+  private val piiRedactSql = {
+    val inj = """text
+      | || CASE WHEN doc_id % 2 = 0 THEN ' mail user' || doc_id || '@example.com' ELSE '' END
+      | || CASE WHEN doc_id % 3 = 0 THEN ' from 10.1.' || (doc_id % 200) || '.7' ELSE '' END
+      | || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
+      .stripMargin.replace("\n", "")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\b[0-9]{3}-([0-9]{3}-)?[0-9]{4}\\b"
+    s"""WITH inj AS (SELECT doc_id, $inj AS t FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ipv4', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS red,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$ipv4')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone
+       |FROM inj""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
+    Entry("text_pii_redact", piiRedact, Some(piiRedactSql)),
     Entry("text_inverted_index", inverted, Some(invertedSql)),
     Entry("text_repetition", repetition, Some(repetitionSql)),
     Entry("text_lm_score", lmScore, Some(lmScoreSql)),
