@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary construction — the tokenizer-training precursor
+  * (count every token across the corpus, keep the `vocabSize` most
+  * frequent, assign dense ids by rank).
+  *
+  * Scale design: the only corpus-sized stage is the token count — one
+  * explode + hash aggregate with map-side partial combine, so the
+  * shuffle carries (token, partial_count) pairs, not token
+  * occurrences. The top-V cut is `orderBy(...).limit(V)` —
+  * TakeOrderedAndProject keeps a bounded V-row heap per partition and
+  * merges heaps, never a global sort of the full token table. Id
+  * assignment windows over the V surviving rows only (single bounded
+  * task by construction — V is the vocab size, not the corpus).
+  *
+  * Ordering is fully deterministic: rank by (count desc, token asc),
+  * so equal-frequency tokens at the V boundary resolve identically on
+  * every run and engine.
+  */
+object Vocab {
+
+  /** (token, cnt, token_id) for the `vocabSize` most frequent
+    * whitespace tokens with count >= `minCount`; ids are 1-based in
+    * rank order.
+    */
+  def build(df: DataFrame, textCol: String, vocabSize: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val top = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+    top.withColumn("token_id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token").asc))
+        .cast("long"))
+  }
+
+  /** Per-document OOV audit against a built vocabulary: token count,
+    * in-vocab count, and OOV rate — the "how much of my corpus does
+    * this vocab cover" QA step. `vocab` is broadcast (it is vocabSize
+    * rows by construction); the join never shuffles the corpus.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    toks
+      .join(broadcast(vocab.select(col("token"), lit(1).as("__in_vocab"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in_vocab"), lit(0))).as("n_in_vocab"))
+      .withColumn("oov_rate",
+        round((col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"), 4))
+  }
+}

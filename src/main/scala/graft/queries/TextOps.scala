@@ -400,7 +400,52 @@ object TextOps {
        |FROM inj""".stripMargin
   }
 
+  // text_vocab — ops.Vocab corpus vocabulary (count → minCount filter →
+  // deterministic top-V → rank ids). The corpus-sized stage is one
+  // map-side-combined hash aggregate; the cut is TakeOrdered (bounded
+  // heap per partition), id assignment windows over V rows only.
+  private val vocab: Q = (s, dir) =>
+    graft.ops.Vocab.build(
+      Tables.load(s, dir, "documents"), "text", vocabSize = 200)
+
+  private val vocabSql =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok WHERE token <> '' GROUP BY token)
+      |SELECT token, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id
+      |FROM cnt ORDER BY token_id LIMIT 200""".stripMargin
+
+  // text_oov — per-document out-of-vocabulary audit against that vocab
+  // (broadcast join on the V-row vocab; the corpus never shuffles).
+  private val oov: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.Vocab.oovStats(docs, "doc_id", "text",
+      graft.ops.Vocab.build(docs, "text", vocabSize = 10))
+  }
+
+  private val oovSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token)
+      |  ORDER BY cnt DESC, token LIMIT 10)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_in_vocab,
+      |  round(CAST(count(*) - sum(CASE WHEN token IN (SELECT token FROM vocab)
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_rate
+      |FROM tok WHERE token <> ''
+      |GROUP BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("text_vocab", vocab, Some(vocabSql)),
+    Entry("text_oov", oov, Some(oovSql)),
     Entry("text_pii_redact", piiRedact, Some(piiRedactSql)),
     Entry("text_inverted_index", inverted, Some(invertedSql)),
     Entry("text_repetition", repetition, Some(repetitionSql)),
