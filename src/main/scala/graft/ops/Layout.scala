@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Storage-layout operators: bucketed ingest for shuffle-free joins.
+  *
+  * At 100 TB the dominant cost of a fact-fact join is the exchange —
+  * both sides hash-shuffled on the key every time the join runs.
+  * Bucketing moves that cost to INGEST: the table is written
+  * pre-hash-partitioned (and optionally pre-sorted) on the join key,
+  * so every subsequent join or aggregation on that key reads the
+  * co-located buckets and skips the exchange (and with matching
+  * `sortBy`, the sort) — pay once, join forever. This is the batch
+  * twin of [[graft.ops.ZOrder]]'s read-locality story and the same
+  * trade Hive/Trino bucketed tables and Iceberg bucket transforms
+  * make.
+  *
+  * Bucket count guidance: pick `buckets` so one bucket of the LARGER
+  * table ≈ one comfortable task (128–512 MB); both sides of a
+  * co-located join must use the SAME bucket count and key.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed external table at `path`, registered as
+    * `table`. Buckets (and in-bucket sort, when `sortCols` is given)
+    * are on `keys` — subsequent equi-joins/aggregations on `keys`
+    * between tables bucketed alike run exchange-free.
+    */
+  def ingestBucketed(df: DataFrame, table: String, path: String,
+      keys: Seq[String], buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucketed ingest needs at least one key column")
+    require(buckets > 0, "buckets must be positive")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** The bucketed table back as a DataFrame (scan reports the bucket
+    * hash partitioning to Catalyst — that is what elides exchanges).
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -524,10 +524,46 @@ object Relational {
       |WHERE s_nationkey = 3
       |GROUP BY s_suppkey""".stripMargin
 
+  // q_bucketed_join — ops.Layout: orders and customer are ingested
+  // ONCE per dataset dir as co-bucketed tables on custkey (the
+  // pay-at-ingest layout), then the join + per-customer aggregate runs
+  // with ZERO exchanges — LayoutSpec pins the no-Exchange plan; here
+  // the oracle pins that the exchange-free result equals the plain
+  // shuffled join's.
+  private val bucketedIngest = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  private val qBucketed: Q = (s, dir) => {
+    val tag = math.abs(dir.hashCode).toString
+    bucketedIngest.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft_bucketed_")
+      graft.ops.Layout.ingestBucketed(
+        Tables.load(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        s"bkt_orders_$tag", base.resolve("orders").toString,
+        Seq("o_custkey"), buckets = 8, sortCols = Seq("o_custkey"))
+      graft.ops.Layout.ingestBucketed(
+        Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"),
+        s"bkt_customer_$tag", base.resolve("customer").toString,
+        Seq("c_custkey"), buckets = 8, sortCols = Seq("c_custkey"))
+    })
+    graft.ops.Layout.readBucketed(s, s"bkt_orders_$tag")
+      .join(graft.ops.Layout.readBucketed(s, s"bkt_customer_$tag").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  private val qBucketedSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_zorder_key", qZorder, Some(qZorderSql)),
     Entry("q_dq_audit", qDqAudit, Some(qDqAuditSql)),
     Entry("q_bloom_prune_join", qBloomPrune, Some(qBloomPruneSql)),
+    Entry("q_bucketed_join", qBucketed, Some(qBucketedSql)),
     Entry("q_topk_grouped", qTopkGrouped, Some(qTopkGroupedSql)),
     Entry("q_median_scalable", qMedianScalable, Some(qMedianSql)),
     Entry("q_moving_window", qMovingWindow, Some(qMovingWindowSql)),
