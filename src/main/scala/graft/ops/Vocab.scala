@@ -43,6 +43,35 @@ object Vocab {
         .cast("long"))
   }
 
+  /** Tokenize each document into vocabulary ids — the encoding step
+    * between vocabulary construction and sequence packing. Unknown
+    * tokens map to `unkId` (0 by default; real ids are 1-based).
+    *
+    * The vocab joins as a BROADCAST map (it is vocabSize rows by
+    * construction), so encoding is a row-local projection: explode →
+    * broadcast lookup → re-assemble in token order. Bodies shuffle
+    * once, keyed by document, to reassemble; at 100 TB the alternative
+    * (a driver-side dictionary UDF) would be the same shuffle-free
+    * plan but loses codegen — the join form keeps Catalyst in charge.
+    * Output: (idCol, token_ids array<bigint>, n_tokens, n_unk).
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, unkId: Long = 0L): DataFrame = {
+    val toks = df
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "token")))
+      .filter(col("token") =!= "")
+    toks
+      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(unkId)))
+      .groupBy(col(idCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__pos"), col("token_id")))),
+          s => s.getField("token_id")).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id") === unkId, 1L).otherwise(0L)).as("n_unk"))
+  }
+
   /** Per-document OOV audit against a built vocabulary: token count,
     * in-vocab count, and OOV rate — the "how much of my corpus does
     * this vocab cover" QA step. `vocab` is broadcast (it is vocabSize

@@ -443,8 +443,42 @@ object TextOps {
       |FROM tok WHERE token <> ''
       |GROUP BY doc_id""".stripMargin
 
+  // text_encode — ops.Vocab.encode: documents → vocab-id sequences
+  // (the tokenize step feeding text_pack_sequences). The id sequence is
+  // hashed (md5 of the comma-joined ids) so the oracle compares exact
+  // order-sensitive content without engine-specific array rendering.
+  private val encode: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.Vocab.encode(docs, "doc_id", "text",
+      graft.ops.Vocab.build(docs, "text", vocabSize = 10))
+      .select(col("doc_id"),
+        md5(concat_ws(",", transform(col("token_ids"),
+          i => i.cast("string")))).as("ids_md5"),
+        col("n_tokens"), col("n_unk"))
+  }
+
+  private val encodeSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token,
+      |    unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+      |    AS token_id
+      |  FROM (SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token)
+      |  ORDER BY token_id LIMIT 10)
+      |SELECT t.doc_id,
+      |  md5(array_to_string(list(COALESCE(v.token_id, 0) ORDER BY t.pos), ',')) AS ids_md5,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+      |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      |WHERE t.token <> ''
+      |GROUP BY t.doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_vocab", vocab, Some(vocabSql)),
+    Entry("text_encode", encode, Some(encodeSql)),
     Entry("text_oov", oov, Some(oovSql)),
     Entry("text_pii_redact", piiRedact, Some(piiRedactSql)),
     Entry("text_inverted_index", inverted, Some(invertedSql)),

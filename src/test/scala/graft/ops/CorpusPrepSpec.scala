@@ -52,6 +52,14 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out == Seq("en", "de", "fr", "und"))
   }
 
+  test("the composed pipeline is a single-exchange plan with map-side dup pruning") {
+    val plan = run().queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"pipeline must shuffle exactly once (the dedup window):\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      "duplicates must be pruned map-side before the exchange")
+  }
+
   test("rejects reserved column names eagerly") {
     val bad = Seq((1L, "x", 0)).toDF("id", "text", "__fp")
     intercept[IllegalArgumentException] {

@@ -38,6 +38,21 @@ class VocabSpec extends SparkSpec {
     assert(v == Seq(("x", 1L, 1L)))
   }
 
+  test("encode maps tokens to rank ids in document order, OOV to unkId") {
+    val vocab = Vocab.build(docs, "text", vocabSize = 3) // b=1, a=2, c=3
+    val out = Vocab.encode(Seq((7L, "a b  z c a")).toDF("id", "text"),
+      "id", "text", vocab)
+      .as[(Long, Seq[Long], Long, Long)].collect().toSeq
+    assert(out == Seq((7L, Seq(2L, 1L, 0L, 3L, 2L), 5L, 1L)))
+  }
+
+  test("encode of an all-OOV document counts every token as unk") {
+    val vocab = Vocab.build(docs, "text", vocabSize = 3)
+    val out = Vocab.encode(Seq((1L, "zz yy")).toDF("id", "text"), "id", "text", vocab)
+      .as[(Long, Seq[Long], Long, Long)].collect().toSeq
+    assert(out == Seq((1L, Seq(0L, 0L), 2L, 2L)))
+  }
+
   test("oovStats reports per-document coverage against the vocab") {
     val vocab = Vocab.build(docs, "text", vocabSize = 2) // {b, a}
     val stats = Vocab.oovStats(docs, "id", "text", vocab)
