@@ -43,4 +43,29 @@ object Layout {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Compact a parquet dataset into ~`targetBytes`-sized files — the
+    * small-files remedy. Streaming sinks, per-partition writers, and
+    * incremental ingests leave thousands of KB-scale files; at 100 TB
+    * that is millions of scan tasks and a listing-dominated planner.
+    * One coalesce-write (sized from the dataset's actual on-disk
+    * bytes) restores healthy splits.
+    *
+    * `coalesce`, not `repartition`: target counts are ≤ current file
+    * counts in the compaction regime, so the write needs NO shuffle —
+    * each output task concatenates a handful of input files. Returns
+    * the file count written.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 256L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(files)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    files
+  }
 }

@@ -40,6 +40,21 @@ class LayoutSpec extends SparkSpec {
     assert(agg.count() == 5000L)
   }
 
+  test("compact merges a many-small-files dataset without losing rows") {
+    val in = tmp("compact_in")
+    val out = tmp("compact_out")
+    // 64 partitions of a small range → 64 tiny files
+    spark.range(0, 10000).repartition(64).write.mode("overwrite").parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 64)
+
+    val planned = Layout.compact(spark, in, out, targetBytes = 1L << 30)
+    assert(planned == 1)
+    assert(parquetFiles(out) == 1)
+    assert(spark.read.parquet(out).count() == 10000L)
+  }
+
   test("join on a NON-bucket key still shuffles (the layout is key-specific)") {
     val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 10).as("other"))
     Layout.ingestBucketed(df, "bkt_k", tmp("k"), Seq("k"), 4)

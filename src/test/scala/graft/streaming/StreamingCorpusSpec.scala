@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.{CorpusPrep, Redact}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The corpus-prep FILTER surface under Structured Streaming: language
+  * guess, quality bounds, and PII redaction are stateless row-local
+  * expressions, so the same Columns drive a streaming ingest unchanged
+  * (exact dedup is the stateful stage and lives with the other
+  * stateful ops — see EventStreams' dedup path).
+  */
+class StreamingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming language+quality filter + redaction equals the batch run") {
+    val rows = Seq(
+      (1L, "the quick fox and the dog run of a hill"),
+      (2L, "der hund und die katze das haus"),
+      (3L, "the mail and of a bob@x.co ok"),
+      (4L, "the a of and")) // stuffed: ratio 1.0
+    val t = col("text")
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(trim(t), "\\s+")
+      val nTok = size(toks)
+      val stopRatio = size(filter(toks,
+        x => x.isin(CorpusPrep.enMarkers: _*))).cast("double") / nTok
+      df.filter(CorpusPrep.langGuess(t) === "en")
+        .filter(nTok >= 5 && stopRatio <= 0.6)
+        .select(col("id"), Redact.redact(t).as("clean"))
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = shape(mem.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("corpus_stream")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = shape(rows.toDF("id", "text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Seq(1L, 3L))
+    assert(streamed(1)._2 == "the mail and of a <EMAIL> ok")
+  }
+}
