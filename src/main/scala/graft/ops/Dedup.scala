@@ -277,6 +277,26 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate REMOVAL: the glue from any pair source
+    * ([[minhashLshPairs]], [[Similarity.embeddingNearDupExact]],
+    * simhash buckets, …) to the deduplicated corpus. Each transitive
+    * duplicate GROUP (connected component of the pair graph) keeps
+    * exactly its smallest id; rows in no pair survive untouched.
+    *
+    * Scale shape: the component labeling works on the pair graph only
+    * (orders of magnitude smaller than the corpus — see
+    * [[connectedComponents]]'s adaptive regimes); the corpus itself is
+    * touched by ONE narrow anti-join on ids. Bodies never ride any
+    * shuffle.
+    */
+  def removeNearDuplicates(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, idA, idB)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__dup_id"))
+    corpus.join(losers, corpus(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Benchmark decontamination (the eval-leakage guard every training
     * pipeline needs): drop every corpus document that shares ANY word
     * n-gram with the reference (benchmark/eval) set.

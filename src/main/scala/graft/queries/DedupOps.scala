@@ -65,6 +65,36 @@ object DedupOps {
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
     Dedup.connectedComponents(pairs)
   }
+  // End-to-end removal: same pair graph as dedup_components, but the
+  // output is the DEDUPLICATED CORPUS — each transitive duplicate group
+  // keeps its smallest id (Dedup.removeNearDuplicates glue).
+  private val removeNearDups: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val pairs = graft.ops.Similarity.embeddingNearDupExact(
+      emb, "vec_id", "embedding", threshold = 0.4)
+    Dedup.removeNearDuplicates(emb, "vec_id", pairs)
+      .select(col("vec_id"), col("label"))
+  }
+  private val removeNearDupsSql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (
+      |  SELECT id FROM (
+      |    SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+      |  WHERE component <> id)""".stripMargin
+
   private val componentsSql =
     """WITH RECURSIVE ev AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -147,6 +177,7 @@ object DedupOps {
     Entry("dedup_minhash_lsh", minhash, None),
     Entry("dedup_simhash", simhash, None),
     Entry("dedup_components", components, Some(componentsSql)),
+    Entry("dedup_remove_neardups", removeNearDups, Some(removeNearDupsSql)),
     Entry("dedup_paragraphs", paragraphs, Some(paragraphsSql)),
     Entry("dedup_decontaminate", decontaminate, Some(decontaminateSql)),
   )
