@@ -377,4 +377,32 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Incremental exact dedup: the continuous-crawl shape, where a new
+    * shard must be deduped (a) within itself and (b) against the whole
+    * existing corpus, WITHOUT re-deduping the corpus.
+    *
+    * Returns the shard's surviving (idCol, fp) rows: first-wins
+    * (min id) within the shard, then anti-joined against the corpus's
+    * distinct digests.
+    *
+    * Scale shape: both shuffles carry 16-byte digests (+ one id on the
+    * shard side), never bodies; the corpus side reduces to distinct
+    * digests with map-side partial aggregation before the anti-join.
+    * The anti-join keys are digests — uniformly distributed by
+    * construction, so no skew handling is needed. For a corpus whose
+    * digest set is maintained as an artifact (the steady-state deploy),
+    * pass that digest table directly and the corpus scan disappears;
+    * [[BloomJoin]] can additionally pre-prune the shard when the
+    * corpus digest table is too big to shuffle comfortably.
+    */
+  def incremental(shard: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val shardKeep = shard
+      .groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+    val corpusFps = corpus.select(md5(col(textCol)).as("fp")).distinct()
+    shardKeep.join(corpusFps, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
 }

@@ -171,8 +171,28 @@ object DedupOps {
       |SELECT doc_id, source, lang FROM documents
       |WHERE source = 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
+  // Incremental dedup: the src0 shard deduped within itself
+  // (first-wins) and against the rest of the corpus — the
+  // continuous-crawl shape; digests shuffle, bodies never do.
+  private val incremental: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.incremental(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"),
+      "doc_id", "text")
+  }
+  private val incrementalSql =
+    """WITH shard AS (
+      |  SELECT md5(text) AS fp, min(doc_id) AS doc_id
+      |  FROM documents WHERE source = 'src0' GROUP BY md5(text))
+      |SELECT doc_id, fp FROM shard s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents c
+      |  WHERE c.source <> 'src0' AND md5(c.text) = s.fp)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
+    Entry("dedup_incremental", incremental, Some(incrementalSql)),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
     Entry("dedup_minhash_lsh", minhash, None),
     Entry("dedup_simhash", simhash, None),

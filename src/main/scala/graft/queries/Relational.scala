@@ -559,6 +559,21 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  // Contiguous global row numbering WITHOUT the single-task global
+  // window (ops.GlobalIndex: range shuffle + metadata-sized count job
+  // + per-partition offset counters). Result is identical to
+  // row_number() by construction — that IS the oracle.
+  // Ordering must end in a unique key (o_orderkey) — row_number over a
+  // tied ordering is nondeterministic in ANY engine.
+  private val qGlobalIndex: Q = (s, dir) =>
+    graft.ops.GlobalIndex.withGlobalIndex(
+      Tables.load(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+      Seq(col("o_custkey"), col("o_orderkey")), "row_idx")
+  private val qGlobalIndexSql =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER (ORDER BY o_custkey, o_orderkey) AS row_idx
+      |FROM orders""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_zorder_key", qZorder, Some(qZorderSql)),
     Entry("q_dq_audit", qDqAudit, Some(qDqAuditSql)),
@@ -588,5 +603,6 @@ object Relational {
     Entry("q_distinct", qDistinct, Some(qDistinctSql)),
     Entry("q_events_hourly", qEventsHourly, Some(qEventsHourlySql)),
     Entry("q_sessionize", qSessionize, Some(qSessionizeSql)),
+    Entry("q_global_index", qGlobalIndex, Some(qGlobalIndexSql)),
   )
 }

@@ -149,6 +149,32 @@ object TextOps {
        |            ELSE '${hexThreshold(0.1)}' END""".stripMargin
   }
 
+  // Weighted corpus mixing: upsample src0 2.5× (epochs 0,1 + half of
+  // epoch 2), keep src2 whole, downsample src1 to 0.4 and everything
+  // else to 0.2 — deterministic, shuffle-free epoch fan-out.
+  private val mix: Q = (s, dir) =>
+    graft.ops.Mixture.mixCorpora(
+      Tables.load(s, dir, "documents"), "doc_id", "source",
+      weights = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.0),
+      defaultWeight = 0.2)
+      .select(col("doc_id"), col("source"), col("epoch"))
+  private val mixSql = {
+    import graft.ops.Sampling.hexThreshold
+    s"""WITH g AS (
+       |  SELECT doc_id, source,
+       |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+       |                WHEN 'src2' THEN 1 ELSE 0 END AS fw,
+       |    CASE source WHEN 'src0' THEN '${hexThreshold(0.5)}'
+       |                WHEN 'src1' THEN '${hexThreshold(0.4)}'
+       |                WHEN 'src2' THEN '${hexThreshold(0.0)}'
+       |                ELSE '${hexThreshold(0.2)}' END AS cut
+       |  FROM documents),
+       |e AS (SELECT doc_id, source, fw, cut,
+       |        unnest(range(0, fw + 1)) AS epoch FROM g)
+       |SELECT doc_id, source, epoch FROM e
+       |WHERE epoch < fw OR md5(doc_id || ':' || epoch) < cut""".stripMargin
+  }
+
   // Deterministic weighted sampling (ops.Sampling.weightedTopK):
   // length-biased top-100 draw — Efraimidis–Spirakis keys off md5, so
   // the oracle reproduces the exact same winners.
@@ -476,6 +502,19 @@ object TextOps {
       |WHERE t.token <> ''
       |GROUP BY t.doc_id""".stripMargin
 
+  // Deterministic corpus shuffle: a reproducible global permutation
+  // (training-order randomization) — md5 of the key as the sort
+  // order, positions assigned by ops.GlobalIndex, so no single-task
+  // window and the same permutation on every run/engine.
+  private val shuffleQ: Q = (s, dir) =>
+    graft.ops.GlobalIndex.withGlobalIndex(
+      Tables.load(s, dir, "documents").select(col("doc_id")),
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")), "pos")
+  private val shuffleSql =
+    """SELECT doc_id,
+      |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      |FROM documents""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_vocab", vocab, Some(vocabSql)),
     Entry("text_encode", encode, Some(encodeSql)),
@@ -497,5 +536,7 @@ object TextOps {
     Entry("text_stratified_sample", stratified, Some(stratifiedSql)),
     Entry("text_pack_sequences", pack, Some(packSql)),
     Entry("text_weighted_sample", weighted, Some(weightedSql)),
+    Entry("text_mix_corpora", mix, Some(mixSql)),
+    Entry("text_shuffle", shuffleQ, Some(shuffleSql)),
   )
 }

@@ -55,6 +55,19 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 10000L)
   }
 
+  test("ORC sink/scan round-trips and pushes filters to the ORC reader") {
+    val p = tmp("orc")
+    val df = (1 to 2000).map(i => (i.toLong, s"name$i", i % 13)).toDF("id", "name", "grp")
+    df.write.mode("overwrite").orc(p)
+    val back = spark.read.orc(p)
+    assert(back.count() == 2000L)
+    assert(back.filter(col("grp") === 5).count() ==
+      df.filter(col("grp") === 5).count())
+    // the predicate must reach the ORC scan, same as the parquet paths
+    val plan = back.filter(col("grp") === 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(grp,5)"), plan)
+  }
+
   test("join on a NON-bucket key still shuffles (the layout is key-specific)") {
     val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 10).as("other"))
     Layout.ingestBucketed(df, "bkt_k", tmp("k"), Seq("k"), 4)

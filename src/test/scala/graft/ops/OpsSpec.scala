@@ -28,6 +28,27 @@ class OpsSpec extends SparkSpec {
     assert(dupGroup.getLong(1) == 1L) // keeper = min id
   }
 
+  test("incremental dedup: first-wins within the shard, corpus collisions dropped") {
+    val corpus = Seq((100L, "already in corpus"), (101L, "also old")).toDF("doc_id", "text")
+    val shard = Seq(
+      (1L, "brand new"),
+      (2L, "brand new"),          // in-shard dup of 1
+      (3L, "already in corpus"),  // collides with the corpus
+      (4L, "another new one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(shard, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L))
+  }
+
+  test("incremental dedup with an empty corpus degrades to in-shard exact dedup") {
+    val shard = Seq((2L, "x"), (1L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup.incremental(shard, empty, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("minhash LSH finds the near-dup pairs exact Jaccard confirms") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, numHashes = 32, bands = 16, threshold = 0.3)

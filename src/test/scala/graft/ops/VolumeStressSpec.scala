@@ -53,4 +53,37 @@ class VolumeStressSpec extends SparkSpec {
     val out = Dedup.removeNearDuplicates(corpus, "id", pairs)
     assert(out.count() == 198000L) // 2000 losers (the id_b side)
   }
+
+  test("global index over 1M rows: contiguous, no cross-partition collisions") {
+    // The failure mode is offset bookkeeping: any pid/count mismatch
+    // shows up as duplicate or missing ids. min/max/distinct prove
+    // the full 1..N range with no collisions, without collecting 1M
+    // rows to the driver.
+    val df = spark.range(0, 1000000)
+      .select(pmod(col("id") * 2654435761L, lit(1000003L)).as("k"), col("id").as("v"))
+    val idx = GlobalIndex.withGlobalIndex(df, Seq(col("k"), col("v")), "idx",
+      partitions = Some(32))
+    val stats = idx.agg(
+      count(lit(1)), min(col("idx")), max(col("idx")), count_distinct(col("idx")))
+      .as[(Long, Long, Long, Long)].first()
+    assert(stats == ((1000000L, 1L, 1000000L, 1000000L)))
+    // spot-check the ordering contract at the extremes
+    val firstRow = idx.filter(col("idx") === 1L).select("k", "v")
+      .as[(Long, Long)].first()
+    val minRow = df.orderBy(col("k"), col("v")).select("k", "v")
+      .as[(Long, Long)].first()
+    assert(firstRow == minRow)
+  }
+
+  test("corpus mixing at 1M docs lands within 1% of the target composition") {
+    val docs = spark.range(0, 1000000)
+      .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))
+    val out = Mixture.mixCorpora(docs, "id", "src",
+      Map("src0" -> 3.5, "src1" -> 0.25, "src2" -> 1.0), defaultWeight = 0.0)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc.keySet == Set("src0", "src1", "src2"))
+    assert(math.abs(bySrc("src0") - 875000L) < 8750, bySrc.toString) // 3.5 × 250k
+    assert(math.abs(bySrc("src1") - 62500L) < 2500, bySrc.toString)  // 0.25 × 250k
+    assert(bySrc("src2") == 250000L)                                 // exact copy
+  }
 }

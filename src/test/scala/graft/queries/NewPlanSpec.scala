@@ -42,6 +42,30 @@ class NewPlanSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
   }
 
+  test("corpus mixing is shuffle-free codegen (explode + filter, no Exchange)") {
+    val docs = (1 to 50).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
+    val plan = graft.ops.Mixture.mixCorpora(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.4), defaultWeight = 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixing must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), plan) // the epoch fan-out
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
+  }
+
+  test("global index plan: one range exchange, no single-partition window") {
+    withoutAqe {
+      val df = (1 to 500).map(i => (i * 37 % 500, i.toLong)).toDF("k", "v")
+      val out = graft.ops.GlobalIndex.withGlobalIndex(
+        df, Seq(col("k"), col("v")), "idx", partitions = Some(4))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("rangepartitioning"), plan)
+      assert(!plan.contains("Window"),
+        s"global index must not fall back to a global window:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"no stage may collapse to one partition:\n$plan")
+    }
+  }
+
   test("native vec_dot keeps brute-force scoring inside WholeStageCodegen") {
     val df = vecs(200)
     val q = df.filter($"vec_id" < 2)

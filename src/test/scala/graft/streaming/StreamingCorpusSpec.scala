@@ -48,4 +48,27 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed.map(_._1) == Seq(1L, 3L))
     assert(streamed(1)._2 == "the mail and of a <EMAIL> ok")
   }
+
+  test("streaming corpus mixing equals the batch mix (stateless epoch fan-out)") {
+    val rows = (1 to 60).map(i => (i.toLong, s"src${i % 3}"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Mixture.mixCorpora(df, "id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.0), defaultWeight = 0.5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = shape(mem.toDF().toDF("id", "source"))
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("mix_stream")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val batch = shape(rows.toDF("id", "source"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
