@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group quantile binning — curriculum / quality bucketing: every
+  * row is labeled with the quantile bucket its value falls into
+  * WITHIN its group (e.g. "which quality quartile of its source is
+  * this document in").
+  *
+  * The window formulation (`ntile(k)` over each group) serializes a
+  * corpus-sized group into one sort task — the same 100 TB flaw as
+  * any per-group global sort. This op keeps parallelism:
+  *
+  *  1. boundaries: the (bins-1) per-group quantile values via
+  *     [[Percentiles.exactDiscrete]] (histogram-located, exact,
+  *     never a per-group sort);
+  *  2. assignment: boundaries broadcast back (one row per group) and
+  *     each row's bin is the count of boundaries strictly below its
+  *     value — a row-local codegen'd expression over the scan.
+  *
+  * Semantics are value-based (quantile_disc boundaries), not
+  * equal-count: rows TIED on a boundary value share the lower bin,
+  * so equal inputs always land in equal bins — reproducible across
+  * engines and partitionings, which `ntile`'s arbitrary tie split is
+  * not. Null values get a null bin.
+  *
+  * The input is pinned with MEMORY_AND_DISK persistence: boundary
+  * location is multi-pass by design (range agg, histogram, narrow
+  * rank, final assignment), and re-running an expensive upstream
+  * pipeline once per pass is the real cost at scale. Callers whose
+  * input is already a materialized table lose nothing; callers
+  * binning a truly cache-hostile input should write it out and bin
+  * the re-read instead.
+  */
+object Binning {
+
+  /** `df` plus `binCol` ∈ [0, bins-1] (null for null values): the
+    * within-group quantile bucket of `valueCol`. `ties` break equal
+    * values when SELECTING boundary rows (they do not affect
+    * assignment).
+    */
+  def quantileBins(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      bins: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(bins > 1, "need at least 2 bins")
+    require(!df.columns.contains(binCol),
+      s"bin column '$binCol' already exists on the input")
+    val qs = (1 until bins).map(i => s"__qb$i" -> i.toDouble / bins)
+    require(!df.columns.exists(qs.map(_._1).toSet),
+      "reserved column name collision (__qb<i>)")
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs)
+    val binExpr = qs.map { case (q, _) =>
+      when(col(valueCol) > col(q), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    // Left join so no row is silently dropped: a row whose group has
+    // no boundaries (all-null group values, or a null group key) gets
+    // a null bin rather than disappearing.
+    input.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn(binCol,
+        when(col(valueCol).isNull || col(qs.head._1).isNull, lit(null))
+          .otherwise(binExpr).cast("long"))
+      .drop(qs.map(_._1): _*)
+  }
+}

@@ -40,4 +40,42 @@ object Changelog {
       .filter(!(col("__last").getField(opCol) <=> lit(deleteOp)))
       .select(col(idCol) +: payload.map(c => col("__last").getField(c).as(c)): _*)
   }
+
+  /** Snapshot diff: classify every id across two dataset versions as
+    * added / removed / changed / unchanged — the corpus-version audit
+    * ("what did this recrawl actually change") and the precondition
+    * for incremental reprocessing.
+    *
+    * Scale shape: each side reduces to (id, md5 digest of the content
+    * columns) BEFORE the full-outer join, so the one shuffle carries
+    * 16-byte digests, never bodies — same stance as [[Dedup]]. Ids
+    * must be unique per side (it is a snapshot, not a log; pre-compact
+    * with [[compact]] otherwise).
+    *
+    * Digest rule: content columns are concat'd with a 0x1F unit
+    * separator, nulls as the empty string — so (null, "x") and
+    * ("x", null) digest differently but (null) and ("") do not;
+    * callers needing null-vs-empty distinction should add an
+    * indicator column.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "diff needs at least one content column")
+    def digested(df: DataFrame, name: String) = df.select(
+      col(idCol),
+      md5(concat_ws("\u001f",
+        contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+        .as(name))
+    val o = digested(oldDf, "__old_fp")
+    val n = digested(newDf, "__new_fp")
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old_fp").isNull, "added")
+          .when(col("__new_fp").isNull, "removed")
+          .when(col("__old_fp") =!= col("__new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

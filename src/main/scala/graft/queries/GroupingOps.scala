@@ -75,10 +75,42 @@ object GroupingOps {
       |  FROM orders) t
       |WHERE rn = 1 AND op <> 'D'""".stripMargin
 
+  // Snapshot diff (ops.Changelog.snapshotDiff): two synthetic corpus
+  // versions derived from documents — v_old drops doc_id % 7 == 0,
+  // v_new drops doc_id % 5 == 0 and rewrites text for doc_id % 3 == 0
+  // — classified added/removed/changed/unchanged on digests only.
+  private val diff: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val vOld = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val vNew = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+    graft.ops.Changelog.snapshotDiff(vOld, vNew, "doc_id", Seq("text", "lang"))
+  }
+  private val diffSql =
+    """WITH v_old AS (
+      |  SELECT doc_id, md5(coalesce(text, '') || chr(31) || coalesce(lang, '')) AS fp
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |v_new AS (
+      |  SELECT doc_id, md5(
+      |    coalesce(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END, '')
+      |    || chr(31) || coalesce(lang, '')) AS fp
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.fp IS NULL THEN 'added'
+      |       WHEN n.fp IS NULL THEN 'removed'
+      |       WHEN o.fp <> n.fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("g3_collect_by_key", g3, Some(g3Sql)),
     Entry("g4_single_multiplicity", g4, Some(g4Sql)),
     Entry("g5_distinct_pairs", g5, Some(g5Sql)),
     Entry("g6_cdc_compact", cdc, Some(cdcSql)),
+    Entry("q_snapshot_diff", diff, Some(diffSql)),
   )
 }

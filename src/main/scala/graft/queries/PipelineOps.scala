@@ -65,6 +65,58 @@ object PipelineOps {
       |  source
       |FROM kept WHERE rn = 1""".stripMargin
 
+  // pipeline_curriculum_mix — the rest of the training-data workflow
+  // on top of the prepared corpus: per-source length-quartile binning
+  // (ops.Binning — histogram-located boundaries, no per-source sort)
+  // and curriculum-weighted mixing keyed by the bin (ops.Mixture —
+  // top quartile upsampled 2×, bottom quartile dropped). The oracle
+  // reuses the prep SQL verbatim as a nested CTE, then mirrors the
+  // boundary/bin/epoch math.
+  private val curriculumMix: Q = (s, dir) => {
+    val prepped = corpusPrep(s, dir)
+      .withColumn("n_len", length(col("text")).cast("long"))
+    val binned = graft.ops.Binning.quantileBins(
+      prepped, "source", "n_len", Seq("doc_id"), bins = 4)
+      .withColumn("bin", col("bin").cast("string"))
+    graft.ops.Mixture.mixCorpora(binned, "doc_id", "bin",
+      weights = Map("3" -> 2.0, "2" -> 1.0, "1" -> 0.5), defaultWeight = 0.0)
+      .select(col("doc_id"), col("source"), col("bin"), col("epoch"))
+  }
+  private val curriculumMixSql = {
+    import graft.ops.Sampling.hexThreshold
+    s"""WITH prepped AS ($corpusPrepSql),
+       |lenned AS (
+       |  SELECT doc_id, source, CAST(len(text) AS BIGINT) AS n_len FROM prepped),
+       |ranked AS (
+       |  SELECT doc_id, source, n_len,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_len, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM lenned),
+       |bounds AS (
+       |  SELECT source,
+       |    max(CASE WHEN r = CAST(ceil(n * 0.25) AS BIGINT) THEN n_len END) AS q1,
+       |    max(CASE WHEN r = CAST(ceil(n * 0.50) AS BIGINT) THEN n_len END) AS q2,
+       |    max(CASE WHEN r = CAST(ceil(n * 0.75) AS BIGINT) THEN n_len END) AS q3
+       |  FROM ranked GROUP BY source),
+       |binned AS (
+       |  SELECT l.doc_id, l.source,
+       |    CAST((CASE WHEN l.n_len > b.q1 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN l.n_len > b.q2 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN l.n_len > b.q3 THEN 1 ELSE 0 END) AS VARCHAR) AS bin
+       |  FROM lenned l JOIN bounds b USING (source)),
+       |g AS (
+       |  SELECT doc_id, source, bin,
+       |    CASE bin WHEN '3' THEN 2 WHEN '2' THEN 1 ELSE 0 END AS fw,
+       |    CASE bin WHEN '1' THEN '${hexThreshold(0.5)}'
+       |             ELSE '${hexThreshold(0.0)}' END AS cut
+       |  FROM binned WHERE bin IN ('1', '2', '3')),
+       |e AS (SELECT doc_id, source, bin, fw, cut,
+       |        unnest(range(0, fw + 1)) AS epoch FROM g)
+       |SELECT doc_id, source, bin, epoch FROM e
+       |WHERE epoch < fw OR md5(doc_id || ':' || epoch) < cut""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
-    Entry("pipeline_corpus_prep", corpusPrep, Some(corpusPrepSql)))
+    Entry("pipeline_corpus_prep", corpusPrep, Some(corpusPrepSql)),
+    Entry("pipeline_curriculum_mix", curriculumMix, Some(curriculumMixSql)))
 }

@@ -515,6 +515,34 @@ object TextOps {
       |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
       |FROM documents""".stripMargin
 
+  // Per-source length-quartile binning (curriculum bucketing) via the
+  // histogram-located exact boundaries — no per-source sort task. The
+  // oracle derives the same ceil(n·p)-th discrete boundaries with a
+  // window (DuckDB is single-node; the POINT of ops.Binning is that
+  // the Spark side does not).
+  private val qualityBins: Q = (s, dir) =>
+    graft.ops.Binning.quantileBins(
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", Seq("doc_id"), bins = 4)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("bin"))
+  private val qualityBinsSql =
+    """WITH ranked AS (
+      |  SELECT source, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |bounds AS (
+      |  SELECT source,
+      |    max(CASE WHEN r = CAST(ceil(n * 0.25) AS BIGINT) THEN n_chars END) AS q1,
+      |    max(CASE WHEN r = CAST(ceil(n * 0.50) AS BIGINT) THEN n_chars END) AS q2,
+      |    max(CASE WHEN r = CAST(ceil(n * 0.75) AS BIGINT) THEN n_chars END) AS q3
+      |  FROM ranked GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  CAST((CASE WHEN d.n_chars > b.q1 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN d.n_chars > b.q2 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN d.n_chars > b.q3 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+      |FROM documents d JOIN bounds b USING (source)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_vocab", vocab, Some(vocabSql)),
     Entry("text_encode", encode, Some(encodeSql)),
@@ -538,5 +566,6 @@ object TextOps {
     Entry("text_weighted_sample", weighted, Some(weightedSql)),
     Entry("text_mix_corpora", mix, Some(mixSql)),
     Entry("text_shuffle", shuffleQ, Some(shuffleSql)),
+    Entry("text_quality_bins", qualityBins, Some(qualityBinsSql)),
   )
 }

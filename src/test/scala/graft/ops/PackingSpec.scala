@@ -46,6 +46,29 @@ class PackingSpec extends SparkSpec {
     assert(out === Map(1L -> None), "latest version's null must not fall back to v1")
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val vOld = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+      .toDF("id", "text", "lang")
+    val vNew = Seq((2L, "b", "en"), (3L, "c CHANGED", "de"), (4L, "d", "fr"))
+      .toDF("id", "text", "lang")
+    val out = Changelog.snapshotDiff(vOld, vNew, "id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshot diff: null-vs-value content changes, column boundary respected") {
+    val vOld = Seq((1L, Option("x"), Option("y")), (2L, Option("xy"), None))
+      .toDF("id", "a", "b")
+    val vNew = Seq((1L, None: Option[String], Option("y")), (2L, Option("x"), Option("y")))
+      .toDF("id", "a", "b")
+    val out = Changelog.snapshotDiff(vOld, vNew, "id", Seq("a", "b"))
+      .as[(Long, String)].collect().toMap
+    // (x, y) → (null, y) is a change; ("xy", null) vs ("x", "y") must
+    // NOT collide via concatenation — the separator keeps columns apart
+    assert(out == Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("packing: shards are independent streams; every doc lands in exactly one pack") {
     val docs = (0L until 1000L).map(i => (i, 100L + i % 7)).toDF("id", "toks")
     val out = Packing.packSequences(docs, "id", "toks", budget = 512L, shards = 4)
