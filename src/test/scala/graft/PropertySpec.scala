@@ -94,6 +94,41 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: global index is row_number under any partition count") {
+    import graft.ops.GlobalIndex
+    val rows = samples(Gen.zip(Gen.choose(0, 50), Gen.choose(0L, 1000000L)), 120)
+      .distinct
+    val df = rows.toDF("k", "v")
+    val want = rows.sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case ((k, v), i) => (k, v, i + 1L) }
+    samples(Gen.choose(1, 40), 4).foreach { n =>
+      val got = GlobalIndex.withGlobalIndex(df, Seq(col("k"), col("v")), "idx",
+        partitions = Some(n))
+        .as[(Int, Long, Long)].collect().toSeq.sortBy(_._3)
+      assert(got == want, s"partitions=$n")
+    }
+  }
+
+  test("property: mixture composition is exact for integer parts, monotone in w") {
+    import graft.ops.Mixture
+    val ids = (1L to 300L).map(i => (i, "s")).toDF("id", "src")
+    val weights = samples(Gen.choose(0.0, 4.0), 12)
+    val sizes = weights.map { w =>
+      val out = Mixture.mixCorpora(ids, "id", "src", Map("s" -> w))
+      val n = out.count()
+      // exact floor(w) copies guaranteed; fractional tail bounded
+      assert(n >= math.floor(w).toLong * 300, s"w=$w n=$n")
+      assert(n <= math.ceil(w).toLong * 300, s"w=$w n=$n")
+      w -> n
+    }
+    // monotone: more weight never yields fewer rows
+    sizes.sortBy(_._1).sliding(2).foreach {
+      case Seq((w1, n1), (w2, n2)) =>
+        assert(n1 <= n2, s"w=$w1 gave $n1 rows but w=$w2 gave $n2")
+      case _ => ()
+    }
+  }
 }
 
 object PropertySpec {

@@ -71,4 +71,36 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming incremental dedup: each micro-batch dedupes against the corpus so far") {
+    // The continuous-crawl deploy shape: foreachBatch runs
+    // Dedup.incremental(shard=micro-batch, corpus=everything kept so
+    // far) and appends only the survivors — within-batch first-wins,
+    // cross-batch and cross-seed exact collisions dropped.
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val corpusPath = s"$dir/corpus"
+    Seq((100L, "seed text")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusPath)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val corpus = spark.read.parquet(corpusPath)
+        val keep = graft.ops.Dedup.incremental(batch, corpus, "doc_id", "text")
+        batch.join(keep.select("doc_id"), "doc_id")
+          .write.mode("append").parquet(corpusPath)
+        ()
+      }
+      .start()
+    mem.addData((1L, "new a"), (2L, "new a"), (3L, "seed text"))
+    q.processAllAvailable() // batch 1: 2 dups of 1, 3 collides with seed
+    mem.addData((4L, "new a"), (5L, "fresh"))
+    q.processAllAvailable() // batch 2: 4 collides with batch-1 survivor
+    q.stop()
+
+    val corpus = spark.read.parquet(corpusPath)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(corpus == Seq((1L, "new a"), (5L, "fresh"), (100L, "seed text")))
+  }
 }
