@@ -574,8 +574,55 @@ object Relational {
       |  row_number() OVER (ORDER BY o_custkey, o_orderkey) AS row_idx
       |FROM orders""".stripMargin
 
+  // Ordered funnel (ops.Funnel): per-user view → click → purchase
+  // progression, strict ordering, left-joined per-stage aggregates —
+  // no per-key sequence window, no array collection. Timestamps out
+  // as epoch micros (bigint) per the oracle hash rules.
+  private val qFunnel: Q = (s, dir) =>
+    graft.ops.Funnel.funnel(Tables.load(s, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        unix_micros(col("ts_view")).as("ts_view"),
+        unix_micros(col("ts_click")).as("ts_click"),
+        unix_micros(col("ts_purchase")).as("ts_purchase"),
+        col("depth"))
+  private val qFunnelSql =
+    """WITH s0 AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (
+      |  SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id)
+      |SELECT s0.user_id,
+      |  epoch_us(t0) AS ts_view, epoch_us(t1) AS ts_click,
+      |  epoch_us(t2) AS ts_purchase,
+      |  CAST(1 + (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+      |         + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+      |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin
+
+  // Weekly cohort retention (ops.Funnel.retention): users cohorted by
+  // first-event week, distinct-active counts per (cohort, offset).
+  // Integer epoch-microsecond division on both sides — exact.
+  private val qRetention: Q = (s, dir) =>
+    graft.ops.Funnel.retention(Tables.load(s, dir, "events"),
+      "user_id", "ts", periodSeconds = 604800L)
+  private val qRetentionSql =
+    """WITH f AS (
+      |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+      |SELECT epoch_us(f.first_ts) // 604800000000 AS cohort,
+      |  epoch_us(e.ts) // 604800000000
+      |    - epoch_us(f.first_ts) // 604800000000 AS period_offset,
+      |  count(DISTINCT e.user_id) AS n_active
+      |FROM events e JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q_zorder_key", qZorder, Some(qZorderSql)),
+    Entry("q_funnel", qFunnel, Some(qFunnelSql)),
+    Entry("q_retention", qRetention, Some(qRetentionSql)),
     Entry("q_dq_audit", qDqAudit, Some(qDqAuditSql)),
     Entry("q_bloom_prune_join", qBloomPrune, Some(qBloomPruneSql)),
     Entry("q_bucketed_join", qBucketed, Some(qBucketedSql)),
