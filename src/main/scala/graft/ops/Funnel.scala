@@ -105,6 +105,8 @@ object Funnel {
     require(periodSeconds > 0, "periodSeconds must be positive")
     val missing = Seq(keyCol, timeCol).filterNot(events.columns.contains)
     require(missing.isEmpty, s"events is missing column(s): ${missing.mkString(", ")}")
+    require(!events.columns.contains("__first_ts"),
+      "reserved column name collision (__first_ts)")
     require(events.schema(timeCol).dataType == TimestampType,
       s"timeCol must be a timestamp, got ${events.schema(timeCol).dataType}")
     // SQL DIV (integral division) — the Scala Column API only exposes

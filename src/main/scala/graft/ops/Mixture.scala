@@ -42,8 +42,8 @@ object Mixture {
     require(weights.nonEmpty, "need at least one source weight")
     (weights.values ++ Seq(defaultWeight)).foreach(w =>
       require(w >= 0.0, s"weights must be >= 0, got $w"))
-    require(!df.columns.exists(Set("__w", "epoch")),
-      "reserved column name collision (__w / epoch)")
+    require(!df.columns.exists(Set("__w", "__cut", "epoch")),
+      "reserved column name collision (__w / __cut / epoch)")
 
     // Per-source plan, computed driver-side (weights ARE driver-side):
     // floor(w) full epochs plus a boundary epoch drawn at the

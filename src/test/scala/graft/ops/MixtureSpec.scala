@@ -59,5 +59,9 @@ class MixtureSpec extends SparkSpec {
       Mixture.mixCorpora(docs(1, "a").withColumn("epoch", lit(0)),
         "id", "src", Map("a" -> 1.0))
     }
+    intercept[IllegalArgumentException] {
+      Mixture.mixCorpora(docs(1, "a").withColumn("__cut", lit("x")),
+        "id", "src", Map("a" -> 1.0))
+    }
   }
 }
