@@ -75,6 +75,20 @@ class VolumeStressSpec extends SparkSpec {
     assert(firstRow == minRow)
   }
 
+  test("funnel at 1M events: exact stage populations, no per-key sequence state") {
+    // 250k users × 4 events; every user views, half click afterwards,
+    // a quarter later purchase — the stage populations are exact.
+    val users = spark.range(0, 250000)
+    val events = users.select(col("id").as("u"), lit("view").as("t"), col("id").as("ts"))
+      .union(users.filter(col("id") % 2 === 0)
+        .select(col("id"), lit("click"), col("id") + 1000000))
+      .union(users.filter(col("id") % 4 === 0)
+        .select(col("id"), lit("purchase"), col("id") + 2000000))
+    val depths = Funnel.funnel(events, "u", "t", "ts", Seq("view", "click", "purchase"))
+      .groupBy("depth").count().as[(Long, Long)].collect().toMap
+    assert(depths == Map(1L -> 125000L, 2L -> 62500L, 3L -> 62500L))
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))
