@@ -398,11 +398,20 @@ object Dedup {
     */
   def incremental(shard: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val shardKeep = shard
-      .groupBy(md5(col(textCol)).as("fp"))
+    // Null text is NOT comparable content: grouping it would collapse
+    // every extraction failure in the shard into one "duplicate" group
+    // (silently dropping all but one), while the anti-join (null never
+    // equals null) would not match corpus nulls anyway. Null-text rows
+    // pass through untouched with a null fp.
+    val withFp = shard.select(col(idCol), md5(col(textCol)).as("fp"))
+    val nullText = withFp.filter(col("fp").isNull)
+    val shardKeep = withFp.filter(col("fp").isNotNull)
+      .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol))
-    val corpusFps = corpus.select(md5(col(textCol)).as("fp")).distinct()
+    val corpusFps = corpus.select(md5(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
     shardKeep.join(corpusFps, Seq("fp"), "left_anti")
       .select(col(idCol), col("fp"))
+      .unionByName(nullText)
   }
 }

@@ -25,14 +25,26 @@ import org.apache.spark.sql.types._
   */
 object Funnel {
 
-  private def epochFine(c: Column, dt: DataType, what: String): Column = dt match {
-    case _: NumericType         => c.cast(DoubleType)
-    case TimestampType          => c.cast(DoubleType)
-    case DateType | StringType  => unix_timestamp(c).cast(DoubleType)
-    case other =>
-      throw new IllegalArgumentException(
-        s"$what has unsupported time type $other; need numeric epoch, timestamp, date or string")
+  /** Hop staleness in EXACT integer units — timestamps diff in epoch
+    * micros, dates in epoch seconds, numerics in their own unit
+    * (epoch seconds by contract). A float epoch would wobble on
+    * exact `withinSeconds` boundaries (same rule as [[retention]]).
+    * Strings are rejected: their ordering comparison would be
+    * lexicographic while a hop bound needs parsed time — two different
+    * time semantics for one column.
+    */
+  private def checkTimeType(dt: DataType, what: String): Unit = dt match {
+    case _: NumericType | TimestampType | DateType => ()
+    case other => throw new IllegalArgumentException(
+      s"$what has unsupported time type $other; need numeric epoch seconds, timestamp or date")
   }
+
+  private def hopWithin(time: Column, prev: Column, dt: DataType, w: Long): Column =
+    dt match {
+      case TimestampType  => unix_micros(time) - unix_micros(prev) <= w * 1000000L
+      case DateType       => unix_timestamp(time) - unix_timestamp(prev) <= w
+      case _              => time - prev <= w
+    }
 
   /** @return one row per key that reached stage 0: the key, one
     *         `ts_<stage>` column per stage (null once the funnel was
@@ -51,36 +63,39 @@ object Funnel {
     withinSeconds.foreach(w => require(w > 0, "withinSeconds must be positive"))
     val missing = Seq(keyCol, typeCol, timeCol).filterNot(events.columns.contains)
     require(missing.isEmpty, s"events is missing column(s): ${missing.mkString(", ")}")
-    val tsNames = stages.map(s => s"ts_$s")
-    require(!tsNames.exists(events.columns.contains) && !events.columns.contains("depth"),
-      "reserved column name collision (ts_<stage> / depth)")
+    // Stage names become OUTPUT column names only (aliased at the final
+    // projection, where any character is legal); all intermediate
+    // bookkeeping uses index-based names so a stage like "page.view"
+    // cannot break column resolution.
+    val tsInternal = stages.indices.map(i => s"__fts_$i")
+    require(!events.columns.exists(_.startsWith("__fts_")),
+      "reserved column name collision (__fts_*)")
     val timeType = events.schema(timeCol).dataType
-    epochFine(col(timeCol), timeType, "timeCol") // eager type gate
+    checkTimeType(timeType, "timeCol") // eager; avoids a deep analysis error
 
-    val stageAggs = stages.zipWithIndex.map { case (stage, i) =>
-      if (i == 0)
-        events.filter(col(typeCol) === stage)
-          .groupBy(col(keyCol)).agg(min(col(timeCol)).as(tsNames(0)))
-      else null // filled below (needs the previous aggregate)
-    }.toArray
+    val stageAggs = new Array[DataFrame](stages.size)
+    stageAggs(0) = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(keyCol)).agg(min(col(timeCol)).as(tsInternal(0)))
     for (i <- 1 until stages.size) {
-      val prevTs = tsNames(i - 1)
-      val hop = withinSeconds.map { w =>
-        epochFine(col(timeCol), timeType, "timeCol") -
-          epochFine(col(prevTs), timeType, "timeCol") <= w.toDouble
-      }.getOrElse(lit(true))
+      val prevTs = tsInternal(i - 1)
+      val hop = withinSeconds
+        .map(w => hopWithin(col(timeCol), col(prevTs), timeType, w))
+        .getOrElse(lit(true))
       stageAggs(i) = events.filter(col(typeCol) === stages(i))
         .join(stageAggs(i - 1).select(col(keyCol), col(prevTs)), keyCol)
         .filter(col(timeCol) > col(prevTs) && hop)
-        .groupBy(col(keyCol)).agg(min(col(timeCol)).as(tsNames(i)))
+        .groupBy(col(keyCol)).agg(min(col(timeCol)).as(tsInternal(i)))
     }
 
     val joined = stageAggs.tail.foldLeft(stageAggs.head) { (acc, s) =>
       acc.join(s, Seq(keyCol), "left")
     }
-    val depth = tsNames.tail.map(n =>
+    val depth = tsInternal.tail.map(n =>
       when(col(n).isNotNull, 1L).otherwise(0L)).reduce(_ + _) + 1L
-    joined.withColumn("depth", depth)
+    joined.select(
+      (col(keyCol) +:
+        stages.zip(tsInternal).map { case (s, n) => col(n).as(s"ts_$s") }) :+
+        depth.as("depth"): _*)
   }
 
   /** Cohort retention: keys are cohorted by the period of their FIRST

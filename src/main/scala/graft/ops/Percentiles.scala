@@ -59,7 +59,12 @@ object Percentiles {
     // Null values have no rank: they'd produce a null bucket (driver
     // NPE in the histogram) and inflate n past what the buckets cover.
     // Standard percentile semantics: rank over non-null values only.
-    val data = df.filter(col(valueCol).isNotNull)
+    // A NULL GROUP KEY is excluded for the same reason — groupBy keeps
+    // it but the equi-join histogram pass drops it, so it would reach
+    // the driver walk with a count and no histogram (KeyError); a null
+    // group has no row in the output (pre-bucket nulls to a sentinel
+    // value if they need percentiles).
+    val data = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
 
     // 1. per-group value range + count (one map-side-combinable agg)
     val ranges = data.groupBy(col(groupCol))

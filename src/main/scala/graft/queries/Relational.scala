@@ -603,6 +603,25 @@ object Relational {
       |         + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
       |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin
 
+  // GROUPING SETS — the rollup/cube sibling with hand-picked grouping
+  // combinations; exercised through the SQL surface (the DataFrame API
+  // exposes only rollup/cube). Same partial-aggregable Expand plan as
+  // rollup — one shuffle regardless of how many sets.
+  private val qGroupingSets: Q = (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |""".stripMargin)
+  }
+  private val qGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())""".stripMargin
+
   // Weekly cohort retention (ops.Funnel.retention): users cohorted by
   // first-event week, distinct-active counts per (cohort, offset).
   // Integer epoch-microsecond division on both sides — exact.
@@ -623,6 +642,7 @@ object Relational {
     Entry("q_zorder_key", qZorder, Some(qZorderSql)),
     Entry("q_funnel", qFunnel, Some(qFunnelSql)),
     Entry("q_retention", qRetention, Some(qRetentionSql)),
+    Entry("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     Entry("q_dq_audit", qDqAudit, Some(qDqAuditSql)),
     Entry("q_bloom_prune_join", qBloomPrune, Some(qBloomPruneSql)),
     Entry("q_bucketed_join", qBucketed, Some(qBucketedSql)),

@@ -34,6 +34,20 @@ class BinningSpec extends SparkSpec {
     assert(got.filter(_._1 == "grow").map(_._3).toSet == Set(0L, 1L, 2L))
   }
 
+  test("null GROUP keys get a null bin instead of crashing the boundary pass") {
+    // Regression: exactDiscrete's histogram join drops null groups but
+    // its range aggregate kept them — the driver walk then threw
+    // NoSuchElementException(null). Null groups now have no boundaries
+    // and their rows bin to null via the left join.
+    val df = Seq((Some("a"), 1L, 10L), (Some("a"), 2L, 20L),
+      (None: Option[String], 3L, 10L), (None, 4L, 20L)).toDF("g", "id", "v")
+    val out = Binning.quantileBins(df, "g", "v", Seq("id"), bins = 2)
+    assert(out.count() == 4)
+    val nullG = out.filter(col("g").isNull).select("bin")
+    assert(nullG.count() == 2 && nullG.filter(col("bin").isNull).count() == 2)
+    assert(out.filter(col("g") === "a" && col("bin").isNotNull).count() == 2)
+  }
+
   test("null values get a null bin; no rows are dropped") {
     val df = Seq(("a", 1L, Some(1L)), ("a", 2L, None), ("a", 3L, Some(3L)),
       ("a", 4L, Some(4L))).toDF("g", "id", "v")

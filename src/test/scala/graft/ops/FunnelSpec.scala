@@ -89,5 +89,31 @@ class FunnelSpec extends SparkSpec {
       Funnel.funnel(events.withColumn("ts", array(lit(1))), "u", "t", "ts",
         Seq("view", "click"))
     }
+    // strings would compare lexicographically but hop-bound by parsing
+    // — two time semantics for one column; rejected eagerly
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(events.withColumn("ts", lit("2024-01-01")), "u", "t", "ts",
+        Seq("view", "click"))
+    }
+  }
+
+  test("hop bound is exact at the boundary for timestamps (no float wobble)") {
+    // 1073709839212022 us + exactly 604800 s: double epoch-seconds math
+    // computes a difference of 604800.0000001192 and drops the hop.
+    val base = 1073709839212022L
+    val events = Seq((1L, "view", base), (1L, "click", base + 604800L * 1000000L))
+      .toDF("u", "t", "us")
+      .select(col("u"), col("t"), timestamp_micros(col("us")).as("ts"))
+    val out = Funnel.funnel(events, "u", "t", "ts", Seq("view", "click"),
+      withinSeconds = Some(604800L))
+      .select("depth").as[Long].first()
+    assert(out == 2L, "an event exactly withinSeconds later must count")
+  }
+
+  test("stage names with dots survive (internal columns are index-named)") {
+    val events = ev((1L, "page.view", 10L), (1L, "checkout.start", 20L))
+    val out = Funnel.funnel(events, "u", "t", "ts", Seq("page.view", "checkout.start"))
+    assert(out.columns.toSeq == Seq("u", "ts_page.view", "ts_checkout.start", "depth"))
+    assert(out.select(col("depth")).as[Long].first() == 2L)
   }
 }

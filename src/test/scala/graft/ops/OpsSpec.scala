@@ -49,6 +49,17 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("incremental dedup: null-text rows are not comparable — all pass through") {
+    // Extraction failures must not dedupe against each other (losing
+    // N-1 documents per batch) nor against corpus nulls.
+    val shard = Seq((1L, Some("x")), (2L, None: Option[String]), (3L, None))
+      .toDF("doc_id", "text")
+    val corpus = Seq((100L, None: Option[String])).toDF("doc_id", "text")
+    val out = Dedup.incremental(shard, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L))
+  }
+
   test("minhash LSH finds the near-dup pairs exact Jaccard confirms") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, numHashes = 32, bands = 16, threshold = 0.3)
