@@ -543,6 +543,19 @@ object TextOps {
       |       (CASE WHEN d.n_chars > b.q3 THEN 1 ELSE 0 END) AS BIGINT) AS bin
       |FROM documents d JOIN bounds b USING (source)""".stripMargin
 
+  // BPE tokenizer training + encode (ops.Bpe): the word table is the
+  // only corpus-sized pass; the merge loop runs on that bounded
+  // artifact. Iterative training is not SQL-expressible → rows-only
+  // check; semantics are pinned by BpeSpec's hand-computed merges.
+  private val bpe: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val words = graft.ops.Bpe.wordTable(docs, "text", maxWords = 2000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val merges = graft.ops.Bpe.learnMerges(words, numMerges = 50)
+    graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("text_vocab", vocab, Some(vocabSql)),
     Entry("text_encode", encode, Some(encodeSql)),
@@ -567,5 +580,6 @@ object TextOps {
     Entry("text_mix_corpora", mix, Some(mixSql)),
     Entry("text_shuffle", shuffleQ, Some(shuffleSql)),
     Entry("text_quality_bins", qualityBins, Some(qualityBinsSql)),
+    Entry("text_bpe", bpe, None),
   )
 }
