@@ -396,6 +396,75 @@ object Dedup {
     * [[BloomJoin]] can additionally pre-prune the shard when the
     * corpus digest table is too big to shuffle comfortably.
     */
+  /** Banded MinHash signature ARTIFACT for a corpus — compute once at
+    * ingest, store, and dedupe every future shard against it without
+    * ever rescanning corpus text ([[incrementalNearDupMatches]]).
+    * One row per (doc, band): (id, sig, band_id, band_hash).
+    *
+    * Buckets larger than `maxBucket` are dropped at BUILD time (with
+    * the same observable metric as [[minhashLshPairs]]): a degenerate
+    * band hash would otherwise fan every future shard join out by the
+    * mega-bucket's size.
+    */
+  def minhashArtifact(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(shingleRows(corpus, idCol, textCol, n), numHashes)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
+        .as(Seq("band_id", "band_hash")))
+    val sizes = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("__bsz"))
+      .observe("dedup_artifact_buckets",
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(col("__bsz")).as("max_bucket"))
+    banded.join(sizes.filter(col("__bsz") <= maxBucket),
+      Seq("band_id", "band_hash"), "left_semi")
+  }
+
+  /** Incremental NEAR-dup: match a new shard against a corpus
+    * [[minhashArtifact]] (same n/numHashes/bands — the hash family is
+    * seeded by position, so signatures are comparable across runs).
+    *
+    * Candidates come only from shared band buckets (shard × corpus,
+    * never corpus × corpus), and are scored by MINHASH AGREEMENT — the
+    * fraction of equal signature components, an unbiased estimator of
+    * Jaccard with std ≈ √(J(1−J)/numHashes) — so corpus TEXT is never
+    * needed, only the artifact. The per-pair array comparison is
+    * interpreted (not codegen); it runs on collision-bounded candidate
+    * pairs only, never on the corpus.
+    *
+    * Returns (shard_id, corpus_id, est_jaccard ≥ threshold); drop the
+    * matched shard docs with an anti-join on shard_id (the corpus
+    * always wins — it is already ingested).
+    */
+  def incrementalNearDupMatches(shard: DataFrame, idCol: String, textCol: String,
+      artifact: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(shingleRows(shard, idCol, textCol, n), numHashes)
+    val banded = sig.select(col("id").as("shard_id"), col("sig").as("__ssig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
+        .as(Seq("band_id", "band_hash")))
+    val agree = aggregate(
+      zip_with(col("__ssig"), col("__csig"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / numHashes
+    banded.join(
+        artifact.select(col("id").as("corpus_id"), col("sig").as("__csig"),
+          col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .select(col("shard_id"), col("corpus_id"), col("__ssig"), col("__csig"))
+      .distinct()
+      .select(col("shard_id"), col("corpus_id"),
+        round(agree, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   def incremental(shard: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     // Null text is NOT comparable content: grouping it would collapse

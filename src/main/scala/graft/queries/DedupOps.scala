@@ -190,9 +190,23 @@ object DedupOps {
       |  SELECT 1 FROM documents c
       |  WHERE c.source <> 'src0' AND md5(c.text) = s.fp)""".stripMargin
 
+  // Incremental NEAR-dup: src0 shard vs the MinHash artifact of the
+  // rest of the corpus — signature agreement only, corpus text never
+  // rescanned (rows-only: the xxhash64 hash family has no DuckDB
+  // equivalent; semantics spec-verified in OpsSpec).
+  private val incrementalNear: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val artifact = Dedup.minhashArtifact(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text")
+    Dedup.incrementalNearDupMatches(
+      docs.filter(col("source") === "src0"), "doc_id", "text",
+      artifact, threshold = 0.3)
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
     Entry("dedup_incremental", incremental, Some(incrementalSql)),
+    Entry("dedup_incremental_neardup", incrementalNear, None),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
     Entry("dedup_minhash_lsh", minhash, None),
     Entry("dedup_simhash", simhash, None),

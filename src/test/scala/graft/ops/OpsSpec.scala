@@ -49,6 +49,32 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("incremental near-dup: shard docs matching the corpus artifact are flagged") {
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((100L, long), (101L, "something else entirely here now")).toDF("doc_id", "text")
+    val art = Dedup.minhashArtifact(corpus, "doc_id", "text")
+    val shard = Seq(
+      (1L, long),                                   // exact copy → agreement 1.0
+      (2L, long.replace("tok60", "changed")),       // near-dup → high agreement
+      (3L, "completely unrelated words appear in this one okay")
+    ).toDF("doc_id", "text")
+    val m = Dedup.incrementalNearDupMatches(shard, "doc_id", "text", art,
+      threshold = 0.5)
+      .select("shard_id", "corpus_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    val byShard = m.groupBy(_._1)
+    assert(byShard(1L).exists(r => r._2 == 100L && r._3 == 1.0))
+    assert(byShard(2L).exists(r => r._2 == 100L && r._3 >= 0.5))
+    assert(!byShard.contains(3L))
+    // removal = anti-join on shard_id; survivors keep their text
+    val kept = shard.join(
+      Dedup.incrementalNearDupMatches(shard, "doc_id", "text", art, threshold = 0.5)
+        .select(col("shard_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("incremental dedup: null-text rows are not comparable — all pass through") {
     // Extraction failures must not dedupe against each other (losing
     // N-1 documents per batch) nor against corpus nulls.
