@@ -38,6 +38,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel: per-stage event_type equality reaches every parquet scan") {
+    // The funnel reads events once per stage — cheap ONLY because each
+    // scan keeps just its stage's rows; a filter stuck above the
+    // ts-normalization projection would read the full table thrice.
+    val plan = planOf("q_funnel")
+    for (stage <- Seq("view", "click", "purchase"))
+      assert(plan.contains(s"EqualTo(event_type,$stage)"),
+        s"stage '$stage' filter must reach the scan")
+    assert(!plan.split("ReadSchema").last.split("\n").head.contains("props"),
+      "funnel scans must prune the wide props column")
+  }
+
   test("q3_join_agg: dimension joins broadcast, no shuffle for nation/region") {
     val plan = planOf("q3_join_agg")
     assert(plan.contains("BroadcastHashJoin"))

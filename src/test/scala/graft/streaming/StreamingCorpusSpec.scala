@@ -72,6 +72,31 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment: a broadcast dimension joins each micro-batch") {
+    // The standard streaming-ingest enrichment shape: the static side
+    // re-resolves per micro-batch, broadcast — no stream state at all.
+    val dim = Seq(("src0", "web"), ("src1", "books")).toDF("src", "domain")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dim), Seq("src"), "left")
+        .select(col("id"), coalesce(col("domain"), lit("unknown")).as("domain"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val rows = Seq((1L, "src0"), (2L, "src1"), (3L, "srcX"))
+    mem.addData(rows: _*)
+    val q = shape(mem.toDF().toDF("id", "src"))
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("enrich_stream")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(streamed == Seq((1L, "web"), (2L, "books"), (3L, "unknown")))
+    assert(streamed == shape(rows.toDF("id", "src"))
+      .as[(Long, String)].collect().toSeq.sorted)
+  }
+
   test("streaming incremental dedup: each micro-batch dedupes against the corpus so far") {
     // The continuous-crawl deploy shape: foreachBatch runs
     // Dedup.incremental(shard=micro-batch, corpus=everything kept so
