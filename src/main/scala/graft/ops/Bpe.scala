@@ -31,17 +31,12 @@ object Bpe {
 
   /** The single corpus pass of training: top-`maxWords` whitespace
     * words by frequency. (word, cnt), descending — ties broken by word
-    * for determinism.
+    * for determinism. Delegates to [[Vocab.build]] so BPE training and
+    * the rest of the text stack can never drift on tokenization rules.
     */
-  def wordTable(df: DataFrame, textCol: String, maxWords: Int): DataFrame = {
-    require(maxWords > 0, "maxWords must be positive")
-    df.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc)
-      .limit(maxWords)
-  }
+  def wordTable(df: DataFrame, textCol: String, maxWords: Int): DataFrame =
+    Vocab.build(df, textCol, maxWords)
+      .select(col("token").as("word"), col("cnt"))
 
   /** Greedy left-to-right collapse of one (a, b) adjacency.
     * Iterative — a degenerate megabyte-long "word" must not blow the

@@ -378,28 +378,14 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Incremental exact dedup: the continuous-crawl shape, where a new
-    * shard must be deduped (a) within itself and (b) against the whole
-    * existing corpus, WITHOUT re-deduping the corpus.
-    *
-    * Returns the shard's surviving (idCol, fp) rows: first-wins
-    * (min id) within the shard, then anti-joined against the corpus's
-    * distinct digests.
-    *
-    * Scale shape: both shuffles carry 16-byte digests (+ one id on the
-    * shard side), never bodies; the corpus side reduces to distinct
-    * digests with map-side partial aggregation before the anti-join.
-    * The anti-join keys are digests — uniformly distributed by
-    * construction, so no skew handling is needed. For a corpus whose
-    * digest set is maintained as an artifact (the steady-state deploy),
-    * pass that digest table directly and the corpus scan disappears;
-    * [[BloomJoin]] can additionally pre-prune the shard when the
-    * corpus digest table is too big to shuffle comfortably.
-    */
   /** Banded MinHash signature ARTIFACT for a corpus — compute once at
     * ingest, store, and dedupe every future shard against it without
     * ever rescanning corpus text ([[incrementalNearDupMatches]]).
-    * One row per (doc, band): (id, sig, band_id, band_hash).
+    * One row per (doc, band): (id, sig, band_id, band_hash, n,
+    * num_hashes, bands) — the build parameters travel WITH the
+    * artifact (constant columns, free under parquet RLE) so a match
+    * run can verify it was built compatibly instead of silently
+    * matching nothing.
     *
     * Buckets larger than `maxBucket` are dropped at BUILD time (with
     * the same observable metric as [[minhashLshPairs]]): a degenerate
@@ -423,11 +409,16 @@ object Dedup {
         max(col("__bsz")).as("max_bucket"))
     banded.join(sizes.filter(col("__bsz") <= maxBucket),
       Seq("band_id", "band_hash"), "left_semi")
+      .withColumn("n", lit(n))
+      .withColumn("num_hashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
   }
 
   /** Incremental NEAR-dup: match a new shard against a corpus
-    * [[minhashArtifact]] (same n/numHashes/bands — the hash family is
-    * seeded by position, so signatures are comparable across runs).
+    * [[minhashArtifact]] with the same n/numHashes/bands — enforced
+    * against the parameters stored in the artifact (one-row lookup; a
+    * mismatch would otherwise compare different hash families and
+    * silently admit every near-duplicate).
     *
     * Candidates come only from shared band buckets (shard × corpus,
     * never corpus × corpus), and are scored by MINHASH AGREEMENT — the
@@ -437,24 +428,43 @@ object Dedup {
     * interpreted (not codegen); it runs on collision-bounded candidate
     * pairs only, never on the corpus.
     *
+    * Shard-side band buckets beyond `maxShardBucket` are dropped (with
+    * an observable metric), mirroring the artifact's build-time cap:
+    * a boilerplate-heavy shard would otherwise fan the join out by
+    * shardBucket × corpusBucket. Exact duplicates inside a dropped
+    * bucket are still caught by [[incremental]] upstream.
+    *
     * Returns (shard_id, corpus_id, est_jaccard ≥ threshold); drop the
     * matched shard docs with an anti-join on shard_id (the corpus
     * always wins — it is already ingested).
     */
   def incrementalNearDupMatches(shard: DataFrame, idCol: String, textCol: String,
       artifact: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxShardBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    artifact.select(col("n"), col("num_hashes"), col("bands")).head(1).foreach { r =>
+      require(r.getInt(0) == n && r.getInt(1) == numHashes && r.getInt(2) == bands,
+        s"artifact was built with (n=${r.getInt(0)}, numHashes=${r.getInt(1)}, " +
+          s"bands=${r.getInt(2)}) but match was called with (n=$n, " +
+          s"numHashes=$numHashes, bands=$bands) — different hash families never collide")
+    }
     val rows = numHashes / bands
     val sig = minhashSignatures(shingleRows(shard, idCol, textCol, n), numHashes)
     val banded = sig.select(col("id").as("shard_id"), col("sig").as("__ssig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
         .as(Seq("band_id", "band_hash")))
+    val shardSizes = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("__bsz"))
+      .observe("dedup_shard_buckets",
+        sum(when(col("__bsz") > maxShardBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(col("__bsz")).as("max_bucket"))
+    val capped = banded.join(shardSizes.filter(col("__bsz") <= maxShardBucket),
+      Seq("band_id", "band_hash"), "left_semi")
     val agree = aggregate(
       zip_with(col("__ssig"), col("__csig"), (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / numHashes
-    banded.join(
+    capped.join(
         artifact.select(col("id").as("corpus_id"), col("sig").as("__csig"),
           col("band_id"), col("band_hash")),
         Seq("band_id", "band_hash"))
@@ -465,6 +475,24 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Incremental exact dedup: the continuous-crawl shape, where a new
+    * shard must be deduped (a) within itself and (b) against the whole
+    * existing corpus, WITHOUT re-deduping the corpus.
+    *
+    * Returns the shard's surviving (idCol, fp) rows: first-wins
+    * (min id) within the shard, then anti-joined against the corpus's
+    * distinct digests.
+    *
+    * Scale shape: both shuffles carry 16-byte digests (+ one id on the
+    * shard side), never bodies; the corpus side reduces to distinct
+    * digests with map-side partial aggregation before the anti-join.
+    * The anti-join keys are digests — uniformly distributed by
+    * construction, so no skew handling is needed. For a corpus whose
+    * digest set is maintained as an artifact (the steady-state deploy),
+    * pass that digest table directly and the corpus scan disappears;
+    * [[BloomJoin]] can additionally pre-prune the shard when the
+    * corpus digest table is too big to shuffle comfortably.
+    */
   def incremental(shard: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     // Null text is NOT comparable content: grouping it would collapse

@@ -75,6 +75,22 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(3L))
   }
 
+  test("incremental near-dup rejects an artifact built with different parameters") {
+    // Different hash families never collide — a silent zero-match run
+    // would admit every near-duplicate; the stored build params make
+    // the mismatch an eager error instead.
+    val corpus = Seq((100L, "some corpus document text here")).toDF("doc_id", "text")
+    val art = Dedup.minhashArtifact(corpus, "doc_id", "text", numHashes = 64, bands = 8)
+    val shard = Seq((1L, "some corpus document text here")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupMatches(shard, "doc_id", "text", art) // defaults: 32/8
+    }
+    // matching params pass
+    val ok = Dedup.incrementalNearDupMatches(shard, "doc_id", "text", art,
+      numHashes = 64, bands = 8)
+    assert(ok.count() == 1)
+  }
+
   test("incremental dedup: null-text rows are not comparable — all pass through") {
     // Extraction failures must not dedupe against each other (losing
     // N-1 documents per batch) nor against corpus nulls.

@@ -46,8 +46,11 @@ class PlanSpec extends SparkSpec {
     for (stage <- Seq("view", "click", "purchase"))
       assert(plan.contains(s"EqualTo(event_type,$stage)"),
         s"stage '$stage' filter must reach the scan")
-    assert(!plan.split("ReadSchema").last.split("\n").head.contains("props"),
-      "funnel scans must prune the wide props column")
+    // ALL events scans (one per stage) must prune the wide props column
+    val readSchemas = plan.split("ReadSchema").tail.map(_.split("\n").head)
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(rs =>
+      assert(!rs.contains("props"), s"a funnel scan reads props: $rs"))
   }
 
   test("q3_join_agg: dimension joins broadcast, no shuffle for nation/region") {
