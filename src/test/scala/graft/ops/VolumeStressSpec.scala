@@ -54,6 +54,23 @@ class VolumeStressSpec extends SparkSpec {
     assert(out.count() == 198000L) // 2000 losers (the id_b side)
   }
 
+  test("incremental near-dup: a degenerate identical-text shard is capped, not exploded") {
+    // 20k identical shard docs share every band bucket with each other
+    // AND the matching corpus doc: uncapped, that is 20k × corpus
+    // candidates through the interpreted scorer. The shard-side cap
+    // must drop the mega-buckets and finish quickly with no matches
+    // (exact dedup upstream owns identical text).
+    val corpus = spark.range(0, 200)
+      .select(col("id"), concat(lit("corpus doc words here number "), col("id")).as("text"))
+      .union(Seq((9999L, "the degenerate boilerplate page text body")).toDF("id", "text"))
+    val art = Dedup.minhashArtifact(corpus, "id", "text")
+    val shard = spark.range(100000, 120000)
+      .select(col("id"), lit("the degenerate boilerplate page text body").as("text"))
+    val m = Dedup.incrementalNearDupMatches(shard, "id", "text", art,
+      threshold = 0.5, maxShardBucket = 100)
+    assert(m.count() == 0L, "mega-buckets must be dropped, not expanded")
+  }
+
   test("global index over 1M rows: contiguous, no cross-partition collisions") {
     // The failure mode is offset bookkeeping: any pid/count mismatch
     // shows up as duplicate or missing ids. min/max/distinct prove
