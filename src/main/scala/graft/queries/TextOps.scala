@@ -556,6 +556,38 @@ object TextOps {
       .select(col("doc_id"), col("n_bpe"))
   }
 
+  // Token-entropy quality signal (diversity / repetition): Shannon
+  // entropy of the per-document token distribution in bits, via the
+  // identity H = (ln n − Σ cnt·ln cnt / n) / ln 2 — integer counts
+  // into ln, one fewer division than the p·ln p form, so both engines
+  // compute the same expression tree over the same exact integers.
+  // Two doc-keyed partial-aggregable shuffles; rounded to 4 places
+  // (the double sums reassociate across partitions; term magnitudes
+  // make a 5e-5 flip practically impossible, same stance as bm25).
+  private val entropy: Q = (s, dir) => {
+    val toks = Tables.load(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+    val counts = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n"))
+    counts.join(totals, "doc_id")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("cnt") * log(col("cnt"))).as("__s"))
+      .select(col("doc_id"),
+        round((log(col("n")) - col("__s") / col("n")) / log(lit(2.0)), 4)
+          .as("token_entropy"))
+  }
+  private val entropySql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |c AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
+      |n AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  round((ln(n.n) - sum(c.cnt * ln(c.cnt)) / n.n) / ln(2.0), 4) AS token_entropy
+      |FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_vocab", vocab, Some(vocabSql)),
     Entry("text_encode", encode, Some(encodeSql)),
@@ -581,5 +613,6 @@ object TextOps {
     Entry("text_shuffle", shuffleQ, Some(shuffleSql)),
     Entry("text_quality_bins", qualityBins, Some(qualityBinsSql)),
     Entry("text_bpe", bpe, None),
+    Entry("text_entropy", entropy, Some(entropySql)),
   )
 }
