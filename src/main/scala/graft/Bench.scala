@@ -32,7 +32,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "failed"/"value" (the total) go LAST on the line: the driver
+    // archives only the final 2000 chars of stdout, so trailing keys
+    // survive truncation even when the per-query map outgrows it.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

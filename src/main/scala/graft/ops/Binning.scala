@@ -53,15 +53,26 @@ object Binning {
     val qs = (1 until bins).map(i => s"__qb$i" -> i.toDouble / bins)
     require(!df.columns.exists(qs.map(_._1).toSet),
       "reserved column name collision (__qb<i>)")
+    // The multi-pass boundary computation pins the input; the TINY
+    // boundary table (groups × (bins-1) cells) is then materialized to
+    // the driver so the cache can be released HERE, deterministically —
+    // the remaining work is one plain scan+join that needs no cache.
+    // (Disk-backed cache blocks are not LRU-evicted; leaving the
+    // unpersist to the context cleaner accumulates pinned copies of
+    // large inputs across calls in a long-lived session.)
     val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs)
+    val bounds = try {
+      val plan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs)
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(plan.collect(): _*), plan.schema)
+    } finally input.unpersist()
     val binExpr = qs.map { case (q, _) =>
       when(col(valueCol) > col(q), 1L).otherwise(0L)
     }.reduce(_ + _)
     // Left join so no row is silently dropped: a row whose group has
     // no boundaries (all-null group values, or a null group key) gets
     // a null bin rather than disappearing.
-    input.join(broadcast(bounds), Seq(groupCol), "left")
+    df.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(binCol,
         when(col(valueCol).isNull || col(qs.head._1).isNull, lit(null))
           .otherwise(binExpr).cast("long"))

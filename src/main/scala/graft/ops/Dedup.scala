@@ -72,9 +72,14 @@ object Dedup {
     * codegen'd with map-side partial aggregation; the shuffle carries
     * one (id, numHashes × long) row per document.
     * Output: (id, sig: array<bigint>).
+    *
+    * `family` picks the seeded hash: xxhash64 (default, fastest) or the
+    * engine-portable md5 family that makes the signatures SQL-checkable
+    * (see [[HashFamily]]).
     */
-  def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"__h$i"))
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int,
+      family: HashFamily = XxHash64Family): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(family.hashString(i, col("g"))).as(s"__h$i"))
     shingleRows.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
@@ -89,7 +94,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxBucket: Int = 1024): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1024,
+      family: HashFamily = XxHash64Family): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(maxBucket > 1, "maxBucket must allow at least one pair")
     val rows = numHashes / bands
@@ -99,10 +105,10 @@ object Dedup {
     // rather than OOMs; evicted LRU when the query finishes.
     val sh = shingleRows(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(sh, numHashes)
+    val sig = minhashSignatures(sh, numHashes, family)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
+        b => family.hashLongArray(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
         .as(Seq("band_id", "band_hash")))
     // Bucket members, then in-bucket pair expansion. Pair expansion is
     // quadratic in bucket size, so buckets beyond `maxBucket` (a
@@ -357,7 +363,8 @@ object Dedup {
     * bit j of the token's xxhash64) is positive. Pure column algebra
     * (higher-order functions + bit ops) — distributed, no UDF.
     */
-  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
+  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash",
+      family: HashFamily = XxHash64Family): DataFrame = {
     val t = s"__simhash_toks"
     df.withColumn(t, tokens(col(textCol)))
       .withColumn(out, expr(
@@ -366,7 +373,7 @@ object Dedup {
            |    aggregate($t, array_repeat(0L, 64),
            |      (acc, tok) -> zip_with(acc,
            |        transform(sequence(0, 63),
-           |          j -> IF((shiftright(xxhash64(tok), j) & 1L) = 1L, 1L, -1L)),
+           |          j -> ${family.bitSignSql("tok", "j")}),
            |        (a, b) -> a + b)),
            |    sequence(0, 63),
            |    (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
@@ -394,13 +401,13 @@ object Dedup {
     */
   def minhashArtifact(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096, family: HashFamily = XxHash64Family): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(shingleRows(corpus, idCol, textCol, n), numHashes)
+    val sig = minhashSignatures(shingleRows(corpus, idCol, textCol, n), numHashes, family)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
+        b => family.hashLongArray(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
         .as(Seq("band_id", "band_hash")))
     val sizes = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("__bsz"))
@@ -412,6 +419,7 @@ object Dedup {
       .withColumn("n", lit(n))
       .withColumn("num_hashes", lit(numHashes))
       .withColumn("bands", lit(bands))
+      .withColumn("hash_family", lit(family.tag))
   }
 
   /** Incremental NEAR-dup: match a new shard against a corpus
@@ -440,19 +448,28 @@ object Dedup {
     */
   def incrementalNearDupMatches(shard: DataFrame, idCol: String, textCol: String,
       artifact: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxShardBucket: Int = 4096): DataFrame = {
+      threshold: Double = 0.5, maxShardBucket: Int = 4096,
+      family: HashFamily = XxHash64Family): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    artifact.select(col("n"), col("num_hashes"), col("bands")).head(1).foreach { r =>
-      require(r.getInt(0) == n && r.getInt(1) == numHashes && r.getInt(2) == bands,
-        s"artifact was built with (n=${r.getInt(0)}, numHashes=${r.getInt(1)}, " +
-          s"bands=${r.getInt(2)}) but match was called with (n=$n, " +
-          s"numHashes=$numHashes, bands=$bands) — different hash families never collide")
-    }
+    // NOTE: this head(1) is an eager action — pass a MATERIALIZED
+    // artifact (loaded from storage, persisted, or checkpointed); an
+    // unmaterialized artifact plan would execute twice (once here, once
+    // in the join below). The steady-state deploy loads the artifact
+    // from parquet anyway.
+    artifact.select(col("n"), col("num_hashes"), col("bands"), col("hash_family"))
+      .head(1).foreach { r =>
+        require(r.getInt(0) == n && r.getInt(1) == numHashes && r.getInt(2) == bands &&
+            r.getString(3) == family.tag,
+          s"artifact was built with (n=${r.getInt(0)}, numHashes=${r.getInt(1)}, " +
+            s"bands=${r.getInt(2)}, family=${r.getString(3)}) but match was called " +
+            s"with (n=$n, numHashes=$numHashes, bands=$bands, family=${family.tag}) " +
+            "— different hash families never collide")
+      }
     val rows = numHashes / bands
-    val sig = minhashSignatures(shingleRows(shard, idCol, textCol, n), numHashes)
+    val sig = minhashSignatures(shingleRows(shard, idCol, textCol, n), numHashes, family)
     val banded = sig.select(col("id").as("shard_id"), col("sig").as("__ssig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
+        b => family.hashLongArray(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
         .as(Seq("band_id", "band_hash")))
     val shardSizes = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("__bsz"))

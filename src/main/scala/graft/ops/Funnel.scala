@@ -34,9 +34,13 @@ object Funnel {
     * time semantics for one column.
     */
   private def checkTimeType(dt: DataType, what: String): Unit = dt match {
-    case _: NumericType | TimestampType | DateType => ()
+    // Numeric epochs must be INTEGRAL: a float/double/decimal epoch
+    // reintroduces via `time - prev <= w` exactly the boundary wobble
+    // the exactness contract above rules out.
+    case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType => ()
     case other => throw new IllegalArgumentException(
-      s"$what has unsupported time type $other; need numeric epoch seconds, timestamp or date")
+      s"$what has unsupported time type $other; need integral epoch seconds, " +
+        "timestamp or date (float epochs forfeit exact hop boundaries)")
   }
 
   private def hopWithin(time: Column, prev: Column, dt: DataType, w: Long): Column =

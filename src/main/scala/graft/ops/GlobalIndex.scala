@@ -39,12 +39,32 @@ object GlobalIndex {
   /** `df` plus a contiguous 1-based `idxCol` numbering rows in
     * `order`. Output is range-sorted by `order` (partition i holds
     * lower ids than partition i+1, sorted within).
+    *
+    * The internal multi-pass cache is released when the context
+    * cleaner garbage-collects the plan; long-lived sessions indexing
+    * large inputs repeatedly should use [[withGlobalIndexManaged]] and
+    * call the cleanup handle after materializing the result (disk-
+    * backed cache blocks are not LRU-evicted, so they otherwise pin
+    * storage until GC happens to run).
     */
   def withGlobalIndex(
       df: DataFrame,
       order: Seq[Column],
       idxCol: String = "row_idx",
-      partitions: Option[Int] = None): DataFrame = {
+      partitions: Option[Int] = None): DataFrame =
+    withGlobalIndexManaged(df, order, idxCol, partitions)._1
+
+  /** As [[withGlobalIndex]], plus a cleanup thunk that unpersists the
+    * internal cache — call it once the result has been materialized
+    * (written/collected); the cache must survive until then because the
+    * count job and the indexing pass must observe the SAME physical
+    * range partitioning.
+    */
+  def withGlobalIndexManaged(
+      df: DataFrame,
+      order: Seq[Column],
+      idxCol: String = "row_idx",
+      partitions: Option[Int] = None): (DataFrame, () => Unit) = {
     require(order.nonEmpty, "global index needs at least one ordering column")
     require(!df.columns.contains(idxCol),
       s"index column '$idxCol' already exists on the input")
@@ -78,7 +98,7 @@ object GlobalIndex {
 
     val pidIdx = parted.schema.fieldIndex("__gi_pid")
     val outSchema = df.schema.add(idxCol, LongType, nullable = false)
-    parted.mapPartitions { rows =>
+    val out = parted.mapPartitions { rows =>
       // One counter per pid seen in this task: a task normally streams
       // exactly one range partition, but after a coalesce it streams
       // several in sequence — each still internally sorted, so
@@ -93,5 +113,6 @@ object GlobalIndex {
         Row.fromSeq(vals.take(pidIdx) ++ vals.drop(pidIdx + 1) :+ i)
       }
     }(Encoders.row(outSchema))
+    (out, () => { parted.unpersist(); () })
   }
 }

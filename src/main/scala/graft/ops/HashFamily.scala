@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Seeded 64-bit hash families for the sketch operators (MinHash
+  * signatures, LSH band hashes, SimHash bit signs).
+  *
+  * Two members, one contract:
+  *  - [[XxHash64Family]] — Spark's native codegen'd xxhash64; the
+  *    production default (fastest, full 64-bit range), but it exists in
+  *    no other engine, so results are verifiable only by property/recall
+  *    specs;
+  *  - [[Md5Family]] — 60-bit values from the first 15 hex chars of a
+  *    seeded md5. md5 agrees byte-for-byte across engines (the same trick
+  *    the deterministic-sampling ops use), so every sketch built with
+  *    this family is reproducible in ANSI SQL — in DuckDB:
+  *    `('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT` — and the
+  *    whole MinHash/LSH/SimHash pipeline becomes oracle-checkable.
+  *
+  * 15 hex chars (not 16) keep the value inside a SIGNED 64-bit int on
+  * both engines; min()/equality — all the sketches need — are unaffected
+  * by the narrower range.
+  */
+sealed trait HashFamily {
+  /** Seeded hash of a string column → BIGINT. */
+  def hashString(seed: Int, s: Column): Column
+
+  /** Hash of an array<bigint> slice with a DYNAMIC seed column (LSH band
+    * hashing: seed = band index).
+    */
+  def hashLongArray(seed: Column, arr: Column): Column
+
+  /** Spark-SQL snippet for the SimHash ±1 bit sign of token variable
+    * `tok` at bit variable `j` (0..63), for use inside a higher-order
+    * lambda.
+    */
+  def bitSignSql(tok: String, j: String): String
+
+  /** Tag stored in sketch artifacts so a probe can verify the family. */
+  def tag: String
+}
+
+/** Production default: native codegen'd xxhash64. */
+case object XxHash64Family extends HashFamily {
+  def hashString(seed: Int, s: Column): Column = xxhash64(lit(seed), s)
+  def hashLongArray(seed: Column, arr: Column): Column = xxhash64(seed, arr)
+  def bitSignSql(tok: String, j: String): String =
+    s"IF((shiftright(xxhash64($tok), $j) & 1L) = 1L, 1L, -1L)"
+  val tag = "xxhash64"
+}
+
+/** Engine-portable md5 family (DuckDB/ANSI-expressible — see trait doc). */
+case object Md5Family extends HashFamily {
+  private def hx(seedExpr: String, sExpr: String): String =
+    s"CAST(conv(substring(md5(concat($seedExpr, ':', $sExpr)), 1, 15), 16, 10) AS BIGINT)"
+
+  def hashString(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10).cast("long")
+
+  /** md5 of "seed:v1,v2,…" — `array_to_string(arr, ',')` in DuckDB. */
+  def hashLongArray(seed: Column, arr: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"),
+      concat_ws(",", transform(arr, x => x.cast("string"))))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Bits 0..59 come from the 0-seeded hash, 60..63 from the 1-seeded
+    * one (a 15-hex-char hash only carries 60 bits).
+    */
+  def bitSignSql(tok: String, j: String): String =
+    s"""IF((shiftright(IF($j < 60, ${hx("'0'", tok)}, ${hx("'1'", tok)}),
+       |  IF($j < 60, $j, $j - 60)) & 1L) = 1L, 1L, -1L)""".stripMargin
+
+  val tag = "md5"
+}

@@ -8,26 +8,109 @@ import org.apache.spark.sql.functions._
   * image/audio corpus would (payload in parquet/object store, metadata
   * columns for pruning).
   *
-  * The actual codec work (image decode, resample, frame extraction) is
-  * STUBBED — the container ships no media libraries — behind
-  * deterministic byte-derived fakes. The Spark-side plumbing is real:
-  * binary schema, per-partition batched iteration (the Scala analogue of
-  * `mapInPandas` batches), and a typed output schema.
+  * The header decode is REAL: pure-JVM magic-byte parsing of the four
+  * container formats whose dimensions live in fixed-layout headers —
+  * PNG (IHDR chunk), GIF (logical screen descriptor), BMP (DIB header,
+  * both BITMAPCOREHEADER and BITMAPINFOHEADER), and JPEG (a genuine
+  * marker-segment walk to the first SOF frame header, skipping APPn/COM
+  * segments of arbitrary length). No media libraries involved — only
+  * fixed-offset byte reads — so it runs anywhere the JVM does. Pixel
+  * decode (which WOULD need a codec library) is out of scope; the
+  * metadata surface is what a pruning/filtering pipeline needs.
+  *
+  * Batch shape: one partition is processed as a single iterator pass
+  * (constant memory), the Scala analogue of a `mapInPandas` batch UDF.
   */
 object Multimodal {
 
-  final case class MediaFeature(
-      id: Long, n_bytes: Int, format: String,
-      width: Int, height: Int, feature_crc: Long)
+  final case class ImageMeta(
+      id: Long, n_bytes: Int, format: String, width: Int, height: Int)
 
-  /** "Decode" each payload and emit typed features. Batch shape: one
-    * partition is processed as a single iterator pass (constant memory),
-    * the way a real decoder batch UDF would run.
-    *
-    * STUB: width/height/format/crc are derived from the payload bytes
-    * deterministically instead of a real codec.
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def startsWith(b: Array[Byte], sig: Array[Byte]): Boolean =
+    b.length >= sig.length && {
+      var i = 0
+      while (i < sig.length && b(i) == sig(i)) i += 1
+      i == sig.length
+    }
+
+  /** Sniff (format, width, height) from the payload's header bytes;
+    * ("unknown", -1, -1) for anything unparseable — a decode pipeline
+    * filters those out rather than failing the job.
     */
-  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeature] = {
+  def sniff(bytes: Array[Byte]): (String, Int, Int) = {
+    if (bytes == null || bytes.length < 10) return ("unknown", -1, -1)
+    // PNG: 8-byte signature, first chunk must be IHDR (spec-mandated):
+    // 4-byte length (must cover the 13 IHDR bytes), "IHDR", then
+    // big-endian width and height.
+    if (startsWith(bytes, PngSig)) {
+      if (bytes.length >= 24 && be32(bytes, 8) >= 13 &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+        return ("png", be32(bytes, 16).toInt, be32(bytes, 20).toInt)
+      return ("unknown", -1, -1)
+    }
+    // GIF: "GIF87a"/"GIF89a", then the little-endian logical screen size.
+    if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      return ("gif", le16(bytes, 6), le16(bytes, 8))
+    // BMP: "BM", DIB header size at offset 14 selects the layout.
+    if (bytes(0) == 'B' && bytes(1) == 'M' && bytes.length >= 26) {
+      val dib = le32(bytes, 14)
+      if (dib >= 40 && bytes.length >= 30)
+        return ("bmp", le32(bytes, 18).toInt, math.abs(le32(bytes, 22).toInt))
+      if (dib == 12)
+        return ("bmp", le16(bytes, 18), le16(bytes, 20))
+      return ("unknown", -1, -1)
+    }
+    // JPEG: SOI then a marker-segment walk. APPn/COM/DQT/… segments are
+    // length-prefixed and skipped; the first SOF frame header (C0–CF
+    // minus DHT C4, JPG C8, DAC CC) carries the dimensions. Standalone
+    // markers (RSTn, TEM) have no length field. Stop at SOS/EOI.
+    if (u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8) {
+      var p = 2
+      while (p + 3 < bytes.length) {
+        if (u8(bytes, p) != 0xff) return ("unknown", -1, -1)
+        var q = p
+        while (q < bytes.length && u8(bytes, q) == 0xff) q += 1 // fill bytes
+        if (q + 1 >= bytes.length) return ("unknown", -1, -1)
+        val marker = u8(bytes, q)
+        if (marker == 0xd9 || marker == 0xda) return ("unknown", -1, -1)
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          p = q + 1 // standalone marker, no segment length
+        } else {
+          if (q + 2 >= bytes.length) return ("unknown", -1, -1)
+          val len = be16(bytes, q + 1)
+          if (len < 2) return ("unknown", -1, -1)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (q + 8 >= bytes.length) return ("unknown", -1, -1)
+            // segment: len(2) precision(1) height(2) width(2) …
+            return ("jpeg", be16(bytes, q + 6), be16(bytes, q + 4))
+          }
+          p = q + 1 + len
+        }
+      }
+      return ("unknown", -1, -1)
+    }
+    ("unknown", -1, -1)
+  }
+
+  /** Decode header metadata for every payload — a real parse, not a
+    * stub (see object doc). One iterator pass per partition.
+    */
+  def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[ImageMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
@@ -35,15 +118,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val n = if (bytes == null) 0 else bytes.length
-          // Deterministic fake decode: dimensions/crc from byte content.
-          var crc = 1125899906842597L
-          var i = 0
-          while (i < n) { crc = 31 * crc + (bytes(i) & 0xff); i += 1 }
-          val fmt = if (n == 0) "empty" else if ((bytes(0) & 1) == 0) "img" else "audio"
-          MediaFeature(id, n, fmt,
-            width = 16 + (math.abs(crc) % 64).toInt,
-            height = 16 + (math.abs(crc / 64) % 64).toInt,
-            feature_crc = crc)
+          val (fmt, w, h) = sniff(bytes)
+          ImageMeta(id, n, fmt, w, h)
         }
       }
   }

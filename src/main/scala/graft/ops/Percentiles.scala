@@ -50,21 +50,104 @@ object Percentiles {
       valueCol: String,
       ties: Seq[String],
       percentiles: Seq[(String, Double)],
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      maxDriverGroups: Int = 4096): DataFrame = {
+    checkArgs(percentiles, buckets)
+    val data = nonNull(df, groupCol, valueCol)
+    // The driver histogram holds groups × buckets cells — docstring
+    // regime ("few groups, many rows") ENFORCED, not just advised: a
+    // high-cardinality group column would otherwise OOM the driver.
+    // approx_count_distinct is one cheap map-side-combinable pass.
+    val est = data.select(approx_count_distinct(col(groupCol), 0.02)).first().getLong(0)
+    require(est <= maxDriverGroups,
+      s"~$est distinct '$groupCol' groups exceeds maxDriverGroups=$maxDriverGroups " +
+        s"(the driver histogram would hold ~${est * buckets} cells) — use " +
+        "windowDiscrete (parallelizes fine across many groups) or autoDiscrete " +
+        "(dispatches on the measured group count)")
+    histogramPlan(data, groupCol, valueCol, ties, percentiles, buckets)
+  }
+
+  /** The same discrete selection via the classic window formulation:
+    * `row_number` per group, pick the `ceil(n·p)`-th row. One shuffle,
+    * but each group sorts in ONE task — right for MANY SMALL groups,
+    * parallelism-capped for few large ones (the histogram plan's
+    * regime).
+    */
+  def windowDiscrete(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      percentiles: Seq[(String, Double)]): DataFrame = {
+    checkArgs(percentiles, buckets = 2)
+    val data = nonNull(df, groupCol, valueCol)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((valueCol +: ties).map(col): _*)
+    val ranked = data
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val hit = percentiles
+      .map { case (_, p) => col("__rn") === ceil(col("__n") * p) }
+      .reduce(_ || _)
+    ranked.filter(hit)
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__rn") === ceil(col("__n") * percentiles.head._2), col(valueCol)))
+          .as(percentiles.head._1),
+        percentiles.tail.map { case (label, p) =>
+          min(when(col("__rn") === ceil(col("__n") * p), col(valueCol))).as(label) }: _*)
+  }
+
+  /** ONE entry point for exact discrete percentiles: measures the group
+    * count (approx_count_distinct — the estimate the guard needs
+    * anyway) and picks the plan — few large groups → histogram-locate
+    * (driver holds ≤ groups × buckets cells, restores intra-group
+    * parallelism); many groups → window (each group is small; per-group
+    * sort tasks parallelize across groups).
+    */
+  def autoDiscrete(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      percentiles: Seq[(String, Double)],
+      buckets: Int = 1024,
+      maxDriverGroups: Int = 4096): DataFrame = {
+    checkArgs(percentiles, buckets)
+    val data = nonNull(df, groupCol, valueCol)
+    val est = data.select(approx_count_distinct(col(groupCol), 0.02)).first().getLong(0)
+    if (est <= maxDriverGroups)
+      histogramPlan(data, groupCol, valueCol, ties, percentiles, buckets)
+    else
+      windowDiscrete(data, groupCol, valueCol, ties, percentiles)
+  }
+
+  private def checkArgs(percentiles: Seq[(String, Double)], buckets: Int): Unit = {
     require(percentiles.nonEmpty, "need at least one percentile")
     require(percentiles.forall { case (_, p) => p > 0 && p <= 1 },
       "fractions must be in (0, 1]")
     require(buckets > 1, "need at least 2 buckets")
-    val spark = df.sparkSession
-    // Null values have no rank: they'd produce a null bucket (driver
-    // NPE in the histogram) and inflate n past what the buckets cover.
-    // Standard percentile semantics: rank over non-null values only.
-    // A NULL GROUP KEY is excluded for the same reason — groupBy keeps
-    // it but the equi-join histogram pass drops it, so it would reach
-    // the driver walk with a count and no histogram (KeyError); a null
-    // group has no row in the output (pre-bucket nulls to a sentinel
-    // value if they need percentiles).
-    val data = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+  }
+
+  // Null values have no rank: they'd produce a null bucket (driver
+  // NPE in the histogram) and inflate n past what the buckets cover.
+  // Standard percentile semantics: rank over non-null values only.
+  // A NULL GROUP KEY is excluded for the same reason — groupBy keeps
+  // it but the equi-join histogram pass drops it, so it would reach
+  // the driver walk with a count and no histogram (KeyError); a null
+  // group has no row in the output (pre-bucket nulls to a sentinel
+  // value if they need percentiles).
+  private def nonNull(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+
+  private def histogramPlan(
+      data: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      percentiles: Seq[(String, Double)],
+      buckets: Int): DataFrame = {
+    val spark = data.sparkSession
 
     // 1. per-group value range + count (one map-side-combinable agg)
     val ranges = data.groupBy(col(groupCol))

@@ -203,9 +203,23 @@ object Similarity {
       threshold: Double, bits: Int = 12, tables: Int = 6, seed: Int = 42): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = lshPlanes(dim, bits, tables, seed)
+    embeddingNearDupBucketed(corpus, idCol, vecCol, threshold,
+      planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)))
+  }
+
+  /** [[embeddingNearDupLsh]] generalized over the bucket family: one
+    * bucket column per hash table, produced by `buckets(t)(vec)`.
+    * Random hyperplanes ([[lshPlanes]]) are the production default;
+    * [[coordinateSketches]] gives an exactly-SQL-expressible family for
+    * oracle-checked runs (float sign comparisons only — no dot sums
+    * whose summation order could flip a bucket bit between engines).
+    */
+  def embeddingNearDupBucketed(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, buckets: Seq[Column => Column]): DataFrame = {
+    val tables = buckets.length
     val base = corpusSide(corpus, idCol, vecCol)
-    val bucketed = planes.zipWithIndex.foldLeft(base) { case (acc, (tp, t)) =>
-      acc.withColumn(s"__b$t", lshBucketFor(col("__v"), tp))
+    val bucketed = buckets.zipWithIndex.foldLeft(base) { case (acc, (f, t)) =>
+      acc.withColumn(s"__b$t", f(col("__v")))
     }
     def side(tag: String) = bucketed.select(
       (Seq(col("neighbor_id").as(s"id_$tag"),
@@ -316,6 +330,22 @@ object Similarity {
       when(dot(vec, lit(p)) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
 
+  /** Coordinate sign-bit sketch family: table t's bucket packs the signs
+    * of dimensions [t·bits, (t+1)·bits) — bit b set when that component
+    * is > 0. Strictly weaker clustering than random hyperplanes (each
+    * cut is axis-aligned), but EXACTLY expressible in ANSI SQL (pure
+    * sign comparisons, no float dot sums), so a bucketed run is
+    * oracle-checkable end-to-end. Requires tables·bits ≤ dim.
+    */
+  def coordinateSketches(bits: Int, tables: Int): Seq[Column => Column] = {
+    require(bits >= 1 && bits <= 62 && tables >= 1, "bad sketch shape")
+    (0 until tables).map { t => (vec: Column) =>
+      (0 until bits).map { b =>
+        when(element_at(vec, t * bits + b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }
+  }
+
   /** Multi-table LSH ANN top-k (OR-amplification): a corpus vector is a
     * candidate for a query if they share a bucket in ANY of the
     * `tables` hash tables. Candidates are deduped before scoring, so
@@ -328,10 +358,21 @@ object Similarity {
       k: Int, bits: Int = 8, tables: Int = 4, seed: Int = 42): DataFrame = {
     val dim = queries.select(size(col(qvecCol))).first().getInt(0)
     val planes = lshPlanes(dim, bits, tables, seed)
+    bucketedTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
+      planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)))
+  }
+
+  /** [[lshTopK]] generalized over the bucket family (one bucket column
+    * per table — see [[embeddingNearDupBucketed]] for the choice).
+    */
+  def bucketedTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, buckets: Seq[Column => Column]): DataFrame = {
+    val tables = buckets.length
 
     def withBuckets(df: DataFrame, vec: String): DataFrame =
-      planes.zipWithIndex.foldLeft(df) { case (acc, (tp, t)) =>
-        acc.withColumn(s"__b$t", lshBucketFor(col(vec), tp))
+      buckets.zipWithIndex.foldLeft(df) { case (acc, (f, t)) =>
+        acc.withColumn(s"__b$t", f(col(vec)))
       }
 
     val c = withBuckets(corpusSide(corpus, idCol, vecCol), "__v")
@@ -345,7 +386,7 @@ object Similarity {
     // per row) and force a SortAggregate (first() over arrays is not
     // hash-aggregable); a duplicate candidate re-costs one dot product
     // instead.
-    val scored = (0 until planes.length).map { t =>
+    val scored = (0 until tables).map { t =>
       scorePairs(c.join(q, c(s"__b$t") === q(s"__b$t")))
     }.reduce(_ unionByName _)
       .groupBy(col("query_id"), col("neighbor_id"))

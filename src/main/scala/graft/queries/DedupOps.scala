@@ -1,13 +1,15 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, Md5Family}
 import org.apache.spark.sql.functions._
 
-/** Deduplication operator queries. Exact dedup and exact n-gram Jaccard
-  * are DuckDB-oracle-checked; MinHash-LSH and SimHash are
-  * probabilistic/hash-seeded and get the driver's rows-only check, with
-  * their semantics covered by ScalaTest specs instead.
+/** Deduplication operator queries — ALL DuckDB-oracle-checked. The
+  * sketch-based ops (MinHash-LSH, SimHash, incremental near-dup) run the
+  * gate with the engine-portable [[graft.ops.Md5Family]] hash family, so
+  * the whole shingle → signature → band → verify pipeline is reproduced
+  * in SQL; the xxhash64 production default keeps its recall/property
+  * specs in OpsSpec.
   */
 object DedupOps {
   import Catalog.{Entry, Q}
@@ -46,16 +48,88 @@ object DedupOps {
       |JOIN counts b ON id_b = b.doc_id
       |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.05""".stripMargin
 
-  // MinHash + LSH near-dup candidates, Jaccard-verified (rows-only check).
+  // MinHash + LSH near-dup candidates, Jaccard-verified. The md5 hash
+  // family makes signatures, band hashes, bucket caps AND the verify
+  // join all SQL-expressible — the oracle recomputes the full pipeline.
   private val minhash: Q = (s, dir) =>
     Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-      "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.05)
+      "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.05,
+      family = Md5Family)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  private val minhashSql =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+      |  FROM docs WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+      |counts AS (SELECT doc_id, len(sh) AS n_sh FROM shl),
+      |minh AS (
+      |  SELECT doc_id, seed,
+      |    min(('0x' || substr(md5(seed || ':' || g), 1, 15))::BIGINT) AS v
+      |  FROM ex CROSS JOIN (SELECT unnest(range(0, 32)) AS seed) s
+      |  GROUP BY doc_id, seed),
+      |sig AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM minh GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, b,
+      |    ('0x' || substr(md5(b || ':' ||
+      |       array_to_string(sig[b*2+1 : b*2+2], ',')), 1, 15))::BIGINT AS bh
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs),
+      |ok_buckets AS (
+      |  SELECT b, bh FROM banded GROUP BY b, bh
+      |  HAVING count(*) BETWEEN 2 AND 1024),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x
+      |  JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |  JOIN ok_buckets o ON x.b = o.b AND x.bh = o.bh),
+      |common AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN ex x ON x.doc_id = c.id_a
+      |  JOIN ex y ON y.doc_id = c.id_b AND y.g = x.g
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN counts a ON id_a = a.doc_id
+      |JOIN counts b ON id_b = b.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.05""".stripMargin
 
-  // SimHash fingerprints (rows-only check; spec-verified).
+  // SimHash fingerprints (md5 bit-sign family for the oracle; the
+  // 64-bit value ships as two 32-bit halves so the SQL side never
+  // left-shifts into the sign bit).
   private val simhash: Q = (s, dir) =>
-    Dedup.withSimhash(Tables.load(s, dir, "documents"), "text")
-      .select(col("doc_id"), col("simhash"))
+    Dedup.withSimhash(Tables.load(s, dir, "documents"), "text", family = Md5Family)
+      .select(col("doc_id"),
+        shiftrightunsigned(col("simhash"), 32).as("simhash_hi"),
+        col("simhash").bitwiseAND(lit(0xFFFFFFFFL)).as("simhash_lo"))
+  private val simhashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(md5('1:' || tok), 1, 15))::BIGINT AS h2
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN ((CASE WHEN j < 60 THEN h1 >> j ELSE h2 >> (j - 60) END) & 1) = 1
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+      |  GROUP BY doc_id, j),
+      |sim AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 AND j < 32 THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS lo,
+      |    sum(CASE WHEN s > 0 AND j >= 32 THEN (1::BIGINT << CAST(j - 32 AS INTEGER)) ELSE 0 END) AS hi
+      |  FROM bits GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.text IS NULL THEN NULL ELSE CAST(coalesce(s.hi, 0) AS BIGINT) END AS simhash_hi,
+      |  CASE WHEN d.text IS NULL THEN NULL ELSE CAST(coalesce(s.lo, 0) AS BIGINT) END AS simhash_lo
+      |FROM documents d LEFT JOIN sim s USING (doc_id)""".stripMargin
 
   // Near-dup clusters: connected components over the exact
   // embedding-cosine pair graph (min-label propagation); the oracle
@@ -181,35 +255,91 @@ object DedupOps {
       docs.filter(col("source") =!= "src0"),
       "doc_id", "text")
   }
+  // The oracle mirrors the op's null-text rule exactly: null text is
+  // non-comparable — every null-text shard row passes through with a
+  // null fp instead of collapsing into one md5(NULL) group.
   private val incrementalSql =
     """WITH shard AS (
       |  SELECT md5(text) AS fp, min(doc_id) AS doc_id
-      |  FROM documents WHERE source = 'src0' GROUP BY md5(text))
+      |  FROM documents WHERE source = 'src0' AND text IS NOT NULL
+      |  GROUP BY md5(text))
       |SELECT doc_id, fp FROM shard s
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM documents c
-      |  WHERE c.source <> 'src0' AND md5(c.text) = s.fp)""".stripMargin
+      |  WHERE c.source <> 'src0' AND c.text IS NOT NULL AND md5(c.text) = s.fp)
+      |UNION ALL
+      |SELECT doc_id, NULL AS fp FROM documents
+      |WHERE source = 'src0' AND text IS NULL""".stripMargin
 
   // Incremental NEAR-dup: src0 shard vs the MinHash artifact of the
   // rest of the corpus — signature agreement only, corpus text never
-  // rescanned (rows-only: the xxhash64 hash family has no DuckDB
-  // equivalent; semantics spec-verified in OpsSpec).
+  // rescanned. The md5 family makes both the artifact build and the
+  // probe SQL-expressible, so the oracle replays artifact → band join →
+  // signature agreement end-to-end. The artifact is persisted before
+  // the probe: incrementalNearDupMatches runs an eager parameter check
+  // (head(1)) that would otherwise execute the build pipeline twice.
   private val incrementalNear: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
     val artifact = Dedup.minhashArtifact(
-      docs.filter(col("source") =!= "src0"), "doc_id", "text")
+      docs.filter(col("source") =!= "src0"), "doc_id", "text",
+      family = Md5Family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.incrementalNearDupMatches(
       docs.filter(col("source") === "src0"), "doc_id", "text",
-      artifact, threshold = 0.3)
+      artifact, threshold = 0.3, family = Md5Family)
   }
+  private val incrementalNearSql =
+    """WITH docs AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |shl AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+      |  FROM docs WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM shl),
+      |minh AS (
+      |  SELECT doc_id, source, seed,
+      |    min(('0x' || substr(md5(seed || ':' || g), 1, 15))::BIGINT) AS v
+      |  FROM ex CROSS JOIN (SELECT unnest(range(0, 32)) AS seed) s
+      |  GROUP BY doc_id, source, seed),
+      |sig AS (SELECT doc_id, source, list(v ORDER BY seed) AS sig
+      |        FROM minh GROUP BY doc_id, source),
+      |banded AS (
+      |  SELECT doc_id, source, b,
+      |    ('0x' || substr(md5(b || ':' ||
+      |       array_to_string(sig[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs),
+      |corpus_ok AS (
+      |  SELECT b, bh FROM banded WHERE source <> 'src0'
+      |  GROUP BY b, bh HAVING count(*) <= 4096),
+      |shard_ok AS (
+      |  SELECT b, bh FROM banded WHERE source = 'src0'
+      |  GROUP BY b, bh HAVING count(*) <= 4096),
+      |pairs AS (
+      |  SELECT DISTINCT s.doc_id AS shard_id, c.doc_id AS corpus_id
+      |  FROM banded s
+      |  JOIN banded c ON s.b = c.b AND s.bh = c.bh
+      |  JOIN shard_ok so ON s.b = so.b AND s.bh = so.bh
+      |  JOIN corpus_ok co ON c.b = co.b AND c.bh = co.bh
+      |  WHERE s.source = 'src0' AND c.source <> 'src0'),
+      |agree AS (
+      |  SELECT p.shard_id, p.corpus_id,
+      |    round(sum(CASE WHEN sm.v = cm.v THEN 1 ELSE 0 END) / 32.0, 4) AS est_jaccard
+      |  FROM pairs p
+      |  JOIN minh sm ON sm.doc_id = p.shard_id AND sm.source = 'src0'
+      |  JOIN minh cm ON cm.doc_id = p.corpus_id AND cm.seed = sm.seed
+      |               AND cm.source <> 'src0'
+      |  GROUP BY 1, 2)
+      |SELECT shard_id, corpus_id, est_jaccard FROM agree
+      |WHERE est_jaccard >= 0.3""".stripMargin
 
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
     Entry("dedup_incremental", incremental, Some(incrementalSql)),
-    Entry("dedup_incremental_neardup", incrementalNear, None),
+    Entry("dedup_incremental_neardup", incrementalNear, Some(incrementalNearSql)),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
-    Entry("dedup_minhash_lsh", minhash, None),
-    Entry("dedup_simhash", simhash, None),
+    Entry("dedup_minhash_lsh", minhash, Some(minhashSql)),
+    Entry("dedup_simhash", simhash, Some(simhashSql)),
     Entry("dedup_components", components, Some(componentsSql)),
     Entry("dedup_remove_neardups", removeNearDups, Some(removeNearDupsSql)),
     Entry("dedup_paragraphs", paragraphs, Some(paragraphsSql)),

@@ -2,11 +2,19 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.Multimodal
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column queries: document text doubles as the opaque binary
-  * payload (the testdata has no real media); metadata extraction is
-  * oracle-checked, the stubbed decode path is rows-only + spec-checked.
+/** Multimodal-column queries. The testdata has no real media files, so
+  * the decode gate SYNTHESIZES valid PNG/GIF/JPEG/BMP containers from
+  * each document's attributes (pure column algebra: hex-string assembly
+  * → unhex), then runs the REAL header parser
+  * ([[graft.ops.Multimodal.decodeImageMeta]]) over the binary payloads.
+  * The DuckDB oracle computes the expected (format, width, height)
+  * independently from the same attributes — so any byte-layout error in
+  * builder OR parser breaks the match, and the parser itself is
+  * additionally pinned against hand-written golden headers (including
+  * adversarial truncations) in its spec.
   */
 object MultimodalOps {
   import Catalog.{Entry, Q}
@@ -18,11 +26,59 @@ object MultimodalOps {
       |  md5(text) AS digest
       |FROM documents""".stripMargin
 
-  private val decode: Q = (s, dir) =>
-    Multimodal.decodeFeatures(Tables.load(s, dir, "documents"), "doc_id", "text").toDF()
+  // --- hex assembly helpers (widths fit in 16 bits) -------------------
+  private def he8(n: Column) = lpad(conv(n.cast("string"), 10, 16), 2, "0")
+  private def he16(n: Column) = lpad(conv(n.cast("string"), 10, 16), 4, "0")
+  private def he32(n: Column) = lpad(conv(n.cast("string"), 10, 16), 8, "0")
+  private def le16(n: Column) =
+    concat(he8(pmod(n, lit(256))), he8((n.cast("long") / 256).cast("int")))
+  private def le32(n: Column) =
+    concat(le16(pmod(n, lit(65536))), le16((n.cast("long") / 65536).cast("int")))
+
+  private val decode: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val w = (lit(16) + pmod(col("doc_id"), lit(101))).cast("int")
+    val h = (lit(16) + pmod(col("doc_id") * 7, lit(97))).cast("int")
+    // 16 opaque payload bytes after each header, from the doc text.
+    val body = coalesce(md5(col("text")), lit("00"))
+    // PNG: signature, IHDR length 13, "IHDR", BE32 dims, bit depth 8,
+    // RGBA, no interlace, (unchecked) CRC.
+    val png = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      he32(w), he32(h), lit("0806000000" + "00000000"), body)
+    // GIF89a: LE16 logical screen descriptor.
+    val gif = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"), body)
+    // JPEG: SOI, APP0/JFIF (16 bytes), a COM segment of VARIABLE length
+    // (forces the parser to genuinely walk segments), SOF0 (dims), EOI.
+    val pad = (pmod(col("doc_id"), lit(7)) + 1).cast("int")
+    val jpeg = concat(
+      lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"),
+      lit("FFFE"), he16(pad + 2), expr("substring('00000000000000', 1, (CAST(doc_id % 7 AS INT) + 1) * 2)"),
+      lit("FFC0" + "000B" + "08"), he16(h), he16(w), lit("01" + "011100"),
+      lit("FFD9"), body)
+    // BMP: "BM", file size, data offset 54, BITMAPINFOHEADER (40 bytes)
+    // with LE32 signed dims, 24bpp, zero-filled tail fields.
+    val bmp = concat(lit("424D"), le32(lit(70)), lit("00000000"), le32(lit(54)),
+      le32(lit(40)), le32(w), le32(h), lit("0100" + "1800"), lit("00" * 24), body)
+    val payloadHex = when(pmod(col("doc_id"), lit(4)) === 0, png)
+      .when(pmod(col("doc_id"), lit(4)) === 1, gif)
+      .when(pmod(col("doc_id"), lit(4)) === 2, jpeg)
+      .otherwise(bmp)
+    Multimodal.decodeImageMeta(
+        docs.select(col("doc_id"), unhex(payloadHex).as("payload")),
+        "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"), col("format"), col("width"), col("height"))
+  }
+  private val decodeSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |                  WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
+      |  CAST(16 + doc_id % 101 AS INTEGER) AS width,
+      |  CAST(16 + (doc_id * 7) % 97 AS INTEGER) AS height
+      |FROM documents""".stripMargin
 
   val entries: Seq[Entry] = Seq(
     Entry("mm_binary_meta", meta, Some(metaSql)),
-    Entry("mm_decode_stub", decode, None),
+    Entry("mm_decode", decode, Some(decodeSql)),
   )
 }

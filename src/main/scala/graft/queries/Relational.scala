@@ -316,14 +316,34 @@ object Relational {
   // ------------------------------------------------------------------
   // q_approx_sketches — HyperLogLog distinct + quantile sketches: the
   // approximate-aggregate surface for 100 TB interactive profiling.
-  // Sketch internals differ across engines, so this takes the driver's
-  // rows-only check; the spec bounds the error against exact counts.
-  private val qApprox: Q = (s, dir) =>
-    li(s, dir)
+  // Sketch internals differ across engines (raw approx values can never
+  // hash-match DuckDB), so the gate ships the ERROR-BOUND VERDICTS with
+  // the exact values: Spark computes |approx−exact| against the bound
+  // and the rank fraction at the approx median; the oracle computes the
+  // exact values and expects every verdict literally true. A sketch
+  // regression (error past 3× rsd, median rank outside 45–55%) now
+  // breaks the hash-match instead of hiding in a rows-only check.
+  private val qApprox: Q = (s, dir) => {
+    val l = li(s, dir)
+    val agg = l.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("__approx_parts"),
+      count_distinct(col("l_partkey")).as("exact_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__approx_median"))
+    val ranks = l
+      .join(agg.select(col("l_returnflag"), col("__approx_median")), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_price"))
+      .agg((sum(when(col("l_extendedprice") <= col("__approx_median"), 1L).otherwise(0L))
+        / count(lit(1))).as("__frac"))
+    agg.join(ranks, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("__approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.06).as("parts_ok"),
+        (col("__frac") >= 0.45 && col("__frac") <= 0.55).as("median_ok"))
+  }
+  private val qApproxSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  true AS parts_ok, true AS median_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------------
   // q_json_extract — semi-structured column handling: parse the events
@@ -392,20 +412,15 @@ object Relational {
   // row selection (interpolated medians average two doubles and can
   // land exactly on a rounding boundary where engines' tie handling
   // differs — a real cross-engine reproducibility lesson; discrete
-  // selection is bit-deterministic on both sides).
-  private val qMedian: Q = (s, dir) => {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = li(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-    ranked
-      .filter(col("rn") === ceil(col("n") * 0.5) || col("rn") === ceil(col("n") * 0.95))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        min(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("median_price"),
-        min(when(col("rn") === ceil(col("n") * 0.95), col("l_extendedprice"))).as("p95_price"))
-  }
+  // selection is bit-deterministic on both sides). Uses the window
+  // formulation explicitly (ops.Percentiles.windowDiscrete — the
+  // many-small-groups regime's plan).
+  private val qMedian: Q = (s, dir) =>
+    graft.ops.Percentiles.windowDiscrete(
+      li(s, dir).select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+      groupCol = "l_returnflag", valueCol = "l_extendedprice",
+      ties = Seq("l_orderkey", "l_linenumber"),
+      percentiles = Seq("median_price" -> 0.5, "p95_price" -> 0.95))
   private val qMedianSql =
     """SELECT l_returnflag,
       |  min(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS median_price,
@@ -419,12 +434,13 @@ object Relational {
       |WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.95)
       |GROUP BY l_returnflag""".stripMargin
 
-  // q_median_scalable — the SAME discrete percentiles via
-  // ops.Percentiles.exactDiscrete (histogram-locate + narrow ranked
-  // pass): parallelism no longer capped at the group count like the
-  // window formulation above. Same oracle — results must be identical.
+  // q_median_scalable — the SAME discrete percentiles via the ONE
+  // dispatching entry point (ops.Percentiles.autoDiscrete): it measures
+  // the group count and picks histogram-locate here (3 groups — the
+  // few-groups/many-rows regime where the window plan's parallelism is
+  // capped at the group count). Same oracle — results must be identical.
   private val qMedianScalable: Q = (s, dir) =>
-    graft.ops.Percentiles.exactDiscrete(
+    graft.ops.Percentiles.autoDiscrete(
       li(s, dir).select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
       groupCol = "l_returnflag", valueCol = "l_extendedprice",
       ties = Seq("l_orderkey", "l_linenumber"),
@@ -657,7 +673,7 @@ object Relational {
     Entry("q_skew_salted_join", qSalted, Some(qSaltedSql)),
     Entry("q_cube", qCube, Some(qCubeSql)),
     Entry("q_intersect", qIntersect, Some(qIntersectSql)),
-    Entry("q_approx_sketches", qApprox, None),
+    Entry("q_approx_sketches", qApprox, Some(qApproxSql)),
     Entry("q1_agg", q1, Some(q1Sql)),
     Entry("q6_filter", q6, Some(q6Sql)),
     Entry("q3_join_agg", q3, Some(q3Sql)),

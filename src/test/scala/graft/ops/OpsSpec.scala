@@ -462,13 +462,48 @@ class OpsSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
-  test("multimodal decode stub is deterministic and schema-typed") {
-    val df = Seq((1L, "payload one"), (2L, "payload two")).toDF("doc_id", "text")
-    val a = Multimodal.decodeFeatures(df, "doc_id", "text").collect().sortBy(_.id)
-    val b = Multimodal.decodeFeatures(df, "doc_id", "text").collect().sortBy(_.id)
-    assert(a.toSeq == b.toSeq)
-    assert(a.head.n_bytes == "payload one".getBytes("UTF-8").length)
-    assert(a.forall(f => f.width >= 16 && f.height >= 16))
+  test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640×480: signature + IHDR with BE32 dims.
+    assert(Multimodal.sniff(hex(
+      "89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000 00000000"))
+      == ("png", 640, 480))
+    // GIF89a 320×200: LE16 logical screen descriptor.
+    assert(Multimodal.sniff(hex("474946383961 4001 C800 F70000 AABB"))
+      == ("gif", 320, 200))
+    // BMP BITMAPINFOHEADER 100×50 (LE32 signed; negative height = top-down).
+    assert(Multimodal.sniff(hex(
+      "424D 46000000 00000000 36000000 28000000 64000000 32000000 0100 1800"))
+      == ("bmp", 100, 50))
+    assert(Multimodal.sniff(hex(
+      "424D 46000000 00000000 36000000 28000000 64000000 CEFFFFFF 0100 1800"))
+      == ("bmp", 100, 50)) // height -50 → 50
+    // JPEG 17×23 behind APP0 + a COM segment the walk must skip.
+    assert(Multimodal.sniff(hex(
+      "FFD8 FFE00010 4A46494600 0101 00 0001 0001 0000" +
+        "FFFE0005 414243" + // COM, len 5 (3 payload bytes)
+        "FFC0000B 08 0017 0011 01 011100 FFD9"))
+      == ("jpeg", 17, 23))
+    // Adversarial: truncated PNG, SOS before SOF, empty, null, garbage.
+    assert(Multimodal.sniff(hex("89504E470D0A1A0A 0000"))._1 == "unknown")
+    assert(Multimodal.sniff(hex("FFD8 FFDA0002"))._1 == "unknown")
+    assert(Multimodal.sniff(Array.emptyByteArray)._1 == "unknown")
+    assert(Multimodal.sniff(null)._1 == "unknown")
+    assert(Multimodal.sniff("not an image at all".getBytes)._1 == "unknown")
+  }
+
+  test("multimodal decodeImageMeta is a distributed parse of the payload column") {
+    val png = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0, 0, 7, 0, 0, 0, 9,
+      8, 6, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    val df = Seq((1L, png), (2L, "junk".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageMeta(df, "doc_id", "payload")
+      .collect().sortBy(_.id)
+    assert(out(0) == Multimodal.ImageMeta(1L, png.length, "png", 7, 9))
+    assert(out(1).format == "unknown" && out(1).n_bytes == 4)
+    assert(out(2) == Multimodal.ImageMeta(3L, 0, "unknown", -1, -1))
   }
 
   test("IVF top-k: probed-cell scores equal brute-force scores; recall reasonable") {

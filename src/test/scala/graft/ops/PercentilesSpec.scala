@@ -57,4 +57,47 @@ class PercentilesSpec extends SparkSpec {
       Seq("p50" -> 0.5), buckets = 100)
     assert(out.as[(String, Double)].head() === (("g", 5000.0)))
   }
+
+  test("group-count guard trips loudly instead of collecting an unbounded histogram") {
+    val df = (1 to 5000).map(i => (s"g$i", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.exactDiscrete(df, "g", "v", Seq("id"), Seq("p50" -> 0.5),
+        buckets = 16, maxDriverGroups = 100)
+    }
+    assert(e.getMessage.contains("maxDriverGroups"))
+    // The documented few-groups regime still works under the guard.
+    val ok = Percentiles.exactDiscrete(
+      df.withColumn("g", lit("only")), "g", "v", Seq("id"),
+      Seq("p50" -> 0.5), buckets = 16, maxDriverGroups = 100)
+    assert(ok.as[(String, Double)].head() === (("only", 2500.0)))
+  }
+
+  test("windowDiscrete equals the histogram plan on the same input") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 3000).map { i =>
+      (Seq("a", "b")(i % 2), math.floor(rnd.nextDouble() * 40) / 3.0, i.toLong)
+    }.toDF("g", "v", "id")
+    val win = Percentiles.windowDiscrete(df, "g", "v", Seq("id"),
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val hist = Percentiles.exactDiscrete(df, "g", "v", Seq("id"),
+        Seq("p50" -> 0.5, "p95" -> 0.95), buckets = 32)
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(win === hist)
+  }
+
+  test("autoDiscrete dispatches by measured group count, same answer in both regimes") {
+    val few = (1 to 2000).map(i => (s"g${i % 3}", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val many = (1 to 2000).map(i => (s"g${i % 500}", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    for (df <- Seq(few, many)) {
+      val auto = Percentiles.autoDiscrete(df, "g", "v", Seq("id"),
+          Seq("p50" -> 0.5), maxDriverGroups = 100)
+        .as[(String, Double)].collect().toMap
+      val win = Percentiles.windowDiscrete(df, "g", "v", Seq("id"), Seq("p50" -> 0.5))
+        .as[(String, Double)].collect().toMap
+      assert(auto === win)
+    }
+  }
 }

@@ -106,6 +106,83 @@ class VolumeStressSpec extends SparkSpec {
     assert(depths == Map(1L -> 125000L, 2L -> 62500L, 3L -> 62500L))
   }
 
+  /** Max shuffle-read records of any single task while `body` runs —
+    * the direct observable for "one window task swallowed the hot key".
+    * The listener bus is async, so the value is polled to stability.
+    */
+  private def maxTaskShuffleRead(body: => Unit): Long = {
+    val max = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          max.getAndUpdate(x => math.max(x, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1L; var stable = 0; var i = 0
+      while (stable < 3 && i < 100) {
+        Thread.sleep(100)
+        val cur = max.get
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        i += 1
+      }
+      max.get
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("hot-key as-of at 1M rows: salted slices bound the window task; result identical") {
+    // ONE key holds a million left rows: the plain single-shuffle merge
+    // plan funnels them into ONE window task (exactly the 100 TB
+    // straggler), while the salted variant's time slices must spread
+    // the same key over many bounded tasks — with the identical result.
+    val left = spark.range(0, 1000000).select(lit(1L).as("k"), col("id").as("t"))
+    val right = spark.range(0, 10000)
+      .select(lit(1L).as("k"), (col("id") * 100).as("rt"), (col("id") * 7).as("rv"))
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      df.agg(count(lit(1)),
+          sum(pmod(xxhash64(col("k"), col("t"), col("rv")), lit(1000000007L))))
+        .as[(Long, Long)].first()
+    // 32 shuffle partitions so the 100 slices can actually spread (the
+    // shared spec session runs at 4, which would cap the spread at 4),
+    // and AQE's small-partition coalescing off for the MEASUREMENT:
+    // these test rows are bytes-tiny, so AQE legitimately re-merges
+    // them below its 64MB advisory size — at real scale a hot key's
+    // slices are each task-sized and stay split.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      var plain: (Long, Long) = null
+      val plainMax = maxTaskShuffleRead {
+        plain = checksum(TemporalJoin.asofBackward(
+          left, right, Seq("k"), "t", "rt", Seq("rv")))
+      }
+      var salted: (Long, Long) = null
+      val saltedMax = maxTaskShuffleRead {
+        salted = checksum(TemporalJoin.asofBackwardSalted(
+          left, right, Seq("k"), "t", "rt", Seq("rv"), sliceSeconds = 10000))
+      }
+      assert(salted == plain, "salting must not change a single match")
+      assert(plain._1 == 1000000L)
+      assert(plainMax >= 500000L,
+        s"expected the plain plan's hot-key window task to read ~1M rows, saw $plainMax")
+      // Slice-bounded: ~1M/32 per window task (+ the carry join's
+      // second read and hash imbalance) — an order of magnitude under
+      // the plain plan's single hot task, and scaling with partitions.
+      assert(saltedMax <= 150000L,
+        s"salted per-task row count must stay slice-bounded, saw $saltedMax")
+      assert(saltedMax * 4 <= plainMax,
+        s"salted max task ($saltedMax) should be far below the plain hot task ($plainMax)")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))

