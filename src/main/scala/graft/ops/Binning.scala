@@ -39,6 +39,14 @@ object Binning {
     * within-group quantile bucket of `valueCol`. `ties` break equal
     * values when SELECTING boundary rows (they do not affect
     * assignment).
+    *
+    * The internal cache (pinned through the boundary passes AND the
+    * caller's assignment pass — re-running an expensive upstream
+    * pipeline per pass is the real cost at scale) is released when the
+    * context cleaner garbage-collects the plan; long-lived sessions
+    * binning large inputs repeatedly should use
+    * [[quantileBinsManaged]] and call the cleanup handle after
+    * materializing the result.
     */
   def quantileBins(
       df: DataFrame,
@@ -46,36 +54,47 @@ object Binning {
       valueCol: String,
       ties: Seq[String],
       bins: Int,
-      binCol: String = "bin"): DataFrame = {
+      binCol: String = "bin"): DataFrame =
+    quantileBinsManaged(df, groupCol, valueCol, ties, bins, binCol)._1
+
+  /** As [[quantileBins]], plus a cleanup thunk that unpersists the
+    * internal cache — call it once the result has been materialized.
+    * (Correctness never depends on the cache: boundaries are collected
+    * eagerly in this call, and the assignment pass is deterministic —
+    * only the avoided recomputation is at stake.)
+    */
+  def quantileBinsManaged(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      bins: Int,
+      binCol: String = "bin"): (DataFrame, () => Unit) = {
     require(bins > 1, "need at least 2 bins")
     require(!df.columns.contains(binCol),
       s"bin column '$binCol' already exists on the input")
     val qs = (1 until bins).map(i => s"__qb$i" -> i.toDouble / bins)
     require(!df.columns.exists(qs.map(_._1).toSet),
       "reserved column name collision (__qb<i>)")
-    // The multi-pass boundary computation pins the input; the TINY
-    // boundary table (groups × (bins-1) cells) is then materialized to
-    // the driver so the cache can be released HERE, deterministically —
-    // the remaining work is one plain scan+join that needs no cache.
-    // (Disk-backed cache blocks are not LRU-evicted; leaving the
-    // unpersist to the context cleaner accumulates pinned copies of
-    // large inputs across calls in a long-lived session.)
     val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = try {
-      val plan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs)
-      df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(plan.collect(): _*), plan.schema)
-    } finally input.unpersist()
+    // The TINY boundary table (groups × (bins-1) cells) is materialized
+    // to the driver: the returned plan depends only on `input` and a
+    // literal, so the cleanup handle can safely unpersist after the
+    // caller's final pass.
+    val boundsPlan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs)
+    val bounds = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(boundsPlan.collect(): _*), boundsPlan.schema)
     val binExpr = qs.map { case (q, _) =>
       when(col(valueCol) > col(q), 1L).otherwise(0L)
     }.reduce(_ + _)
     // Left join so no row is silently dropped: a row whose group has
     // no boundaries (all-null group values, or a null group key) gets
     // a null bin rather than disappearing.
-    df.join(broadcast(bounds), Seq(groupCol), "left")
+    val out = input.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(binCol,
         when(col(valueCol).isNull || col(qs.head._1).isNull, lit(null))
           .otherwise(binExpr).cast("long"))
       .drop(qs.map(_._1): _*)
+    (out, () => { input.unpersist(); () })
   }
 }
