@@ -54,8 +54,9 @@ object Binning {
       valueCol: String,
       ties: Seq[String],
       bins: Int,
-      binCol: String = "bin"): DataFrame =
-    quantileBinsManaged(df, groupCol, valueCol, ties, bins, binCol)._1
+      binCol: String = "bin",
+      maxDriverGroups: Int = 4096): DataFrame =
+    quantileBinsManaged(df, groupCol, valueCol, ties, bins, binCol, maxDriverGroups)._1
 
   /** As [[quantileBins]], plus a cleanup thunk that unpersists the
     * internal cache — call it once the result has been materialized.
@@ -69,7 +70,8 @@ object Binning {
       valueCol: String,
       ties: Seq[String],
       bins: Int,
-      binCol: String = "bin"): (DataFrame, () => Unit) = {
+      binCol: String = "bin",
+      maxDriverGroups: Int = 4096): (DataFrame, () => Unit) = {
     require(bins > 1, "need at least 2 bins")
     require(!df.columns.contains(binCol),
       s"bin column '$binCol' already exists on the input")
@@ -81,7 +83,12 @@ object Binning {
     // to the driver: the returned plan depends only on `input` and a
     // literal, so the cleanup handle can safely unpersist after the
     // caller's final pass.
-    val boundsPlan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs)
+    // Boundary table is driver-sized BY DESIGN (groups × (bins-1) —
+    // it is broadcast back for row-local assignment), so the guard is
+    // structural here: raise `maxDriverGroups` deliberately for more
+    // groups (sized against your driver), don't expect a fallback.
+    val boundsPlan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs,
+      maxDriverGroups = maxDriverGroups)
     val bounds = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(boundsPlan.collect(): _*), boundsPlan.schema)
     val binExpr = qs.map { case (q, _) =>

@@ -366,14 +366,19 @@ object Dedup {
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash",
       family: HashFamily = XxHash64Family): DataFrame = {
     val t = s"__simhash_toks"
+    // Each token is hashed ONCE (inner transform to a hash struct);
+    // the per-bit lambda only reads struct fields — hashing inside it
+    // would cost 64 hashes per token occurrence.
     df.withColumn(t, tokens(col(textCol)))
       .withColumn(out, expr(
         s"""aggregate(
            |  zip_with(
-           |    aggregate($t, array_repeat(0L, 64),
-           |      (acc, tok) -> zip_with(acc,
+           |    aggregate(
+           |      transform($t, tok -> ${family.tokenHashesSql("tok")}),
+           |      array_repeat(0L, 64),
+           |      (acc, th) -> zip_with(acc,
            |        transform(sequence(0, 63),
-           |          j -> ${family.bitSignSql("tok", "j")}),
+           |          j -> ${family.bitSignSql("th", "j")}),
            |        (a, b) -> a + b)),
            |    sequence(0, 63),
            |    (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
@@ -455,8 +460,13 @@ object Dedup {
     // artifact (loaded from storage, persisted, or checkpointed); an
     // unmaterialized artifact plan would execute twice (once here, once
     // in the join below). The steady-state deploy loads the artifact
-    // from parquet anyway.
-    artifact.select(col("n"), col("num_hashes"), col("bands"), col("hash_family"))
+    // from parquet anyway. Artifacts written before the hash_family
+    // column existed could only have been built with xxhash64 — read
+    // them as such instead of failing analysis on the missing column.
+    val famCol =
+      if (artifact.columns.contains("hash_family")) col("hash_family")
+      else lit(XxHash64Family.tag)
+    artifact.select(col("n"), col("num_hashes"), col("bands"), famCol.as("hash_family"))
       .head(1).foreach { r =>
         require(r.getInt(0) == n && r.getInt(1) == numHashes && r.getInt(2) == bands &&
             r.getString(3) == family.tag,

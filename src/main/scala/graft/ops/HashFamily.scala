@@ -31,11 +31,17 @@ sealed trait HashFamily {
     */
   def hashLongArray(seed: Column, arr: Column): Column
 
-  /** Spark-SQL snippet for the SimHash ±1 bit sign of token variable
-    * `tok` at bit variable `j` (0..63), for use inside a higher-order
-    * lambda.
+  /** Spark-SQL snippet hashing token variable `tok` ONCE into a struct
+    * of per-token hash words — computed one time per token occurrence
+    * and reused across all 64 SimHash bits (hashing inside the per-bit
+    * lambda would cost 64 hashes per token).
     */
-  def bitSignSql(tok: String, j: String): String
+  def tokenHashesSql(tok: String): String
+
+  /** Spark-SQL snippet for the SimHash ±1 sign of bit variable `j`
+    * (0..63) read from a [[tokenHashesSql]] struct variable `th`.
+    */
+  def bitSignSql(th: String, j: String): String
 
   /** Tag stored in sketch artifacts so a probe can verify the family. */
   def tag: String
@@ -45,8 +51,10 @@ sealed trait HashFamily {
 case object XxHash64Family extends HashFamily {
   def hashString(seed: Int, s: Column): Column = xxhash64(lit(seed), s)
   def hashLongArray(seed: Column, arr: Column): Column = xxhash64(seed, arr)
-  def bitSignSql(tok: String, j: String): String =
-    s"IF((shiftright(xxhash64($tok), $j) & 1L) = 1L, 1L, -1L)"
+  def tokenHashesSql(tok: String): String =
+    s"named_struct('h1', xxhash64($tok))"
+  def bitSignSql(th: String, j: String): String =
+    s"IF((shiftright($th.h1, $j) & 1L) = 1L, 1L, -1L)"
   val tag = "xxhash64"
 }
 
@@ -64,11 +72,14 @@ case object Md5Family extends HashFamily {
       concat_ws(",", transform(arr, x => x.cast("string"))))), 1, 15), 16, 10)
       .cast("long")
 
-  /** Bits 0..59 come from the 0-seeded hash, 60..63 from the 1-seeded
-    * one (a 15-hex-char hash only carries 60 bits).
+  /** Two seeded 60-bit hashes per token: bits 0..59 come from the
+    * 0-seeded hash, 60..63 from the 1-seeded one (a 15-hex-char hash
+    * only carries 60 bits).
     */
-  def bitSignSql(tok: String, j: String): String =
-    s"""IF((shiftright(IF($j < 60, ${hx("'0'", tok)}, ${hx("'1'", tok)}),
+  def tokenHashesSql(tok: String): String =
+    s"named_struct('h1', ${hx("'0'", tok)}, 'h2', ${hx("'1'", tok)})"
+  def bitSignSql(th: String, j: String): String =
+    s"""IF((shiftright(IF($j < 60, $th.h1, $th.h2),
        |  IF($j < 60, $j, $j - 60)) & 1L) = 1L, 1L, -1L)""".stripMargin
 
   val tag = "md5"

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,17 +54,16 @@ object Percentiles {
       maxDriverGroups: Int = 4096): DataFrame = {
     checkArgs(percentiles, buckets)
     val data = nonNull(df, groupCol, valueCol)
+    val (schema, rows) = collectRanges(data, groupCol, valueCol, maxDriverGroups)
     // The driver histogram holds groups × buckets cells — docstring
     // regime ("few groups, many rows") ENFORCED, not just advised: a
     // high-cardinality group column would otherwise OOM the driver.
-    // approx_count_distinct is one cheap map-side-combinable pass.
-    val est = data.select(approx_count_distinct(col(groupCol), 0.02)).first().getLong(0)
-    require(est <= maxDriverGroups,
-      s"~$est distinct '$groupCol' groups exceeds maxDriverGroups=$maxDriverGroups " +
-        s"(the driver histogram would hold ~${est * buckets} cells) — use " +
-        "windowDiscrete (parallelizes fine across many groups) or autoDiscrete " +
-        "(dispatches on the measured group count)")
-    histogramPlan(data, groupCol, valueCol, ties, percentiles, buckets)
+    require(rows.isDefined,
+      s"more than maxDriverGroups=$maxDriverGroups distinct '$groupCol' groups " +
+        s"(the driver histogram would hold > ${maxDriverGroups.toLong * buckets} " +
+        "cells) — use windowDiscrete (parallelizes fine across many groups) or " +
+        "autoDiscrete (dispatches on the measured group count)")
+    histogramPlan(data, groupCol, valueCol, ties, percentiles, buckets, schema, rows.get)
   }
 
   /** The same discrete selection via the classic window formulation:
@@ -99,8 +98,7 @@ object Percentiles {
   }
 
   /** ONE entry point for exact discrete percentiles: measures the group
-    * count (approx_count_distinct — the estimate the guard needs
-    * anyway) and picks the plan — few large groups → histogram-locate
+    * count and picks the plan — few large groups → histogram-locate
     * (driver holds ≤ groups × buckets cells, restores intra-group
     * parallelism); many groups → window (each group is small; per-group
     * sort tasks parallelize across groups).
@@ -115,11 +113,12 @@ object Percentiles {
       maxDriverGroups: Int = 4096): DataFrame = {
     checkArgs(percentiles, buckets)
     val data = nonNull(df, groupCol, valueCol)
-    val est = data.select(approx_count_distinct(col(groupCol), 0.02)).first().getLong(0)
-    if (est <= maxDriverGroups)
-      histogramPlan(data, groupCol, valueCol, ties, percentiles, buckets)
-    else
-      windowDiscrete(data, groupCol, valueCol, ties, percentiles)
+    collectRanges(data, groupCol, valueCol, maxDriverGroups) match {
+      case (schema, Some(rows)) =>
+        histogramPlan(data, groupCol, valueCol, ties, percentiles, buckets, schema, rows)
+      case _ =>
+        windowDiscrete(data, groupCol, valueCol, ties, percentiles)
+    }
   }
 
   private def checkArgs(percentiles: Seq[(String, Double)], buckets: Int): Unit = {
@@ -127,6 +126,26 @@ object Percentiles {
     require(percentiles.forall { case (_, p) => p > 0 && p <= 1 },
       "fractions must be in (0, 1]")
     require(buckets > 1, "need at least 2 buckets")
+  }
+
+  /** Step 1 AND the group-count guard in ONE pass: the per-group
+    * (min, max, n) aggregate collected with a `limit(max+1)` cap — if
+    * the cap is hit the histogram regime does not apply (None); below
+    * it the collected rows are REUSED by [[histogramPlan]] for both
+    * the broadcast range join and the driver walk, so the guard costs
+    * no extra scan (it actually removes the second ranges computation
+    * the r4 plan paid for the counts collect).
+    */
+  private def collectRanges(
+      data: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      maxDriverGroups: Int): (org.apache.spark.sql.types.StructType, Option[Array[Row]]) = {
+    val ranges = data.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
+        count(lit(1)).as("__n"))
+    val rows = ranges.limit(maxDriverGroups + 1).collect()
+    (ranges.schema, if (rows.length > maxDriverGroups) None else Some(rows))
   }
 
   // Null values have no rank: they'd produce a null bucket (driver
@@ -146,13 +165,16 @@ object Percentiles {
       valueCol: String,
       ties: Seq[String],
       percentiles: Seq[(String, Double)],
-      buckets: Int): DataFrame = {
+      buckets: Int,
+      rangesSchema: org.apache.spark.sql.types.StructType,
+      rangeRows: Array[Row]): DataFrame = {
     val spark = data.sparkSession
 
-    // 1. per-group value range + count (one map-side-combinable agg)
-    val ranges = data.groupBy(col(groupCol))
-      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
-        count(lit(1)).as("__n"))
+    // 1. the pre-collected per-group (min, max, n) rows (see
+    // collectRanges) serve BOTH consumers: a literal broadcast table
+    // for bucketization and the driver-side counts for the walk.
+    import scala.jdk.CollectionConverters._
+    val ranges = spark.createDataFrame(rangeRows.toSeq.asJava, rangesSchema)
 
     def bucketOf(v: Column, mn: Column, mx: Column): Column =
       when(mx === mn, lit(0)).otherwise(
@@ -165,8 +187,7 @@ object Percentiles {
       .collect()
       .groupBy(_.get(0))
       .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)).toMap
-    val counts = ranges.select(col(groupCol), col("__n")).collect()
-      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val counts = rangeRows.map(r => r.get(0) -> r.getLong(3)).toMap
 
     // 3. locate each percentile's bucket + within-bucket rank
     val targets: Seq[(Any, Int, Long, String)] = counts.toSeq.flatMap { case (g, n) =>
@@ -181,7 +202,6 @@ object Percentiles {
     }
 
     // 4. narrow pass: rank only the located buckets by the full order
-    import scala.jdk.CollectionConverters._
     val tgt = spark.createDataFrame(
       targets.map { case (g, b, local, label) =>
         org.apache.spark.sql.Row(g, b, local, label) }.asJava,

@@ -340,9 +340,16 @@ object Similarity {
   def coordinateSketches(bits: Int, tables: Int): Seq[Column => Column] = {
     require(bits >= 1 && bits <= 62 && tables >= 1, "bad sketch shape")
     (0 until tables).map { t => (vec: Column) =>
-      (0 until bits).map { b =>
+      val bucket = (0 until bits).map { b =>
         when(element_at(vec, t * bits + b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce((x, y) => x.bitwiseOR(y))
+      // dim < tables·bits would silently read nulls past the end of
+      // the vector → every row lands in bucket 0 → the per-table
+      // equi-join degenerates to an all-pairs product. Fail the ROW
+      // instead (the dim is only known at bucketing time).
+      when(size(vec) >= (t + 1) * bits, bucket).otherwise(raise_error(
+        concat(lit(s"coordinateSketches table $t needs dim >= ${(t + 1) * bits}, got "),
+          size(vec).cast("string"))))
     }
   }
 

@@ -275,18 +275,31 @@ object DedupOps {
   // rest of the corpus — signature agreement only, corpus text never
   // rescanned. The md5 family makes both the artifact build and the
   // probe SQL-expressible, so the oracle replays artifact → band join →
-  // signature agreement end-to-end. The artifact is persisted before
-  // the probe: incrementalNearDupMatches runs an eager parameter check
-  // (head(1)) that would otherwise execute the build pipeline twice.
+  // signature agreement end-to-end.
+  //
+  // The artifact is an INGEST ARTIFACT (the op's documented steady-state
+  // deploy): built once per dataset directory, written to parquet, and
+  // every probe loads the materialized table — same pattern as the IVF
+  // index in SimilarityOps. This also satisfies the probe's requirement
+  // for a materialized artifact (its eager parameter check would
+  // otherwise run the build pipeline twice) without pinning cache
+  // blocks for the session's lifetime.
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def artifactFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    artifactCache.computeIfAbsent(dir, { _ =>
+      val corpus = Tables.load(s, dir, "documents").filter(col("source") =!= "src0")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_minhash_").resolve("artifact").toString
+      Dedup.minhashArtifact(corpus, "doc_id", "text", family = Md5Family)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
   private val incrementalNear: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-    val artifact = Dedup.minhashArtifact(
-      docs.filter(col("source") =!= "src0"), "doc_id", "text",
-      family = Md5Family)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.incrementalNearDupMatches(
       docs.filter(col("source") === "src0"), "doc_id", "text",
-      artifact, threshold = 0.3, family = Md5Family)
+      artifactFor(s, dir), threshold = 0.3, family = Md5Family)
   }
   private val incrementalNearSql =
     """WITH docs AS (

@@ -89,6 +89,32 @@ class OpsSpec extends SparkSpec {
     val ok = Dedup.incrementalNearDupMatches(shard, "doc_id", "text", art,
       numHashes = 64, bands = 8)
     assert(ok.count() == 1)
+    // a DIFFERENT HASH FAMILY with equal shape parameters is also a
+    // mismatch (md5-built artifact vs xxhash64 probe)
+    val artMd5 = Dedup.minhashArtifact(corpus, "doc_id", "text", family = Md5Family)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupMatches(shard, "doc_id", "text", artMd5)
+    }
+    // a LEGACY artifact (persisted before the hash_family column
+    // existed) reads as xxhash64 instead of failing analysis
+    val legacy = art.drop("hash_family")
+    val okLegacy = Dedup.incrementalNearDupMatches(shard, "doc_id", "text", legacy,
+      numHashes = 64, bands = 8)
+    assert(okLegacy.count() == 1)
+  }
+
+  test("coordinateSketches fails rows whose vectors are shorter than tables*bits") {
+    val vecs = Seq((1L, Array(0.5f, -0.5f, 0.1f, 0.2f))).toDF("vec_id", "embedding")
+    // 1 table × 4 bits fits dim 4
+    assert(Similarity.embeddingNearDupBucketed(vecs, "vec_id", "embedding",
+      threshold = 0.9, Similarity.coordinateSketches(4, 1)).count() == 0)
+    // 2 tables × 4 bits needs dim 8 → loud per-row failure, not silent
+    // all-zero buckets (which would degenerate the join to all-pairs)
+    val e = intercept[Exception] {
+      Similarity.embeddingNearDupBucketed(vecs, "vec_id", "embedding",
+        threshold = 0.9, Similarity.coordinateSketches(4, 2)).count()
+    }
+    assert(e.getMessage != null)
   }
 
   test("incremental dedup: null-text rows are not comparable — all pass through") {
