@@ -213,28 +213,45 @@ object Similarity {
     * [[coordinateSketches]] gives an exactly-SQL-expressible family for
     * oracle-checked runs (float sign comparisons only — no dot sums
     * whose summation order could flip a bucket bit between engines).
+    *
+    * In-bucket pairing is quadratic in bucket size, so buckets beyond
+    * `maxBucket` are DROPPED, not expanded — the same guard as
+    * [[Dedup.minhashLshPairs]] mega-buckets and [[semanticDedup]]
+    * clusters (a near-constant embedding region would otherwise turn
+    * one bucket into an all-pairs straggler). Observable without an
+    * extra job via the "embedding_lsh_buckets" observation
+    * (dropped_buckets / max_bucket); exact duplicates inside a dropped
+    * bucket are still caught by [[embeddingNearDupExact]] on bounded
+    * subsets or exact digest dedup upstream.
     */
   def embeddingNearDupBucketed(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, buckets: Seq[Column => Column]): DataFrame = {
-    val tables = buckets.length
+      threshold: Double, buckets: Seq[Column => Column],
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val base = corpusSide(corpus, idCol, vecCol)
-    val bucketed = buckets.zipWithIndex.foldLeft(base) { case (acc, (f, t)) =>
-      acc.withColumn(s"__b$t", f(col("__v")))
-    }
-    def side(tag: String) = bucketed.select(
-      (Seq(col("neighbor_id").as(s"id_$tag"),
-        col("__v").as(s"__v$tag"), col("__nv").as(s"__n$tag")) ++
-        (0 until tables).map(t => col(s"__b$t").as(s"__b$tag$t"))): _*)
-    val a = side("a")
-    val b = side("b")
-    // Score inside each per-table branch, dedupe the narrow scored
-    // rows (see lshTopK — deduping first would shuffle vector payloads
-    // and SortAggregate over arrays).
-    (0 until tables).map { t =>
-      a.join(b, col(s"__ba$t") === col(s"__bb$t") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
-    }.reduce(_ unionByName _)
+    // One (row, table) layout instead of per-table join branches: the
+    // bucket-size cap is then ONE aggregate + semi-join over narrow
+    // (t, bucket) keys, exactly the minhashLshPairs shape.
+    val banded = base.select(col("neighbor_id"), col("__v"), col("__nv"),
+      posexplode(array(buckets.map(f => f(col("__v"))): _*)).as(Seq("__t", "__bk")))
+    val sizes = banded.groupBy(col("__t"), col("__bk"))
+      .agg(count(lit(1)).as("__bsz"))
+      .observe("embedding_lsh_buckets",
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(col("__bsz")).as("max_bucket"))
+    val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket),
+      Seq("__t", "__bk"), "left_semi")
+    val a = capped.select(col("__t"), col("__bk"), col("neighbor_id").as("id_a"),
+      col("__v").as("__va"), col("__nv").as("__na"))
+    val b = capped.select(col("__t"), col("__bk"), col("neighbor_id").as("id_b"),
+      col("__v").as("__vb"), col("__nv").as("__nb"))
+    // Score inside the collision join, dedupe the narrow scored rows
+    // (see lshTopK — deduping first would shuffle vector payloads and
+    // SortAggregate over arrays).
+    a.join(b, Seq("__t", "__bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("cos_sim")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

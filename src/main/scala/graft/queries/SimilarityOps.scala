@@ -149,9 +149,13 @@ object SimilarityOps {
       |   + CASE WHEN v[t*4+3] > 0 THEN 4 ELSE 0 END
       |   + CASE WHEN v[t*4+4] > 0 THEN 8 ELSE 0 END) AS bk
       |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS t) ts),
+      |ok AS (
+      |  SELECT t, bk FROM b GROUP BY t, bk HAVING count(*) <= 4096),
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-      |  FROM b x JOIN b y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id),
+      |  FROM b x
+      |  JOIN b y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id
+      |  JOIN ok ON x.t = ok.t AND x.bk = ok.bk),
       |out AS (
       |  SELECT id_a, id_b, list_cosine_similarity(a.v, b2.v) AS cs
       |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b2 ON b2.vec_id = id_b)

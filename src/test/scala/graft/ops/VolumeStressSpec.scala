@@ -54,6 +54,19 @@ class VolumeStressSpec extends SparkSpec {
     assert(out.count() == 198000L) // 2000 losers (the id_b side)
   }
 
+  test("embedding LSH caps a degenerate mega-bucket instead of expanding all pairs") {
+    // 50k near-identical-direction vectors share every sketch bucket:
+    // uncapped, the in-bucket self-join is 1.25 BILLION pairs. The cap
+    // must drop the mega-buckets and finish quickly with zero pairs
+    // (exact/semantic dedup own identical regions).
+    val rows = spark.range(0, 50000)
+      .select(col("id"), array(lit(1.0f), lit(0.5f), lit(-0.25f), lit(0.75f)).as("vec"))
+    val out = Similarity.embeddingNearDupBucketed(rows, "id", "vec",
+      threshold = 0.5, Similarity.coordinateSketches(bits = 4, tables = 1),
+      maxBucket = 1000)
+    assert(out.count() == 0L, "mega-bucket must be dropped, not expanded")
+  }
+
   test("incremental near-dup: a degenerate identical-text shard is capped, not exploded") {
     // 20k identical shard docs share every band bucket with each other
     // AND the matching corpus doc: uncapped, that is 20k × corpus
