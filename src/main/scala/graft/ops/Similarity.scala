@@ -229,10 +229,13 @@ object Similarity {
       maxBucket: Int = 4096): DataFrame = {
     require(maxBucket > 1, "maxBucket must allow at least one pair")
     val base = corpusSide(corpus, idCol, vecCol)
-    // One (row, table) layout instead of per-table join branches: the
-    // bucket-size cap is then ONE aggregate + semi-join over narrow
-    // (t, bucket) keys, exactly the minhashLshPairs shape.
-    val banded = base.select(col("neighbor_id"), col("__v"), col("__nv"),
+    // One (id, table, bucket) layout — IDS ONLY: the vector payload
+    // never rides the bucket shuffle (banding, the cap semi-join and
+    // the collision self-join all move narrow integer rows; the
+    // alternative — vectors through the (t, bucket) exchange — was
+    // measured 3× slower even at sf0.1). The bucket-size cap is ONE
+    // aggregate + semi-join, exactly the minhashLshPairs shape.
+    val banded = base.select(col("neighbor_id"),
       posexplode(array(buckets.map(f => f(col("__v"))): _*)).as(Seq("__t", "__bk")))
     val sizes = banded.groupBy(col("__t"), col("__bk"))
       .agg(count(lit(1)).as("__bsz"))
@@ -241,19 +244,22 @@ object Similarity {
         max(col("__bsz")).as("max_bucket"))
     val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket),
       Seq("__t", "__bk"), "left_semi")
-    val a = capped.select(col("__t"), col("__bk"), col("neighbor_id").as("id_a"),
-      col("__v").as("__va"), col("__nv").as("__na"))
-    val b = capped.select(col("__t"), col("__bk"), col("neighbor_id").as("id_b"),
-      col("__v").as("__vb"), col("__nv").as("__nb"))
-    // Score inside the collision join, dedupe the narrow scored rows
-    // (see lshTopK — deduping first would shuffle vector payloads and
-    // SortAggregate over arrays).
-    a.join(b, Seq("__t", "__bk"))
+    // Candidate ID pairs deduped across tables BEFORE scoring — each
+    // surviving pair costs exactly one dot product, via two narrow
+    // id-equi-joins pulling the vectors back in.
+    val pairs = capped.select(col("__t"), col("__bk"), col("neighbor_id").as("id_a"))
+      .join(capped.select(col("__t"), col("__bk"), col("neighbor_id").as("id_b")),
+        Seq("__t", "__bk"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = base.select(col("neighbor_id").as("id_a"),
+      col("__v").as("__va"), col("__nv").as("__na"))
+    val vb = base.select(col("neighbor_id").as("id_b"),
+      col("__v").as("__vb"), col("__nv").as("__nb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("cos_sim")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

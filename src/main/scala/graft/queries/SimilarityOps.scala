@@ -5,9 +5,12 @@ import graft.ops.Similarity
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search queries. Brute-force cosine top-k is the
-  * exact baseline and is DuckDB-oracle-checked (list_cosine_similarity);
-  * the LSH- and IVF-bucketed variants are the scale paths and get
-  * rows-only checks plus score-equality/recall assertions in their spec.
+  * exact baseline and is DuckDB-oracle-checked (list_cosine_similarity).
+  * The LSH gates run with the SQL-exact coordinate sign-sketch bucket
+  * family so they are oracle-checked end-to-end (the random-hyperplane
+  * production default keeps its score-equality/recall specs); IVF stays
+  * rows-only (k-means means are float-sum-order sensitive across
+  * engines) with ingest-vs-inline score-equality specs.
   *
   * IVF centroids + the cell-partitioned corpus are INGEST artifacts:
   * computed once per dataset directory and reused by every query
