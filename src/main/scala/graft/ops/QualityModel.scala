@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the fasttext-style linear classifier
+  * stage that sits in nearly every production corpus pipeline (CCNet,
+  * RefinedWeb, FineWeb): a bag-of-words logit per document, thresholded
+  * to keep "high-quality" text.
+  *
+  * Weights are INTEGER MILLI-units (`Map[token, Long]`), so the
+  * accumulation is exact integer math — the logit is bit-identical on
+  * any engine, partitioning, or run (a float dot product is not:
+  * summation order flips low bits, and a threshold comparison sits
+  * exactly where those bits live). The sigmoid is applied only to the
+  * final exact logit, and thresholding uses the logit directly
+  * (sigmoid is monotone — `score ≥ 0.5 ⇔ logit ≥ 0`).
+  *
+  * Scale shape: the model is a broadcast table (vocab-sized); tokens
+  * explode into (doc, token) rows, the weight join is a broadcast hash
+  * join, and the per-doc sum is one map-side-combinable aggregate —
+  * one doc-keyed shuffle carrying a single long per document.
+  */
+object QualityModel {
+
+  /** Score every document: output is `df`'s id column plus
+    *  - `milli_logit` — exact integer logit × 1000 (bias + Σ weights
+    *    over token OCCURRENCES — a token counted twice contributes
+    *    twice, the bag-of-words convention);
+    *  - `kept` — `milli_logit >= 0`, i.e. P(quality) ≥ 0.5;
+    *  - `score` — the sigmoid probability (derived, for ranking).
+    */
+  def scoreLinear(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      milliWeights: Map[String, Long],
+      milliBias: Long = 0L): DataFrame = {
+    require(milliWeights.nonEmpty, "need at least one token weight")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = broadcast(milliWeights.toSeq.toDF("__qm_tok", "__qm_w"))
+    val toks = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__qm_tok"))
+    val sums = toks.join(w, "__qm_tok")
+      .groupBy(col(idCol))
+      .agg(sum(col("__qm_w")).as("__qm_sum"))
+    df.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        (lit(milliBias) + coalesce(col("__qm_sum"), lit(0L))).as("milli_logit"))
+      .withColumn("kept", col("milli_logit") >= 0)
+      .withColumn("score",
+        lit(1.0) / (lit(1.0) + exp(-col("milli_logit").cast("double") / 1000.0)))
+  }
+
+  /** The filter composition: keep documents the model scores ≥ 0.5. */
+  def filterQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      milliWeights: Map[String, Long],
+      milliBias: Long = 0L): DataFrame = {
+    val kept = scoreLinear(df, idCol, textCol, milliWeights, milliBias)
+      .filter(col("kept")).select(col(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+}
