@@ -127,6 +127,44 @@ object TextRank {
       .agg((sum(log(col("__cnt") / col("__total"))) / count(lit(1))).as("mean_logprob"))
   }
 
+  /** Bigram language-model quality score with add-one smoothing — one
+    * Markov order up from [[unigramLogProb]] (the CCNet recipe uses a
+    * 5-gram KenLM; the plumbing is identical, the order is a knob).
+    * Score = mean over a document's adjacent token pairs of
+    * `ln((c(w1 w2) + 1) / (c(w1) + V))` under the corpus's own counts.
+    * Template junk repeats the same few transitions (high score but
+    * caught by the repetition signals); incoherent token soup hits
+    * unseen transitions and sinks.
+    *
+    * Scale shape: the BIGRAM count table is data-derived and can be
+    * vocab²-sized — it is NEVER broadcast; scoring joins it by the
+    * bigram key (one shuffle), while the unigram vocabulary stays a
+    * broadcast (cap with top-K + OOV floor past broadcast size, as in
+    * [[unigramLogProb]]). Adjacency is posexplode + window lead, not
+    * interpreted array lambdas.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__term")))
+      .filter(col("__term") =!= "")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = toks
+      .withColumn("__next", lead(col("__term"), 1).over(byDoc))
+      .filter(col("__next").isNotNull)
+      .select(col(idCol), col("__term").as("__w1"), col("__next").as("__w2"))
+    val uni = toks.groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
+    val vocabSize = uni.agg(count(lit(1)).as("__v"))
+    val bi = bigrams.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
+    bigrams
+      .join(bi, Seq("__w1", "__w2"))
+      .join(broadcast(uni.withColumnRenamed("__term", "__w1")), Seq("__w1"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col(idCol))
+      .agg((sum(log((col("__c2") + 1).cast("double") / (col("__c1") + col("__v"))))
+        / count(lit(1))).as("mean_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Gopher-style within-document repetition signals, the standard
     * pretraining quality filters for template/boilerplate-generated
     * text:

@@ -294,6 +294,37 @@ object TextOps {
       |FROM toks JOIN vocab USING (t), tot
       |GROUP BY doc_id""".stripMargin
 
+  // Bigram-LM quality score (ops.TextRank.bigramLogProb): add-one
+  // smoothed mean transition log-probability — one Markov order above
+  // text_lm_score, the CCNet perplexity-filter shape. Same ln-of-
+  // integer-counts algebra → same expression tree both engines.
+  private val bigramLm: Q = (s, dir) =>
+    graft.ops.TextRank.bigramLogProb(Tables.load(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), round(col("mean_logprob"), 4).as("mean_logprob"),
+        col("n_bigrams"))
+  private val bigramLmSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |    i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
+      |  FROM d),
+      |bigrams AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+      |uni AS (
+      |  SELECT t AS w1, count(*) AS c1 FROM (SELECT unnest(ts) AS t FROM d) u
+      |  GROUP BY t),
+      |v AS (SELECT count(*) AS vs FROM uni),
+      |bi AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2)
+      |SELECT doc_id,
+      |  round(sum(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vs))) / count(*), 4) AS mean_logprob,
+      |  count(*) AS n_bigrams
+      |FROM bigrams JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+      |GROUP BY doc_id""".stripMargin
+
   // Overlapping chunking (ops.TextRank.chunk): 500-char chunks with
   // 100-char overlap; chunks ship as md5 fingerprints so the oracle
   // hash stays small.
@@ -596,6 +627,7 @@ object TextOps {
     Entry("text_inverted_index", inverted, Some(invertedSql)),
     Entry("text_repetition", repetition, Some(repetitionSql)),
     Entry("text_lm_score", lmScore, Some(lmScoreSql)),
+    Entry("text_bigram_lm", bigramLm, Some(bigramLmSql)),
     Entry("text_chunk", chunks, Some(chunksSql)),
     Entry("text_fuzzy_join", fuzzy, Some(fuzzySql)),
     Entry("text_bm25", bm25, Some(bm25Sql)),

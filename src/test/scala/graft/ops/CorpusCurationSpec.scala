@@ -31,6 +31,38 @@ class CorpusCurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("quality model: row-local logitColumn equals the broadcast-join scorer") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Seq("the", "and", "lorem", "click", "cat", "dog")
+    val df = (1 to 200).map { i =>
+      val text = if (i % 50 == 0) null
+        else (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val w = Map("the" -> 400L, "and" -> 250L, "lorem" -> -800L, "click" -> -500L)
+    val viaJoin = QualityModel.scoreLinear(df, "doc_id", "text", w, -300L)
+      .select("doc_id", "milli_logit").as[(Long, Long)].collect().toMap
+    val viaColumn = df.select($"doc_id",
+        QualityModel.logitColumn($"text", w, -300L).as("l"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaColumn == viaJoin)
+  }
+
+  test("bigram LM: hand-computed transition probabilities, junk sinks") {
+    val df = Seq(
+      (1L, "a b a b a b"),     // typical transitions
+      (2L, "a zz b qq a ww"))  // unseen-ish transitions
+      .toDF("doc_id", "text")
+    val out = TextRank.bigramLogProb(df, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // corpus: tokens a×5 b×4 zz qq ww → V = 5
+    // doc1 bigrams: ab×3, ba×2; c(ab)=3, c(ba)=2 (doc2 has none of these)
+    // P(b|a) = (3+1)/(c1(a)=5 + 5) = 0.4 ; P(a|b) = (2+1)/(4+5) = 1/3
+    val expected1 = (3 * math.log(0.4) + 2 * math.log(3.0 / 9)) / 5
+    assert(math.abs(out(1L)._1 - expected1) < 1e-9 && out(1L)._2 == 5L)
+    assert(out(2L)._1 < out(1L)._1, "unseen transitions must score lower")
+  }
+
   private def windowReference(df: org.apache.spark.sql.DataFrame,
       budgets: Map[String, Long]): Set[Long] = {
     val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (g, b)) =>

@@ -83,6 +83,13 @@ class PlanSpec extends SparkSpec {
     assert(codegen.contains("WholeStageCodegen"))
   }
 
+  test("text_quality_model: the weight model joins broadcast (tokens never shuffle for it)") {
+    val df = Catalog.queries("text_quality_model")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the milli-weight model must be the broadcast side")
+  }
+
   test("q_approx_sketches: bound verdicts hold and exact counts are exact") {
     import org.apache.spark.sql.functions._
     val rows = Catalog.queries("q_approx_sketches")(spark, dir)

@@ -49,6 +49,34 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed(1)._2 == "the mail and of a <EMAIL> ok")
   }
 
+  test("streaming model-based quality filter equals the batch scorer") {
+    val w = Map("the" -> 400L, "and" -> 250L, "lorem" -> -800L)
+    val rows = Seq(
+      (1L, "the cat and the dog"),     // 400+250+400-300 = 750 → kept
+      (2L, "lorem lorem the"),         // -800-800+400-300 → dropped
+      (3L, "nothing known here"))      // bias only → dropped
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"),
+          graft.ops.QualityModel.logitColumn(col("text"), w, -300L).as("milli_logit"))
+        .filter(col("milli_logit") >= 0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = shape(mem.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("quality_stream")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = shape(rows.toDF("id", "text"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq((1L, 750L)))
+  }
+
   test("streaming corpus mixing equals the batch mix (stateless epoch fan-out)") {
     val rows = (1 to 60).map(i => (i.toLong, s"src${i % 3}"))
     def shape(df: org.apache.spark.sql.DataFrame) =
