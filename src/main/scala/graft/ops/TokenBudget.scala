@@ -56,18 +56,34 @@ object TokenBudget {
       s"input reserves column name(s) ${reserved.mkString(", ")}")
     val spark = df.sparkSession
 
+    // Pinned: the slice histogram, the full-slice branch and the
+    // crossing-slice branch all read the same filtered+hashed rows —
+    // without the cache the source is scanned three times (the
+    // histogram collect below populates it). Released by the context
+    // cleaner when the plan is GC'd.
     val inScope = df
       .filter(col(groupCol).isNotNull && col(weightCol).isNotNull && col(keyCol).isNotNull)
       .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
       .withColumn("__tb_h", md5(col(keyCol).cast("string")))
       .withColumn("__tb_slice",
         conv(substring(col("__tb_h"), 1, 2), 16, 10).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. driver-sized slice histogram: budgets.size × 256 cells max.
-    val sliceSums: Map[(String, Int), Long] = inScope
+    // The same pass carries the min weight — the slice walk below
+    // assumes monotone running sums, so a negative weight must fail
+    // loudly HERE (it would silently misclassify its slice as full or
+    // dropped), and the guard costs no extra scan.
+    val sliceRows = inScope
       .groupBy(col(groupCol), col("__tb_slice"))
-      .agg(sum(col(weightCol)).as("__tb_sum"))
+      .agg(sum(col(weightCol)).as("__tb_sum"), min(col(weightCol)).as("__tb_min"))
       .collect()
+    sliceRows.find(_.getLong(3) < 0).foreach { r =>
+      throw new IllegalArgumentException(
+        s"negative weight (min ${r.getLong(3)}) in group '${r.getString(0)}' — " +
+          "token budgets need non-negative weights (running sums must be monotone)")
+    }
+    val sliceSums: Map[(String, Int), Long] = sliceRows
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
       .toMap
 

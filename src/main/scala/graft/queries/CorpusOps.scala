@@ -60,7 +60,8 @@ object CorpusOps {
        |    md5(CAST(doc_id AS VARCHAR)) AS h,
        |    CASE source $cases ELSE NULL END AS budget
        |  FROM documents
-       |  WHERE source IN (${budgets.keys.toSeq.sorted.map(g => s"'$g'").mkString(", ")})),
+       |  WHERE source IN (${budgets.keys.toSeq.sorted.map(g => s"'$g'").mkString(", ")})
+       |    AND n_chars IS NOT NULL AND doc_id IS NOT NULL),
        |c AS (
        |  SELECT *, coalesce(sum(n_chars) OVER (
        |    PARTITION BY source ORDER BY h, doc_id

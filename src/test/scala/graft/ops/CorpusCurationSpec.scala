@@ -114,4 +114,12 @@ class CorpusCurationSpec extends SparkSpec {
       TokenBudget.sample(df, "doc_id", "source", "n_chars", Map("g" -> 10L))
     }
   }
+
+  test("token budget rejects negative weights (the slice walk needs monotone sums)") {
+    val df = Seq((1L, "g", 100L), (2L, "g", -50L)).toDF("doc_id", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      TokenBudget.sample(df, "doc_id", "source", "n_chars", Map("g" -> 60L))
+    }
+    assert(e.getMessage.contains("negative weight"))
+  }
 }

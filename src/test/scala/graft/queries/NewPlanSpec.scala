@@ -21,17 +21,27 @@ class NewPlanSpec extends SparkSpec {
     try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("embedding near-dup LSH: candidate dedup shuffles scores, never vectors") {
+  test("embedding near-dup LSH: banding and candidate dedup move ids, never vectors") {
     withoutAqe {
       val lsh = Similarity.embeddingNearDupLsh(vecs(300), "vec_id", "embedding",
         0.9, bits = 8, tables = 4)
-      val physical = lsh.queryExecution.executedPlan.toString
-      // the dedup aggregate must be a hash aggregate over the narrow
-      // (ids, score) rows — a first()-over-arrays SortAggregate means
-      // vector payloads are riding the shuffle
-      assert(physical.contains("HashAggregate"), physical)
+      val plan = lsh.queryExecution.executedPlan
+      val physical = plan.toString
+      // no aggregate may buffer array payloads (a first()/min()-over-
+      // arrays SortAggregate means vectors are riding a shuffle)
+      assert(!physical.contains("SortAggregate"), physical)
       assert(!physical.contains("first(__v"),
         s"vector payloads must not pass through the dedup shuffle:\n$physical")
+      // every exchange before the final scoring joins carries only the
+      // narrow banding/pair columns — the vector column appears in NO
+      // hash-partitioned exchange on the bucket keys
+      val badExchange = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("__bk") &&
+              e.output.exists(_.name.startsWith("__v")) => e
+      }
+      assert(badExchange.isEmpty,
+        s"vectors must not ride the (table, bucket) exchange:\n$physical")
     }
   }
 

@@ -83,11 +83,28 @@ class PlanSpec extends SparkSpec {
     assert(codegen.contains("WholeStageCodegen"))
   }
 
-  test("text_quality_model: the weight model joins broadcast (tokens never shuffle for it)") {
-    val df = Catalog.queries("text_quality_model")(spark, dir)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      "the milli-weight model must be the broadcast side")
+  test("text_quality_model: the weight-model join itself is broadcast (tokens never shuffle for it)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // AQE's wrapper is a leaf node — tree traversal needs the static
+    // plan (NewPlanSpec precedent)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try Catalog.queries("text_quality_model")(spark, dir)
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    def onWeightKey(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.references.exists(_.name == "__qm_tok"))
+    // the specific join ON THE TOKEN KEY must be broadcast — a generic
+    // "some BroadcastHashJoin exists" check would stay green if the
+    // model fell off the broadcast side while another join broadcast
+    val broadcastOnTok = plan.collect {
+      case j: BroadcastHashJoinExec if onWeightKey(j.leftKeys ++ j.rightKeys) => j
+    }
+    val shuffledOnTok = plan.collect {
+      case j: SortMergeJoinExec if onWeightKey(j.leftKeys ++ j.rightKeys) => j
+      case j: ShuffledHashJoinExec if onWeightKey(j.leftKeys ++ j.rightKeys) => j
+    }
+    assert(broadcastOnTok.nonEmpty && shuffledOnTok.isEmpty,
+      s"the milli-weight model must join broadcast on __qm_tok:\n$plan")
   }
 
   test("q_approx_sketches: bound verdicts hold and exact counts are exact") {
