@@ -198,6 +198,12 @@ object Dedup {
     require(idType == pairs.schema(idB).dataType,
       s"pair columns disagree on type: $idType vs ${pairs.schema(idB).dataType}")
     val cmp: (Any, Any) => Int = idType match {
+      // Integral ids compare as longs — a double compare would collapse
+      // distinct ids differing only above 2^53.
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        (a, b) => java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
       case _: org.apache.spark.sql.types.NumericType =>
         (a, b) => java.lang.Double.compare(
           a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())

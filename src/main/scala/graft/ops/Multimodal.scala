@@ -95,7 +95,9 @@ object Multimodal {
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
           if (isSof) {
-            if (q + 8 >= bytes.length) return ("unknown", -1, -1)
+            // need bytes at q+4..q+7 (height, width) — last readable
+            // layout has q+7 == length-1
+            if (q + 8 > bytes.length) return ("unknown", -1, -1)
             // segment: len(2) precision(1) height(2) width(2) …
             return ("jpeg", be16(bytes, q + 6), be16(bytes, q + 4))
           }

@@ -198,13 +198,21 @@ object Similarity {
     * product), deduped before the single exact scoring pass. Same
     * recall/tables trade-off as [[lshTopK]]; high-cosine pairs (true
     * near-dups) collide with high probability.
+    *
+    * Buckets larger than `maxBucket` are DROPPED, not expanded (the
+    * [[embeddingNearDupBucketed]] cap — in-bucket pairing is quadratic,
+    * so a near-constant embedding region would otherwise become an
+    * all-pairs straggler). Pass `maxBucket = Int.MaxValue` to recover
+    * the uncapped pre-cap behavior; drops are observable via the
+    * "embedding_lsh_buckets" observation.
     */
   def embeddingNearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 12, tables: Int = 6, seed: Int = 42): DataFrame = {
+      threshold: Double, bits: Int = 12, tables: Int = 6, seed: Int = 42,
+      maxBucket: Int = 4096): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = lshPlanes(dim, bits, tables, seed)
     embeddingNearDupBucketed(corpus, idCol, vecCol, threshold,
-      planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)))
+      planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)), maxBucket)
   }
 
   /** [[embeddingNearDupLsh]] generalized over the bucket family: one

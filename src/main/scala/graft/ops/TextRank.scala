@@ -109,22 +109,33 @@ object TextRank {
     * more typical text; template junk and OOV-heavy noise sink.
     *
     * The vocabulary (term → count) is a corpus-level aggregate small
-    * enough to broadcast (cap it with a top-K + OOV floor when the
-    * corpus vocabulary outgrows broadcast size); the scoring join is
-    * then a BroadcastHashJoin — tokens never shuffle, each document's
-    * log-sum accumulates map-side in token order, deterministically.
+    * enough to broadcast for typical corpora; when it isn't, pass
+    * `maxVocab`: the broadcast keeps only the top-`maxVocab` terms by
+    * count (ties to the lexicographically least term) and every other
+    * token scores with an OOV count floor of 1 — the cap degrades
+    * scores for the rare tail instead of failing at the broadcast.
+    * The scoring join is a BroadcastHashJoin — tokens never shuffle,
+    * each document's log-sum accumulates map-side in token order,
+    * deterministically. Default is uncapped (exact).
     */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
     val toks = docs.select(col(idCol),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__term"))
       .filter(col("__term") =!= "")
-    val vocab = toks.groupBy(col("__term")).agg(count(lit(1)).as("__cnt"))
+    val vocabAll = toks.groupBy(col("__term")).agg(count(lit(1)).as("__cnt"))
+    // top-K via sort+limit: TakeOrderedAndProject — per-partition heaps
+    // merged driver-side, K rows only (K <= broadcast size by intent).
+    val vocab =
+      if (maxVocab == Int.MaxValue) vocabAll
+      else vocabAll.orderBy(col("__cnt").desc, col("__term")).limit(maxVocab)
     val total = toks.agg(count(lit(1)).as("__total"))
     toks
-      .join(broadcast(vocab), "__term")
+      .join(broadcast(vocab), Seq("__term"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
-      .agg((sum(log(col("__cnt") / col("__total"))) / count(lit(1))).as("mean_logprob"))
+      .agg((sum(log(coalesce(col("__cnt"), lit(1L)) / col("__total")))
+        / count(lit(1))).as("mean_logprob"))
   }
 
   /** Bigram language-model quality score with add-one smoothing — one
@@ -138,31 +149,45 @@ object TextRank {
     *
     * Scale shape: the BIGRAM count table is data-derived and can be
     * vocab²-sized — it is NEVER broadcast; scoring joins it by the
-    * bigram key (one shuffle), while the unigram vocabulary stays a
-    * broadcast (cap with top-K + OOV floor past broadcast size, as in
-    * [[unigramLogProb]]). Adjacency is posexplode + window lead, not
-    * interpreted array lambdas.
+    * bigram key, and that shuffle carries PRE-AGGREGATED
+    * (doc, bigram, n) rows, not raw occurrences: a document repeating
+    * "of the" 500 times contributes one row of weight 500, so hot
+    * stopword transitions are bounded by distinct-docs-per-bigram (AQE
+    * skew-split covers the residual join skew — it is a join, not an
+    * agg). The per-doc score is the n-weighted mean, identical to the
+    * per-occurrence mean. The unigram vocabulary stays a broadcast;
+    * `maxVocab` caps it top-K with an OOV unigram-count floor of 1
+    * (see [[unigramLogProb]]); default uncapped. Adjacency is
+    * posexplode + window lead, not interpreted array lambdas.
     */
-  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
     val toks = docs.select(col(idCol),
         posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val bigrams = toks
+    val docBi = toks
       .withColumn("__next", lead(col("__term"), 1).over(byDoc))
       .filter(col("__next").isNotNull)
-      .select(col(idCol), col("__term").as("__w1"), col("__next").as("__w2"))
-    val uni = toks.groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
+      .groupBy(col(idCol), col("__term").as("__w1"), col("__next").as("__w2"))
+      .agg(count(lit(1)).as("__n"))
+    val uniAll = toks.groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
+    val uni =
+      if (maxVocab == Int.MaxValue) uniAll
+      else uniAll.orderBy(col("__c1").desc, col("__term")).limit(maxVocab)
     val vocabSize = uni.agg(count(lit(1)).as("__v"))
-    val bi = bigrams.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
-    bigrams
+    // Global bigram counts fold the per-doc partials — the corpus-wide
+    // table is a second, smaller aggregate over docBi, not a rescan.
+    val bi = docBi.groupBy(col("__w1"), col("__w2")).agg(sum(col("__n")).as("__c2"))
+    docBi
       .join(bi, Seq("__w1", "__w2"))
-      .join(broadcast(uni.withColumnRenamed("__term", "__w1")), Seq("__w1"))
+      .join(broadcast(uni.withColumnRenamed("__term", "__w1")), Seq("__w1"), "left")
       .crossJoin(broadcast(vocabSize))
       .groupBy(col(idCol))
-      .agg((sum(log((col("__c2") + 1).cast("double") / (col("__c1") + col("__v"))))
-        / count(lit(1))).as("mean_logprob"),
-        count(lit(1)).as("n_bigrams"))
+      .agg((sum(col("__n") * log((col("__c2") + 1).cast("double")
+          / (coalesce(col("__c1"), lit(1L)) + col("__v"))))
+        / sum(col("__n"))).as("mean_logprob"),
+        sum(col("__n")).as("n_bigrams"))
   }
 
   /** Gopher-style within-document repetition signals, the standard

@@ -36,13 +36,34 @@ object TokenBudget {
     * recipe. Rows with null group/weight/key are dropped (no rank).
     * `weightCol` must be integral (exact accumulation is the
     * determinism contract — float running sums are order-sensitive).
+    *
+    * The internal cache (the filtered+hashed input is read by the
+    * histogram, full-slice and crossing-slice passes) is released when
+    * the context cleaner garbage-collects the plan; long-lived
+    * sessions mixing large corpora repeatedly should use
+    * [[sampleManaged]] and call the cleanup handle after materializing
+    * the result.
     */
   def sample(
       df: DataFrame,
       keyCol: String,
       groupCol: String,
       weightCol: String,
-      budgets: Map[String, Long]): DataFrame = {
+      budgets: Map[String, Long]): DataFrame =
+    sampleManaged(df, keyCol, groupCol, weightCol, budgets)._1
+
+  /** As [[sample]], plus a cleanup thunk that unpersists the internal
+    * cache — call it once the result has been materialized.
+    * (Correctness never depends on the cache: the slice histogram is
+    * collected eagerly in this call, and both kept branches are
+    * deterministic — only the avoided recomputation is at stake.)
+    */
+  def sampleManaged(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      weightCol: String,
+      budgets: Map[String, Long]): (DataFrame, () => Unit) = {
     require(budgets.nonEmpty, "need at least one group budget")
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     df.schema(weightCol).dataType match {
@@ -51,7 +72,7 @@ object TokenBudget {
       case other => throw new IllegalArgumentException(
         s"weight column '$weightCol' must be integral for exact budgets, got $other")
     }
-    val reserved = Seq("__tb_h", "__tb_slice", "__tb_cum", "__tb_before")
+    val reserved = Seq("__tb_h", "__tb_slice", "__tb_cum", "__tb_before", "__tb_w")
     require(!df.columns.exists(reserved.contains),
       s"input reserves column name(s) ${reserved.mkString(", ")}")
     val spark = df.sparkSession
@@ -59,14 +80,17 @@ object TokenBudget {
     // Pinned: the slice histogram, the full-slice branch and the
     // crossing-slice branch all read the same filtered+hashed rows —
     // without the cache the source is scanned three times (the
-    // histogram collect below populates it). Released by the context
-    // cleaner when the plan is GC'd.
+    // histogram collect below populates it). The weight is widened to
+    // long ONCE here: sums and running sums then accumulate in long
+    // regardless of the declared integral width (min()/sum() preserve
+    // narrow input types otherwise).
     val inScope = df
       .filter(col(groupCol).isNotNull && col(weightCol).isNotNull && col(keyCol).isNotNull)
       .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
       .withColumn("__tb_h", md5(col(keyCol).cast("string")))
       .withColumn("__tb_slice",
         conv(substring(col("__tb_h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__tb_w", col(weightCol).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. driver-sized slice histogram: budgets.size × 256 cells max.
@@ -76,7 +100,7 @@ object TokenBudget {
     // dropped), and the guard costs no extra scan.
     val sliceRows = inScope
       .groupBy(col(groupCol), col("__tb_slice"))
-      .agg(sum(col(weightCol)).as("__tb_sum"), min(col(weightCol)).as("__tb_min"))
+      .agg(sum(col("__tb_w")).as("__tb_sum"), min(col("__tb_w")).as("__tb_min"))
       .collect()
     sliceRows.find(_.getLong(3) < 0).foreach { r =>
       throw new IllegalArgumentException(
@@ -121,11 +145,12 @@ object TokenBudget {
     val keptCross = inScope.join(crossDf,
         col(groupCol) === col(groupCol + "__tb_g") && col("__tb_slice") === col("__tb_slice_c"))
       .withColumn("__tb_cum",
-        col("__tb_before") + coalesce(sum(col(weightCol)).over(w), lit(0L)))
+        col("__tb_before") + coalesce(sum(col("__tb_w")).over(w), lit(0L)))
       .filter(col("__tb_cum") < budgetCol)
       .select(inScope.columns.map(col): _*)
 
-    keptFull.unionByName(keptCross)
+    val out = keptFull.unionByName(keptCross)
       .select(df.columns.map(col): _*)
+    (out, () => { inScope.unpersist(); () })
   }
 }

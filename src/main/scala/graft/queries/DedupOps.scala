@@ -284,17 +284,36 @@ object DedupOps {
   // for a materialized artifact (its eager parameter check would
   // otherwise run the build pipeline twice) without pinning cache
   // blocks for the session's lifetime.
+  // The cache holds the artifact's parquet PATH, not a DataFrame: a
+  // DataFrame is bound to the session that built it, so a second (or
+  // restarted) session in the same JVM would inherit a plan tied to a
+  // stopped session. Every caller re-reads the path with ITS session —
+  // the build still runs once per dataset dir per JVM. Temp dirs are
+  // removed by a JVM shutdown hook (deleteOnExit can't remove non-empty
+  // directories).
   private val artifactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-  private def artifactFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    artifactCache.computeIfAbsent(dir, { _ =>
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(root)) {
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    }))
+  private def artifactFor(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val path = artifactCache.computeIfAbsent(dir, { _ =>
       val corpus = Tables.load(s, dir, "documents").filter(col("source") =!= "src0")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_minhash_").resolve("artifact").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_minhash_")
+      deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("artifact").toString
       Dedup.minhashArtifact(corpus, "doc_id", "text", family = Md5Family)
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
+        .write.mode("overwrite").parquet(p)
+      p
     })
+    s.read.parquet(path)
+  }
   private val incrementalNear: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
     Dedup.incrementalNearDupMatches(

@@ -314,15 +314,18 @@ object TextOps {
       |    i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
       |  FROM d),
       |bigrams AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+      |docbi AS (
+      |  SELECT doc_id, w1, w2, count(*) AS n FROM bigrams GROUP BY doc_id, w1, w2),
       |uni AS (
       |  SELECT t AS w1, count(*) AS c1 FROM (SELECT unnest(ts) AS t FROM d) u
       |  GROUP BY t),
       |v AS (SELECT count(*) AS vs FROM uni),
-      |bi AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2)
+      |bi AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM docbi GROUP BY w1, w2)
       |SELECT doc_id,
-      |  round(sum(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vs))) / count(*), 4) AS mean_logprob,
-      |  count(*) AS n_bigrams
-      |FROM bigrams JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+      |  round(sum(n * ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vs))) / sum(n), 4)
+      |    AS mean_logprob,
+      |  CAST(sum(n) AS BIGINT) AS n_bigrams
+      |FROM docbi JOIN bi USING (w1, w2) JOIN uni USING (w1), v
       |GROUP BY doc_id""".stripMargin
 
   // Overlapping chunking (ops.TextRank.chunk): 500-char chunks with
