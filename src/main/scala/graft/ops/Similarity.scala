@@ -79,21 +79,30 @@ object Similarity {
   // --- IVF -----------------------------------------------------------
 
   /** Deterministic coarse centroids: the `nlist` corpus vectors with the
-    * smallest xxhash64(id) — a reproducible pseudo-random sample
-    * (driver-sized: nlist × dim doubles) — optionally refined with
-    * `refineSweeps` Lloyd (k-means) iterations: assign → per-cell
-    * per-dimension mean (posexplode + hash aggregate, fully
-    * distributed; only the nlist × dim means are collected). Cells that
-    * lose every member keep their previous centroid. Ingest-time cost,
-    * never per query.
+    * smallest `sampleHash(id)` (ties by id) — a reproducible
+    * pseudo-random sample (driver-sized: nlist × dim doubles) —
+    * optionally refined with `refineSweeps` Lloyd (k-means) iterations:
+    * assign → per-cell per-dimension mean (posexplode + hash aggregate,
+    * fully distributed; only the nlist × dim means are collected).
+    * Cells that lose every member keep their previous centroid.
+    * Ingest-time cost, never per query.
+    *
+    * `sampleHash` defaults to native xxhash64 (production). Pass
+    * [[md5SampleHash]] for an engine-portable sample: with
+    * `refineSweeps = 0` the centroids are then actual corpus vectors
+    * chosen by a hash any ANSI engine reproduces, so the whole
+    * assignment + probe pipeline is oracle-checkable (refinement means
+    * stay rows-only — float mean summation order differs across
+    * engines).
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, refineSweeps: Int = 0): Array[Array[Double]] = {
+      nlist: Int, refineSweeps: Int = 0,
+      sampleHash: Column => Column = xxhash64(_)): Array[Array[Double]] = {
     val c0 = corpusSide(corpus, idCol, vecCol)
     var cents: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("__v"),
-        xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h")).limit(nlist)
+        sampleHash(col(idCol)).as("__h"), col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(nlist)
       .select(col("__v")).collect()
       .map(r => r.getSeq[Double](0).toArray)
     (0 until refineSweeps).foreach { _ =>
@@ -110,6 +119,13 @@ object Similarity {
     }
     cents
   }
+
+  /** Engine-portable centroid-sample hash: 60 bits from the md5 of the
+    * stringified id — `('0x' || substr(md5(CAST(id AS VARCHAR)), 1,
+    * 15))::BIGINT` in DuckDB, byte-identical (the [[Md5Family]] trick).
+    */
+  def md5SampleHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** The `n` nearest centroid cell ids for a vector, best-first (exact
     * cosine against each centroid — nlist native dots per row).

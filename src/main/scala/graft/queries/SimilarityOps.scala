@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * exact baseline and is DuckDB-oracle-checked (list_cosine_similarity).
   * The LSH gates run with the SQL-exact coordinate sign-sketch bucket
   * family so they are oracle-checked end-to-end (the random-hyperplane
-  * production default keeps its score-equality/recall specs); IVF stays
-  * rows-only (k-means means are float-sum-order sensitive across
-  * engines) with ingest-vs-inline score-equality specs.
+  * production default keeps its score-equality/recall specs). IVF runs
+  * with md5-sampled UNREFINED centroids — actual corpus vectors chosen
+  * by an engine-portable hash — so assignment + probe + top-k are
+  * oracle-checked too; only Lloyd refinement (float means,
+  * sum-order-sensitive across engines) stays spec-covered in OpsSpec.
   *
   * IVF centroids + the cell-partitioned corpus are INGEST artifacts:
   * computed once per dataset directory and reused by every query
@@ -66,20 +68,34 @@ object SimilarityOps {
       |      FROM scored) t
       |WHERE rn <= 5""".stripMargin
 
-  /** Ingest artifact per dataset dir: (centroids, cell-partitioned corpus). */
+  /** Ingest artifact per dataset dir: (centroids, cell-partitioned
+    * corpus PATH). The path — not a DataFrame — is cached so a second
+    * session in the same JVM re-reads with ITS session instead of
+    * inheriting a plan bound to a stopped one (same rule as the
+    * minhash artifact cache in DedupOps).
+    *
+    * Centroids are the md5-sampled corpus vectors with NO float-mean
+    * refinement — actual stored vectors chosen by an engine-portable
+    * hash, so assignment + probe + top-k replay exactly in the DuckDB
+    * oracle. The Lloyd-refined production path (float means, rows-only)
+    * keeps its ingest-vs-inline and refinement specs in OpsSpec.
+    */
   private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Array[Double]], org.apache.spark.sql.DataFrame)]()
+    String, (Array[Array[Double]], String)]()
 
   private def ivfFor(s: org.apache.spark.sql.SparkSession, dir: String,
-      nlist: Int): (Array[Array[Double]], org.apache.spark.sql.DataFrame) =
-    ivfIndex.computeIfAbsent(s"$dir#$nlist", { _ =>
+      nlist: Int): (Array[Array[Double]], org.apache.spark.sql.DataFrame) = {
+    val (centroids, path) = ivfIndex.computeIfAbsent(s"$dir#$nlist", { _ =>
       val corpus = Tables.load(s, dir, "embeddings")
-      val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
-        nlist, refineSweeps = 1)
-      val path = java.nio.file.Files
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        nlist, refineSweeps = 0, sampleHash = Similarity.md5SampleHash)
+      val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_").resolve("corpus").toString
-      (centroids, Similarity.ivfIngest(corpus, "vec_id", "embedding", centroids, path))
+      Similarity.ivfIngest(corpus, "vec_id", "embedding", cents, p)
+      (cents, p)
     })
+    (centroids, s.read.parquet(path))
+  }
 
   private val ivf: Q = (s, dir) => {
     val (centroids, assigned) = ivfFor(s, dir, nlist = 16)
@@ -87,6 +103,45 @@ object SimilarityOps {
       queriesDf(s, dir), "vec_id", "embedding", k = 5, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"), round(col("cos_sim"), 5).as("cos_sim"))
   }
+
+  // DuckDB replay of the full IVF pipeline: md5-sampled centroids →
+  // nearest-cell assignment → nprobe probe → exact cosine top-k. The
+  // cosine is spelled dot/(norm·norm) — the same expression tree as
+  // Similarity.nearestCells/scorePairs — so orderings agree bit-for-bit.
+  private val ivfSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+      |  FROM (SELECT vec_id, v,
+      |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |        FROM e)
+      |  ORDER BY h, vec_id LIMIT 16),
+      |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cents),
+      |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnorm FROM e),
+      |assigned AS (
+      |  SELECT vec_id, v, vnorm, cell FROM (
+      |    SELECT en.vec_id, en.v, en.vnorm, cn.cell,
+      |      row_number() OVER (PARTITION BY en.vec_id
+      |        ORDER BY list_dot_product(en.v, cn.cv) / (en.vnorm * cn.cnorm) DESC,
+      |                 cn.cell) AS rn
+      |    FROM en CROSS JOIN cn) t WHERE rn = 1),
+      |qcells AS (
+      |  SELECT vec_id AS query_id, v AS qv, vnorm AS qnorm, cell FROM (
+      |    SELECT en.vec_id, en.v, en.vnorm, cn.cell,
+      |      row_number() OVER (PARTITION BY en.vec_id
+      |        ORDER BY list_dot_product(en.v, cn.cv) / (en.vnorm * cn.cnorm) DESC,
+      |                 cn.cell) AS rn
+      |    FROM en CROSS JOIN cn WHERE en.vec_id < 3) t WHERE rn <= 4),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS neighbor_id,
+      |    list_dot_product(a.v, q.qv) / (a.vnorm * q.qnorm) AS cs
+      |  FROM assigned a JOIN qcells q ON a.cell = q.cell
+      |  WHERE a.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, round(cs, 5) AS cos_sim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY cs DESC, neighbor_id) AS rn
+      |      FROM scored) t
+      |WHERE rn <= 5""".stripMargin
 
   // Filtered vector search (the RAG shape: metadata predicate + top-k).
   // The filter is applied BEFORE scoring — post-filtering a plain top-k
@@ -257,7 +312,7 @@ object SimilarityOps {
     Entry("ann_brute_topk", brute, Some(bruteSql)),
     Entry("ann_filtered_topk", filtered, Some(filteredSql)),
     Entry("ann_lsh_topk", lsh, Some(lshSql)),
-    Entry("ann_ivf_topk", ivf, None),
+    Entry("ann_ivf_topk", ivf, Some(ivfSql)),
     Entry("dedup_embedding_exact", nearDupExact, Some(nearDupExactSql)),
     Entry("dedup_embedding_lsh", nearDupLsh, Some(nearDupLshSql)),
   )
