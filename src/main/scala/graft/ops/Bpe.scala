@@ -55,9 +55,15 @@ object Bpe {
     out.toList
   }
 
+  /** Initial symbols are CODE POINTS, not UTF-16 units — an astral
+    * character (emoji, rare CJK) is one symbol, never a surrogate
+    * pair split across two (which no merge could ever rejoin, and
+    * which char-indexed SQL engines don't reproduce).
+    */
   private def toSymbols(word: String): List[String] = {
-    val chars = word.map(_.toString).toList
-    chars.init :+ (chars.last + EndOfWord)
+    val cps = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toList
+    cps.init :+ (cps.last + EndOfWord)
   }
 
   /** Learn up to `numMerges` merges from a driver-side word-frequency

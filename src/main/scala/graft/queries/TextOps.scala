@@ -590,6 +590,79 @@ object TextOps {
       .select(col("doc_id"), col("n_bpe"))
   }
 
+  // BPE ENCODE with a FIXED literal merge table — the inference half of
+  // the tokenizer, oracle-checked (training above stays rows-only: the
+  // merge loop is genuinely iterative). Both engines get the same
+  // 30-merge constant; DuckDB replays the greedy rank-ordered collapse
+  // with a recursive CTE over a boundary-safe symbol string: every
+  // symbol is wrapped in \x1f separators, so the pair pattern
+  // \x1f a \x1f\x1f b \x1f can only match whole adjacent symbols, and
+  // one leftmost-nonoverlapping replace() == one Bpe.mergePair pass.
+  // Output is (n_bpe, md5 of the space-joined token stream) — the
+  // fingerprint pins token identity and order, not just counts.
+  private val bpeEncodeMerges: Seq[(String, String)] = Seq(
+    ("e", "r</w>"), ("o", "w</w>"), ("o", "r"), ("l", "u"), ("i", "n"),
+    ("a", "r"), ("p", "ar"), ("e", "r"), ("a", "s"), ("t", "o"),
+    ("a", "t"), ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"),
+    ("c", "o"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("d", "ow</w>"), ("in", "dow</w>"), ("w", "indow</w>"),
+    ("d", "er</w>"), ("or", "der</w>"), ("or", "t</w>"), ("s", "ort</w>"),
+    ("par", "t</w>"), ("u", "p</w>"), ("a", "g"), ("ag", "g</w>"),
+    ("a", "lu"))
+
+  private val bpeEncode: Q = (s, dir) =>
+    graft.ops.Bpe.encode(Tables.load(s, dir, "documents"),
+        "doc_id", "text", bpeEncodeMerges)
+      .select(col("doc_id"), col("n_bpe"),
+        md5(concat_ws(" ", col("bpe_tokens"))).as("tok_fp"))
+
+  private val bpeEncodeSql = {
+    val values = bpeEncodeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+    s"""WITH RECURSIVE
+      |m(rank, a, b) AS (VALUES $values),
+      |mp AS (SELECT rank, chr(31)||a||chr(31)||chr(31)||b||chr(31) AS pat,
+      |              chr(31)||a||b||chr(31) AS rep FROM m),
+      |toks AS (
+      |  SELECT doc_id, pos, w FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+      |           unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+'))+1)) AS pos
+      |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '') u
+      |  WHERE w <> ''),
+      |words AS (SELECT DISTINCT w FROM toks),
+      |enc(w, state, iter) AS (
+      |  SELECT w,
+      |    list_aggregate(list_transform(range(1, length(w)+1),
+      |      i -> chr(31) || substr(w, CAST(i AS INTEGER), 1)
+      |        || CASE WHEN i = length(w) THEN '</w>' ELSE '' END || chr(31)),
+      |      'string_agg', '') AS state,
+      |    0 AS iter
+      |  FROM words
+      |  UNION ALL
+      |  SELECT w, replace(state, pat, rep) AS state, iter + 1
+      |  FROM (
+      |    SELECT e.w, e.state, e.iter, p.pat, p.rep,
+      |      row_number() OVER (PARTITION BY e.w ORDER BY p.rank) AS rn
+      |    FROM enc e JOIN mp p ON contains(e.state, p.pat)) t
+      |  WHERE rn = 1),
+      |final AS (
+      |  SELECT w, state FROM (
+      |    SELECT w, state, row_number() OVER (PARTITION BY w ORDER BY iter DESC) AS rn
+      |    FROM enc) t WHERE rn = 1),
+      |wtok AS (
+      |  SELECT w,
+      |    CAST((length(state) - length(replace(state, chr(31), ''))) / 2 AS BIGINT) AS nsym,
+      |    trim(replace(state, chr(31)||chr(31), ' '), chr(31)) AS toks_str
+      |  FROM final)
+      |SELECT d.doc_id,
+      |  coalesce(agg.n_bpe, 0) AS n_bpe,
+      |  md5(coalesce(agg.toks, '')) AS tok_fp
+      |FROM documents d LEFT JOIN (
+      |  SELECT t.doc_id, CAST(sum(wt.nsym) AS BIGINT) AS n_bpe,
+      |         string_agg(wt.toks_str, ' ' ORDER BY t.pos) AS toks
+      |  FROM toks t JOIN wtok wt USING (w) GROUP BY t.doc_id) agg USING (doc_id)""".stripMargin
+  }
+
   // Token-entropy quality signal (diversity / repetition): Shannon
   // entropy of the per-document token distribution in bits, via the
   // identity H = (ln n − Σ cnt·ln cnt / n) / ln 2 — integer counts
@@ -648,6 +721,7 @@ object TextOps {
     Entry("text_shuffle", shuffleQ, Some(shuffleSql)),
     Entry("text_quality_bins", qualityBins, Some(qualityBinsSql)),
     Entry("text_bpe", bpe, None),
+    Entry("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Entry("text_entropy", entropy, Some(entropySql)),
   )
 }
