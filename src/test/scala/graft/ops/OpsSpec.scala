@@ -392,6 +392,16 @@ class OpsSpec extends SparkSpec {
     assert(cc2.values.toSet == Set(1L) && cc2.size == 12)
   }
 
+  test("connected components keeps Long ids distinct above 2^53") {
+    // 2^53 and 2^53+1 collapse to the same double: a doubleValue()
+    // comparator judges them equal, drops the (a < b) edge, and the
+    // cluster silently vanishes. Long compare must keep it.
+    val big = 9007199254740992L // 2^53
+    val pairs = Seq((big, big + 1), (10L, big)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc == Map(10L -> 10L, big -> 10L, (big + 1) -> 10L))
+  }
+
   test("hash sampling is deterministic, fraction-accurate, and splits are disjoint") {
     val df = (0 until 5000).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "text")
     val a = Sampling.hashSample(df, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet

@@ -196,6 +196,81 @@ class VolumeStressSpec extends SparkSpec {
     }
   }
 
+  test("token budget at 1M rows in ONE group: exact cut, window sees only the crossing slice") {
+    // The naive plan funnels the whole group through one cumulative-sum
+    // window task (1M rows). The sliced plan must keep every task at
+    // ~1/256 of the group: full slices pass with no window at all, and
+    // the single crossing slice's window task reads ~4k rows.
+    val docs = spark.range(0, 1000000)
+      .select(col("id"), lit("g").as("src"), lit(10L).as("toks"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val (out, cleanup) = TokenBudget.sampleManaged(
+        docs, "id", "src", "toks", Map("g" -> 5000000L))
+      var n = -1L
+      val maxTask = maxTaskShuffleRead { n = out.count() }
+      cleanup()
+      // kept iff tokens BEFORE the row < budget: exactly 500k rows of 10.
+      assert(n == 500000L, s"exact budget cut, got $n")
+      // One slice is ~3.9k rows; the histogram aggregate and the
+      // crossing-slice window are the only shuffles. Far below the 1M
+      // a whole-group window task would read.
+      assert(maxTask <= 100000L,
+        s"window must see only the crossing slice, max task read $maxTask")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("model-based quality filter at 1M docs: broadcast scoring, exact logits") {
+    // 1M docs × 6 tokens against a broadcast weight table — the per-doc
+    // shuffle carries one long each; logits are exact integers.
+    val docs = spark.range(0, 1000000).select(col("id"),
+      concat(lit("the quick word"),
+        when(col("id") % 2 === 0, lit(" lorem lorem")).otherwise(lit(" and and"))).as("text"))
+    val scored = QualityModel.scoreLinear(docs, "id", "text",
+      Map("the" -> 400L, "and" -> 300L, "lorem" -> -800L), milliBias = -700L)
+    val byLogit = scored.groupBy("milli_logit").count().as[(Long, Long)].collect().toMap
+    // even ids: -700 + 400 - 1600 = -1900; odd: -700 + 400 + 600 = 300
+    assert(byLogit == Map(-1900L -> 500000L, 300L -> 500000L))
+    assert(scored.filter(col("kept")).count() == 500000L)
+  }
+
+  test("bigram LM with a dominant transition: scoring shuffle carries doc-collapsed counts") {
+    // 20k docs, each repeating the same hot transition 50 times: raw
+    // occurrences put ~1M rows of ONE (w1,w2) key through the scoring
+    // join's hot task; the per-doc pre-aggregation must collapse them
+    // to one row per document (~20k) so no task reads occurrence-scale
+    // rows.
+    val docs = spark.range(0, 20000).select(col("id"),
+      concat(lit(("of the " * 50).trim), lit(" tail"), pmod(col("id"), lit(1000))).as("text"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      var rows: Array[(Long, Long)] = null
+      val maxTask = maxTaskShuffleRead {
+        rows = TextRank.bigramLogProb(docs, "id", "text")
+          .select(col("id"), col("n_bigrams")).as[(Long, Long)].collect()
+      }
+      assert(rows.length == 20000)
+      // 101 tokens per doc -> 100 adjacent pairs each.
+      assert(rows.forall(_._2 == 100L), "every doc scores all 100 transitions")
+      // The occurrence-level formulation reads ~1M rows (20k docs × 50
+      // repeats) in the hot join task; doc-collapsed stays well under.
+      assert(maxTask <= 300000L,
+        s"hot-transition task must stay doc-bounded, read $maxTask")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))

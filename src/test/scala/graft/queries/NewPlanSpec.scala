@@ -76,6 +76,38 @@ class NewPlanSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM plan: scoring join streams doc-collapsed counts, vocab broadcasts") {
+    withoutAqe {
+      val docs = (0 until 50).map(i => (i.toLong, s"the quick fox $i jumps")).toDF("id", "text")
+      val plan = graft.ops.TextRank.bigramLogProb(docs, "id", "text")
+        .queryExecution.executedPlan.toString
+      // The (w1, w2) scoring join must consume the per-doc aggregate —
+      // a HashAggregate keyed by (id, __w1, __w2) — not raw occurrence
+      // rows: that collapse is what bounds a hot stopword transition at
+      // 100 TB (AQE skew-split then covers the residual join skew).
+      val aggKeyed = plan.split("\n").exists(l =>
+        l.contains("HashAggregate") && l.contains("__w1") && l.contains("__w2")
+          && l.contains("keys=") && l.contains("id"))
+      assert(aggKeyed, s"expected a (id, __w1, __w2)-keyed aggregate below the join:\n$plan")
+      // unigram vocabulary rides a broadcast, never the big shuffle
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+
+  test("skew-salted join plan: salt widens the shuffle key; replicas broadcast") {
+    withoutAqe {
+      val left = spark.range(0, 1000).select(lit(1L).as("k"), col("id").as("v"))
+      val right = Seq((1L, "x")).toDF("rk", "rv")
+      val plan = graft.ops.SkewJoin.saltedJoin(left, right, "k", "rk", saltBuckets = 8)
+        .queryExecution.executedPlan.toString
+      // the physical join key must include the salt column — that IS
+      // the mechanism that spreads one hot key over 8 partitions
+      assert(plan.contains("__salt"), plan)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("hashpartitioning"),
+        plan)
+    }
+  }
+
   test("native vec_dot keeps brute-force scoring inside WholeStageCodegen") {
     val df = vecs(200)
     val q = df.filter($"vec_id" < 2)
