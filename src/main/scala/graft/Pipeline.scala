@@ -20,7 +20,8 @@ final case class Pipeline(
     strategies: Seq[Strategy],
     library: BiDictLibrary,
     assembler: AssemblerConfig,
-    hgvs: graft.ontology.HgvsResolver = graft.ontology.HgvsResolver.empty) {
+    hgvs: graft.ontology.HgvsResolver = graft.ontology.HgvsResolver.empty,
+    resolver: Option[graft.ontology.TermResolver] = None) {
 
   def transform(tables: Seq[Cdf]): Dataset[Phenopacket] = {
     val preprocessed = tables.map(Preprocessor.process)
@@ -28,7 +29,7 @@ final case class Pipeline(
       if (strategy.isValid(ts)) strategy.transform(ts) else ts
     }
     val facts = Facts.extractAll(transformed)
-    Assembler.assemble(facts, library, assembler, hgvs)
+    Assembler.assemble(facts, library, assembler, hgvs, resolver)
   }
 
   def run(tables: Seq[Cdf], outDir: String): Unit =

@@ -1,6 +1,6 @@
 package graft.collect
 
-import graft.ontology.{BiDictLibrary, HgvsResolver, OntologyClass, Resource}
+import graft.ontology.{BiDictLibrary, HgvsResolver, OntologyClass, Resource, TermResolver}
 import org.apache.spark.sql.Dataset
 
 import scala.collection.mutable
@@ -26,13 +26,18 @@ object Assembler {
 
   def assemble(facts: Dataset[Fact], library: BiDictLibrary,
       config: AssemblerConfig,
-      hgvs: HgvsResolver = HgvsResolver.empty): Dataset[Phenopacket] = {
+      hgvs: HgvsResolver = HgvsResolver.empty,
+      resolver: Option[TermResolver] = None): Dataset[Phenopacket] = {
     val spark = facts.sparkSession
     import spark.implicits._
+    // Resolution goes through the TermResolver seam: offline broadcast
+    // dictionaries by default; a config-gated live resolver (cached +
+    // rate-limited per executor) may wrap them — see TermResolver.
+    val r = resolver.getOrElse(TermResolver.offline(library))
     facts
       .groupByKey(_.subject)
       .mapGroups { (subject, it) =>
-        assembleOne(subject, it.toSeq, library, config, hgvs)
+        assembleOne(subject, it.toSeq, library, config, hgvs, Some(r))
       }
   }
 
@@ -47,7 +52,9 @@ object Assembler {
     */
   def assembleOne(subject: String, factsUnsorted: Seq[Fact],
       library: BiDictLibrary, config: AssemblerConfig,
-      hgvs: HgvsResolver = HgvsResolver.empty): Phenopacket = {
+      hgvs: HgvsResolver = HgvsResolver.empty,
+      termResolver: Option[TermResolver] = None): Phenopacket = {
+    val resolverImpl = termResolver.getOrElse(TermResolver.offline(library))
     val facts = factsUnsorted.sortBy(f => (f.src, f.idx, f.seq))
     val packetId = s"${config.cohort}-$subject"
     val resources = mutable.LinkedHashMap.empty[String, Resource]
@@ -55,9 +62,10 @@ object Assembler {
     // --- B3/B4: scoped term resolution with resource provenance -------
     // The reference wires a SEPARATE dictionary library per value class
     // (transform_context.rs: hpo/disease/assay/unit/qualitative/gene);
-    // `scope` selects the same class here.
+    // `scope` selects the same class here — through the TermResolver
+    // seam (offline dictionaries unless config opted into a live stack).
     def resolve(scope: String, value: String): OntoClass = {
-      val (oc, res) = library.resolveInOrThrow(scope, value)
+      val (oc, res) = resolverImpl.resolveInOrThrow(scope, value)
       resources.getOrElseUpdate(res.id, res)
       OntoClass(oc.id, oc.label)
     }
@@ -67,7 +75,7 @@ object Assembler {
     // Assay/unit CURIEs may live outside the loaded dictionaries
     // (e.g. LOINC without a LOINC dump): fall back to id-as-label.
     def resolveLenient(scope: String, value: String): OntoClass =
-      library.resolveIn(scope, value) match {
+      resolverImpl.resolveIn(scope, value) match {
         case Some((oc, res)) =>
           resources.getOrElseUpdate(res.id, res)
           OntoClass(oc.id, oc.label)

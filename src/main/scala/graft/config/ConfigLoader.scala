@@ -46,7 +46,19 @@ object ConfigLoader {
       strategies: Seq[StrategySpec],
       loader: Option[LoaderConfig],
       metaData: MetaDataConfig,
-      hgvsCache: Option[String])
+      hgvsCache: Option[String],
+      resolver: Option[ResolverConfig] = None)
+
+  /** `pipeline.resolver` block — the config gate for a live term
+    * resolver (default absent = offline dictionaries only):
+    * `class` names a [[graft.ontology.TermResolver]] implementation;
+    * `cache_size` / `rate_limit_per_sec` size its per-executor cache
+    * and token bucket.
+    */
+  final case class ResolverConfig(
+      className: String,
+      cacheSize: Int = 100000,
+      ratePerSec: Option[Double] = None)
 
   def load(path: String): GraftConfig = {
     val raw = Files.readString(Paths.get(path))
@@ -156,7 +168,13 @@ object ConfigLoader {
         cohortName = md.flatMap(m => text(m, "cohort_name")).getOrElse("cohort"),
         resources = resources,
         scopes = scopes),
-      hgvsCache = text(pipeline, "hgvs_cache").map(resolvePath(baseDir, _)))
+      hgvsCache = text(pipeline, "hgvs_cache").map(resolvePath(baseDir, _)),
+      resolver = Option(pipeline.get("resolver")).map { r =>
+        ResolverConfig(
+          className = req(r, "class"),
+          cacheSize = Option(r.get("cache_size")).map(_.asInt(100000)).getOrElse(100000),
+          ratePerSec = Option(r.get("rate_limit_per_sec")).map(_.asDouble()))
+      })
   }
 
   private def resource(n: JsonNode): ResourceConfig = ResourceConfig(

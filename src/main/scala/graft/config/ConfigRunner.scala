@@ -39,7 +39,8 @@ object ConfigRunner {
         created = java.time.Instant.now().toString.replaceAll("\\.\\d+Z$", "Z"),
         createdBy = cfg.metaData.createdBy,
         submittedBy = cfg.metaData.submittedBy.getOrElse("")),
-      hgvs = hgvs)
+      hgvs = hgvs,
+      resolver = buildResolver(cfg, library))
     val out = cfg.loader.getOrElse(
       throw new IllegalArgumentException("config has no file_system loader"))
     graft.load.FileSystemLoader.load(pipeline.transform(tables), out.outputDir, out.createDir)
@@ -67,6 +68,21 @@ object ConfigRunner {
         }
       },
       cfg.metaData.scopes)
+
+  /** The `pipeline.resolver` opt-in (absent = offline dictionaries,
+    * the deterministic default): reflectively load the named
+    * [[graft.ontology.TermResolver]] and stack it offline-first behind
+    * a per-executor cache and optional rate limit — the reference's
+    * cached + rate-limited client shape (bioportal_client.rs:53-99)
+    * without any network code of our own.
+    */
+  def buildResolver(cfg: ConfigLoader.GraftConfig,
+      library: BiDictLibrary): Option[graft.ontology.TermResolver] =
+    cfg.resolver.map { r =>
+      graft.ontology.TermResolver.wrapped(
+        graft.ontology.TermResolver.custom(r.className, library),
+        offline = library, cacheSize = r.cacheSize, ratePerSec = r.ratePerSec)
+    }
 
   /** `id,label,synonyms` CSV; synonyms `|`-separated. */
   def loadTerms(path: String): Seq[(String, String, Seq[String])] = {

@@ -224,6 +224,30 @@ class ConfigSpec extends SparkSpec {
     assert(fromRon.loader == fromYaml.loader)
   }
 
+  test("pipeline.resolver block gates a reflective live-resolver stack") {
+    val dir = Files.createTempDirectory("graftcfg")
+    val cfgPath = write(dir, "r.yaml",
+      """data_sources: []
+        |pipeline:
+        |  strategies: []
+        |  resolver:
+        |    class: "graft.ontology.StubRemoteResolver"
+        |    cache_size: 64
+        |    rate_limit_per_sec: 1000
+        |  meta_data:
+        |    cohort_name: "c1"
+        |""".stripMargin)
+    val cfg = ConfigLoader.load(cfgPath)
+    assert(cfg.resolver == Some(ConfigLoader.ResolverConfig(
+      "graft.ontology.StubRemoteResolver", 64, Some(1000.0))))
+    val stack = ConfigRunner.buildResolver(cfg, ConfigRunner.buildLibrary(cfg)).get
+    assert(stack.resolveIn("hpo", "remote-only term").map(_._1.id) == Some("RT:1"))
+    // no resolver block → offline default (None: assembly builds it)
+    val plain = write(dir, "p.yaml",
+      "data_sources: []\npipeline:\n  strategies: []\n  meta_data:\n    cohort_name: \"c\"\n")
+    assert(ConfigLoader.load(plain).resolver.isEmpty)
+  }
+
   test("parameterized quantitative context decodes") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
       new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
