@@ -166,19 +166,24 @@ object TextRank {
         posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val docBi = toks
+    val occ = toks
       .withColumn("__next", lead(col("__term"), 1).over(byDoc))
       .filter(col("__next").isNotNull)
-      .groupBy(col(idCol), col("__term").as("__w1"), col("__next").as("__w2"))
+      .select(col(idCol), col("__term").as("__w1"), col("__next").as("__w2"))
+    // Shuffle-free on top of the window: the id partitioning already
+    // clusters every (id, w1, w2) group.
+    val docBi = occ.groupBy(col(idCol), col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__n"))
     val uniAll = toks.groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
     val uni =
       if (maxVocab == Int.MaxValue) uniAll
       else uniAll.orderBy(col("__c1").desc, col("__term")).limit(maxVocab)
     val vocabSize = uni.agg(count(lit(1)).as("__v"))
-    // Global bigram counts fold the per-doc partials — the corpus-wide
-    // table is a second, smaller aggregate over docBi, not a rescan.
-    val bi = docBi.groupBy(col("__w1"), col("__w2")).agg(sum(col("__n")).as("__c2"))
+    // Corpus-wide bigram counts straight off the occurrence stream
+    // (map-side combined) — not a second aggregate stacked on docBi,
+    // which would run the tokenize+window pipeline with an extra
+    // hash-aggregate pass on its second evaluation.
+    val bi = occ.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
     docBi
       .join(bi, Seq("__w1", "__w2"))
       .join(broadcast(uni.withColumnRenamed("__term", "__w1")), Seq("__w1"), "left")
