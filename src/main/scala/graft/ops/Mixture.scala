@@ -65,4 +65,60 @@ object Mixture {
           < col("__cut"))
       .drop("__w", "__cut")
   }
+
+  /** Temperature-rescaled corpus balancing — the UniMax/multilingual
+    * move: upsample small groups toward the largest one, capped at
+    * `maxEpochs` repeats so a tiny group is never replicated without
+    * bound (UniMax's epoch cap). Each group's weight is
+    *
+    *   w_g = min((n_max / n_g)^alpha, maxEpochs)
+    *
+    * — `alpha = 0` leaves the natural distribution, `alpha = 1` fully
+    * equalizes group volumes (up to the cap), `alpha = 0.5` is the
+    * square-root temperature most multilingual recipes use. The
+    * resulting composition is p_g ∝ n_g^(1-alpha) — exactly
+    * temperature sampling with τ = 1/(1-alpha), materialized
+    * deterministically by [[mixCorpora]]'s epoch fan-out + md5 draw.
+    *
+    * Group sizes come from one tiny aggregate (groups are a bounded
+    * vocabulary — languages, sources; guarded by `maxGroups`); the mix
+    * itself stays a shuffle-free row-local filter.
+    *
+    * EXACTNESS: n_max/n_g is an exact-int double division and
+    * `alpha = 0.5` uses `sqrt` (correctly rounded IEEE), so for the
+    * common alphas {0, 0.5, 1} the weights — and therefore every md5
+    * cut — are bit-identical on any engine: the whole op is
+    * oracle-checkable. Other alphas go through `pow`, whose last ulp
+    * is libm-specific; fine for production, not for cross-engine
+    * hash equality.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      alpha: Double = 0.5,
+      maxEpochs: Double = 4.0,
+      maxGroups: Int = 10000): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(maxEpochs >= 1.0, "maxEpochs must be >= 1")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= maxGroups,
+      s"${counts.length} groups exceed maxGroups=$maxGroups — temperature mixing " +
+        "expects a bounded group vocabulary (languages, sources)")
+    if (counts.isEmpty) return mixCorpora(df, keyCol, groupCol, Map("" -> 0.0))
+    val nMax = counts.map(_._2).max
+    def ratioPow(r: Double): Double = alpha match {
+      case 0.0 => 1.0
+      case 1.0 => r
+      case 0.5 => math.sqrt(r) // correctly rounded — engine-portable
+      case a   => math.pow(r, a)
+    }
+    val weights = counts.map { case (g, n) =>
+      g -> math.min(ratioPow(nMax.toDouble / n.toDouble), maxEpochs)
+    }.toMap
+    mixCorpora(df, keyCol, groupCol, weights, defaultWeight = 0.0)
+  }
 }

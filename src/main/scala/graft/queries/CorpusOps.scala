@@ -70,8 +70,91 @@ object CorpusOps {
        |SELECT doc_id, source, n_chars FROM c WHERE before < budget""".stripMargin
   }
 
+  // Gopher quality-rule battery (ops.GopherRules): every threshold is
+  // integer cross-multiplied, so the keep decision and each per-rule
+  // flag hash-match across engines. Thresholds tuned to the synthetic
+  // corpus so both outcomes occur (word counts span 10–99; only "the"
+  // from the stop set exists in the vocabulary → minStopwords = 1).
+  private val gopherT = graft.ops.GopherRules.Thresholds(
+    minWords = 30, maxWords = 80, minStopwords = 1)
+
+  private val gopher: Q = (s, dir) =>
+    graft.ops.GopherRules.audit(
+      Tables.load(s, dir, "documents"), "doc_id", "text", gopherT)
+
+  private val gopherSql = {
+    val stops = graft.ops.GopherRules.Stopwords
+      .map(sw => s"CASE WHEN list_contains(lw, '$sw') THEN 1 ELSE 0 END")
+      .mkString("\n       |        + ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws,
+       |    CAST(coalesce(len(text) - len(replace(text, '#', '')), 0) AS BIGINT)
+       |      + CAST(coalesce((len(text) - len(replace(text, '...', ''))) / 3, 0) AS BIGINT)
+       |      AS symbol_hits
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, symbol_hits,
+       |    CAST(coalesce(len(ws), 0) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_aggregate(list_transform(ws, w -> len(w)), 'sum'), 0)
+       |         AS BIGINT) AS char_sum,
+       |    CAST(coalesce(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))), 0)
+       |         AS BIGINT) AS alpha_words,
+       |    CAST($stops AS BIGINT) AS stop_hits
+       |  FROM (SELECT doc_id, ws, symbol_hits,
+       |          list_transform(ws, w -> lower(w)) AS lw FROM s) t),
+       |f AS (
+       |  SELECT *,
+       |    n_words >= ${gopherT.minWords} AND n_words <= ${gopherT.maxWords} AS ok_words,
+       |    n_words > 0 AND char_sum >= ${gopherT.minMeanWordLen} * n_words
+       |      AND char_sum <= ${gopherT.maxMeanWordLen} * n_words AS ok_mean_len,
+       |    symbol_hits * ${gopherT.maxSymbolWordRatio._2} <=
+       |      n_words * ${gopherT.maxSymbolWordRatio._1} AS ok_symbol,
+       |    n_words > 0 AND alpha_words * ${gopherT.minAlphaWordFrac._2} >=
+       |      n_words * ${gopherT.minAlphaWordFrac._1} AS ok_alpha,
+       |    stop_hits >= ${gopherT.minStopwords} AS ok_stop
+       |  FROM m)
+       |SELECT doc_id, n_words, char_sum,
+       |  CASE WHEN n_words > 0
+       |       THEN round(CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+       |  END AS mean_word_len,
+       |  stop_hits, alpha_words, symbol_hits,
+       |  ok_words, ok_mean_len, ok_symbol, ok_alpha, ok_stop,
+       |  ok_words AND ok_mean_len AND ok_symbol AND ok_alpha AND ok_stop AS keep
+       |FROM f""".stripMargin
+  }
+
+  // Temperature-rescaled language balancing (ops.Mixture.temperatureMix):
+  // alpha = 0.5 (sqrt — correctly rounded IEEE, so every weight and md5
+  // cut is bit-identical cross-engine), epoch cap 4. The oracle
+  // recomputes the weights from the same counts with the same exact
+  // operations and replays mixCorpora's epoch fan-out + md5 draw.
+  private val tempMix: Q = (s, dir) =>
+    graft.ops.Mixture.temperatureMix(
+      Tables.load(s, dir, "documents").select("doc_id", "lang"),
+      keyCol = "doc_id", groupCol = "lang", alpha = 0.5, maxEpochs = 4.0)
+      .select(col("doc_id"), col("lang"), col("epoch"))
+
+  private val tempMixSql =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents
+      |           WHERE lang IS NOT NULL GROUP BY lang),
+      |mx AS (SELECT max(n) AS nmax FROM c),
+      |w AS (SELECT lang,
+      |        least(sqrt(CAST(nmax AS DOUBLE) / CAST(n AS DOUBLE)), 4.0) AS wt
+      |      FROM c, mx),
+      |g AS (
+      |  SELECT d.doc_id, d.lang,
+      |    CAST(floor(wt) AS BIGINT) AS fw,
+      |    printf('%08x', CAST(floor((wt - floor(wt)) * 4294967296.0) AS BIGINT)) AS cut
+      |  FROM documents d JOIN w USING (lang)),
+      |e AS (SELECT doc_id, lang, fw, cut, unnest(range(0, fw + 1)) AS epoch FROM g)
+      |SELECT doc_id, lang, epoch FROM e
+      |WHERE epoch < fw OR md5(doc_id || ':' || epoch) < cut""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_quality_model", qualityModel, Some(qualityModelSql)),
     Entry("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    Entry("text_gopher_rules", gopher, Some(gopherSql)),
+    Entry("text_temperature_mix", tempMix, Some(tempMixSql)),
   )
 }

@@ -51,6 +51,34 @@ class MixtureSpec extends SparkSpec {
     assert(bySrc == Map("up" -> 200L, "keep" -> 100L))
   }
 
+  test("temperature mix: alpha=1 equalizes group volumes, alpha=0 is identity") {
+    val d = docs(400, "big").union(docs(100, "small"))
+    // alpha=1: small gets weight 400/100 = 4.0 → exactly 4 full epochs
+    val eq = Mixture.temperatureMix(d, "id", "src", alpha = 1.0, maxEpochs = 8.0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(eq == Map("big" -> 400L, "small" -> 400L))
+    // alpha=0: every weight is 1.0 — the natural distribution, epoch 0 only
+    val nat = Mixture.temperatureMix(d, "id", "src", alpha = 0.0)
+    assert(nat.groupBy("src").count().as[(String, Long)].collect().toMap
+      == Map("big" -> 400L, "small" -> 100L))
+    assert(nat.select("epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("temperature mix: sqrt alpha lands between natural and equal; cap binds") {
+    val d = docs(900, "big").union(docs(100, "small")).union(docs(4, "tiny"))
+    val out = Mixture.temperatureMix(d, "id", "src", alpha = 0.5, maxEpochs = 2.0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(out("big") == 900L)
+    // sqrt(900/100) = 3.0, capped at 2.0 → exactly 2 epochs of small
+    assert(out("small") == 200L)
+    // sqrt(900/4) = 15, capped at 2.0 → 8 rows
+    assert(out("tiny") == 8L)
+    // null groups are dropped, and a group bound guard exists
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureMix(d, "id", "src", maxGroups = 2)
+    }
+  }
+
   test("rejects negative weights and reserved columns") {
     intercept[IllegalArgumentException] {
       Mixture.mixCorpora(docs(1, "a"), "id", "src", Map("a" -> -0.1))
