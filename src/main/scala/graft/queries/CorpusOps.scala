@@ -151,10 +151,49 @@ object CorpusOps {
       |SELECT doc_id, lang, epoch FROM e
       |WHERE epoch < fw OR md5(doc_id || ':' || epoch) < cut""".stripMargin
 
+  // C4 line-level cleaning (ops.C4Rules): the synthetic corpus has no
+  // newlines or punctuation, so the harness tunes the structural knobs
+  // (the word "line" separates lines; letter suffixes stand in for
+  // terminal punctuation; "vector"/"dup" stand in for the blocklists)
+  // — the rule machinery and the rewrite are exactly C4's. The spec
+  // covers the published defaults on real newline/punctuation text.
+  private val c4Conf = graft.ops.C4Rules.Rules(
+    lineSep = "line", joinSep = "|",
+    terminalMarkers = Seq("e", "t", "a"), minLineWords = 2,
+    lineBlocklist = Seq("vector"), docBlocklist = Seq("dup"),
+    minKeptLines = 2)
+
+  private val c4: Q = (s, dir) =>
+    graft.ops.C4Rules.audit(
+      Tables.load(s, dir, "documents"), "doc_id", "text", c4Conf)
+
+  private val c4Sql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split_regex(text, 'line'),
+      |                               l -> trim(l)), l -> l <> '') AS lines,
+      |    coalesce(contains(lower(text), 'dup'), false) AS has_doc_block
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, has_doc_block,
+      |    CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines,
+      |    list_filter(lines, l ->
+      |      (ends_with(l, 'e') OR ends_with(l, 't') OR ends_with(l, 'a'))
+      |      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 2
+      |      AND NOT contains(lower(l), 'vector')) AS kept
+      |  FROM s)
+      |SELECT doc_id, n_lines,
+      |  CAST(coalesce(len(kept), 0) AS BIGINT) AS kept_lines,
+      |  has_doc_block,
+      |  coalesce(len(kept), 0) >= 2 AND NOT has_doc_block AS keep,
+      |  array_to_string(kept, '|') AS clean_text
+      |FROM k""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_quality_model", qualityModel, Some(qualityModelSql)),
     Entry("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Entry("text_gopher_rules", gopher, Some(gopherSql)),
     Entry("text_temperature_mix", tempMix, Some(tempMixSql)),
+    Entry("text_c4_rules", c4, Some(c4Sql)),
   )
 }
