@@ -189,11 +189,55 @@ object CorpusOps {
       |  array_to_string(kept, '|') AS clean_text
       |FROM k""".stripMargin
 
+  // DSIR importance selection (ops.Dsir): hashed unigram+bigram
+  // features over 64 buckets, literal milli-nat bucket weights (the
+  // fitted-weights path is spec-tested — weights are a model artifact
+  // here, like the BPE merge table), deterministic top-k. The SQL is
+  // GENERATED from the same map, so both engines score identically.
+  private val dsirBuckets = 64
+  private val dsirWeights: Map[Int, Long] =
+    (0 until dsirBuckets).map(b => b -> ((b % 7) - 3) * 250L)
+      .filter(_._2 != 0L).toMap
+  private val dsirK = 60
+
+  private val dsir: Q = (s, dir) =>
+    graft.ops.Dsir.resampleTopK(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      dsirWeights, dsirBuckets, dsirK)
+
+  private val dsirSql = {
+    val values = dsirWeights.toSeq.sorted
+      .map { case (b, mw) => s"($b, ${mw}::BIGINT)" }.mkString(", ")
+    s"""WITH w(b, mw) AS (VALUES $values),
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_concat(ts, list_transform(range(1, len(ts)),
+       |                                   i -> ts[i] || ' ' || ts[i+1])) AS terms
+       |  FROM t),
+       |occ AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(u.term), 1, 15))::BIGINT % $dsirBuckets AS INT) AS b
+       |  FROM f, unnest(f.terms) AS u(term)),
+       |s AS (
+       |  SELECT occ.doc_id, sum(w.mw) AS sw FROM occ JOIN w USING (b)
+       |  GROUP BY occ.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(s.sw, 0) AS BIGINT) AS milli_weight
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY milli_weight DESC, md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+       |LIMIT $dsirK""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("text_quality_model", qualityModel, Some(qualityModelSql)),
     Entry("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Entry("text_gopher_rules", gopher, Some(gopherSql)),
     Entry("text_temperature_mix", tempMix, Some(tempMixSql)),
     Entry("text_c4_rules", c4, Some(c4Sql)),
+    Entry("text_dsir_topk", dsir, Some(dsirSql)),
   )
 }
