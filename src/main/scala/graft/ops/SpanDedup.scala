@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring deduplication (the Lee et al. 2022 "Deduplicating
+  * Training Data Makes Language Models Better" operation, re-expressed
+  * over token n-grams): find runs of tokens that appear verbatim in
+  * MORE THAN ONE document and cut every occurrence out of every
+  * document — boilerplate headers, license blocks, templated
+  * navigation text — leaving the surrounding prose in place. This is
+  * span surgery WITHIN documents; whole-document near-dup removal is
+  * [[Dedup]]'s job.
+  *
+  * Semantics (token space, whitespace tokenization):
+  *  - a length-`n` token gram is DUPLICATED if it occurs in at least
+  *    `minDocs` distinct documents (within-document repeats alone
+  *    don't qualify — those are [[graft.ops.TextRank.repetitionSignals]]);
+  *  - a token is COVERED if any duplicated gram's window contains it;
+  *  - the rewrite drops covered tokens and rejoins the survivors with
+  *    single spaces (token-space surgery normalizes whitespace — the
+  *    reference operation works on raw bytes with a suffix array; the
+  *    Spark-native shape trades byte offsets for dataframe-expressible
+  *    windows at identical token-level semantics). A document whose
+  *    every token is covered rewrites to null, not "".
+  *
+  * Scale shape — no suffix array, no driver state, four bounded
+  * shuffles:
+  *  1. doc-keyed: posexplode + window lead builds positioned grams;
+  *  2. gram-keyed: distinct (gram, doc) pairs then a map-side-combined
+  *     count — gram keys are md5 digests (32 hex chars), so the
+  *     shuffle never carries raw n-gram text and equality is exact
+  *     (full 128-bit digest, both engines compute the same md5);
+  *  3. gram-keyed semi-join marking duplicated gram STARTS (hash
+  *     column only crosses the wire; hot boilerplate grams are
+  *     AQE-skew-split join keys, not agg hot spots);
+  *  4. doc-keyed: coverage window (`rows between n-1 preceding and
+  *     current`) + one groupBy rebuilding the text.
+  * Driver holds nothing; every intermediate is corpus-distributed.
+  */
+object SpanDedup {
+
+  /** (id, __pos, __tok) 0-based positioned token stream (blank/null
+    * text yields no rows).
+    */
+  def tokenStream(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+
+  /** Positioned gram hashes: (id, __pos, __gh) for every start
+    * position with a full n-token window (`__gh` = md5 of the
+    * space-joined gram).
+    */
+  def gramStarts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    // concat null-propagates: start positions whose window runs off the
+    // end of the document produce a null gram and are dropped.
+    val gram = (1 until n).foldLeft(col("__tok")) { case (acc, i) =>
+      concat(acc, lit(" "), lead(col("__tok"), i).over(byDoc))
+    }
+    tokenStream(df, idCol, textCol)
+      .select(col(idCol), col("__pos"), md5(gram).as("__gh"))
+      .filter(col("__gh").isNotNull)
+  }
+
+  /** Gram hashes occurring in ≥ `minDocs` distinct documents. */
+  def duplicatedGrams(starts: DataFrame, idCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    starts.select(col("__gh"), col(idCol)).distinct()
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__gh"))
+  }
+
+  /** Per-document audit: id, n_tokens, dup_tokens (covered by some
+    * cross-document duplicated gram), clean_text (survivors joined by
+    * single spaces; null when nothing survives — including documents
+    * with no tokens at all).
+    */
+  def audit(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val starts = gramStarts(df, idCol, textCol, n)
+    val dup = duplicatedGrams(starts, idCol, minDocs)
+    val dupStarts = starts.join(dup, Seq("__gh"), "left_semi")
+      .select(col(idCol), col("__pos"), lit(1).as("__start"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    // positions are dense (posexplode), so the rows-frame max marks
+    // exactly the tokens inside some duplicated gram's window.
+    val covered = tokenStream(df, idCol, textCol)
+      .join(dupStarts, Seq(idCol, "__pos"), "left")
+      .withColumn("__cov", max(coalesce(col("__start"), lit(0))).over(byDoc))
+    val perDoc = covered.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("__cov")).cast("long").as("dup_tokens"),
+      array_sort(collect_list(when(col("__cov") === 0,
+        struct(col("__pos").as("p"), col("__tok").as("t"))))).as("__kept"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), s => s.getField("t")), " "))
+          .as("clean_text"))
+  }
+
+  /** The rewrite composition: every row, `textCol` replaced by the
+    * span-deduplicated text (null when nothing survives); other
+    * columns pass through.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val cleaned = audit(df, idCol, textCol, n, minDocs)
+      .select(col(idCol), col("clean_text"))
+    df.drop(textCol)
+      .join(cleaned, Seq(idCol), "left")
+      .withColumnRenamed("clean_text", textCol)
+  }
+}

@@ -365,8 +365,49 @@ object DedupOps {
       |SELECT shard_id, corpus_id, est_jaccard FROM agree
       |WHERE est_jaccard >= 0.3""".stripMargin
 
+  // Exact-substring span removal (ops.SpanDedup): 4-gram runs shared
+  // by ≥2 documents are cut from every document; the audit carries the
+  // rewritten text so the surgery itself is hash-checked.
+  private val spans: Q = (s, dir) =>
+    graft.ops.SpanDedup.audit(
+      Tables.load(s, dir, "documents"), "doc_id", "text", n = 4, minDocs = 2)
+
+  private val spansSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, r.p - 1 AS pos, ts[r.p] AS tok
+      |  FROM t, unnest(range(1, len(ts) + 1)) AS r(p)),
+      |g AS (
+      |  SELECT doc_id, r.p - 1 AS pos,
+      |    md5(array_to_string(list_slice(ts, r.p, r.p + 3), ' ')) AS gh
+      |  FROM t, unnest(range(1, len(ts) - 2)) AS r(p)),
+      |dup AS (
+      |  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+      |  WHERE nd >= 2),
+      |st AS (SELECT g.doc_id, g.pos, 1 AS flag FROM g SEMI JOIN dup USING (gh)),
+      |cov AS (
+      |  SELECT tok.doc_id, tok.pos, tok.tok,
+      |    max(coalesce(st.flag, 0)) OVER (
+      |      PARTITION BY tok.doc_id ORDER BY tok.pos
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+      |  FROM tok LEFT JOIN st USING (doc_id, pos)),
+      |p AS (
+      |  SELECT doc_id, count(*) AS n_tokens, sum(c) AS dup_tokens,
+      |    string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE c = 0) AS clean_text
+      |  FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  p.clean_text
+      |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
+    Entry("dedup_span_removal", spans, Some(spansSql)),
     Entry("dedup_incremental", incremental, Some(incrementalSql)),
     Entry("dedup_incremental_neardup", incrementalNear, Some(incrementalNearSql)),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),
