@@ -271,6 +271,28 @@ class VolumeStressSpec extends SparkSpec {
     }
   }
 
+  test("span dedup at 100k docs with a corpus-wide boilerplate run stays joinful, not quadratic") {
+    // Every doc carries the SAME 4-token boilerplate run between unique
+    // prose: the shared grams are maximally hot keys (100k docs each).
+    // The plan must stay semi-join + window (no pair expansion — a
+    // per-occurrence pairing of the hot gram would be 10^10 rows) and
+    // cut exactly the boilerplate from every document.
+    val docs = spark.range(0, 100000).select(col("id"),
+      concat(lit("u"), col("id"), lit(" v"), col("id"),
+        lit(" all rights reserved legal"), lit(" w"), col("id")).as("text"))
+    val plan = SpanDedup.audit(docs, "id", "text", n = 4, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan.take(500))
+    val out = SpanDedup.audit(docs, "id", "text", n = 4, minDocs = 2)
+      .select(col("id"), col("n_tokens"), col("dup_tokens"), col("clean_text"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 100000)
+    // 7 tokens per doc; "all rights reserved legal" is the only
+    // cross-doc duplicated run — u/v/w prose must survive everywhere.
+    assert(out.forall(r => r._2 == 7L && r._3 == 4L &&
+      r._4 == s"u${r._1} v${r._1} w${r._1}"), out.take(3).mkString(", "))
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))
