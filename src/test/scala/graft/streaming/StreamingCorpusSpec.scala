@@ -156,4 +156,36 @@ class StreamingCorpusSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq.sorted
     assert(corpus == Seq((1L, "new a"), (5L, "fresh"), (100L, "seed text")))
   }
+
+  test("streaming Gopher + C4 filters equal the batch run (stateless rule batteries)") {
+    val gt = graft.ops.GopherRules.Thresholds(minWords = 3, maxWords = 50, minStopwords = 1)
+    val rows = Seq(
+      (1L, "The cat sat here quietly.\nAnd the dog kept watch all night."),
+      (2L, "the cat sat"),                   // C4: no 2 surviving lines
+      (3L, "word soup junk noise"),          // Gopher: no stopword
+      (4L, "Enable javascript to continue.\nAnd the cookie banner stays on top."))
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val g = graft.ops.GopherRules.filterQuality(df, "text", gt)
+      graft.ops.C4Rules.clean(g, "text",
+        graft.ops.C4Rules.Rules(minKeptLines = 2))
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = shape(mem.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("rules_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("rules_stream")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = shape(rows.toDF("id", "text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Seq(1L))
+    assert(streamed.head._2 ==
+      "The cat sat here quietly.\nAnd the dog kept watch all night.")
+  }
 }
