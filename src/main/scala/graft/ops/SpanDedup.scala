@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   *    every token is covered rewrites to null, not "".
   *
   * Scale shape — no suffix array, no driver state, four bounded
-  * shuffles:
+  * shuffles (both algorithm halves read ONE positioned token+gram
+  * pass, [[positionedGrams]] — recomputed per consumer by default,
+  * pinned once by [[auditManaged]]):
   *  1. doc-keyed: posexplode + window lead builds positioned grams;
   *  2. gram-keyed: distinct (gram, doc) pairs then a map-side-combined
   *     count — gram keys are md5 digests (32 hex chars), so the
@@ -48,22 +50,31 @@ object SpanDedup {
     df.select(col(idCol),
         posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "__tok")))
 
-  /** Positioned gram hashes: (id, __pos, __gh) for every start
-    * position with a full n-token window (`__gh` = md5 of the
-    * space-joined gram).
+  /** One positioned pass: (id, __pos, __tok, __gh) — the token stream
+    * with each position's n-gram hash alongside (`__gh` = md5 of the
+    * space-joined gram; null where the window runs off the document —
+    * concat null-propagates over the missing leads). Both halves of
+    * the algorithm (dup detection, coverage+rebuild) read THIS one
+    * dataframe, so a caller who pins it ([[auditManaged]]) scans the
+    * corpus once.
     */
-  def gramStarts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def positionedGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"gram length must be >= 2, got $n")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    // concat null-propagates: start positions whose window runs off the
-    // end of the document produce a null gram and are dropped.
     val gram = (1 until n).foldLeft(col("__tok")) { case (acc, i) =>
       concat(acc, lit(" "), lead(col("__tok"), i).over(byDoc))
     }
     tokenStream(df, idCol, textCol)
-      .select(col(idCol), col("__pos"), md5(gram).as("__gh"))
-      .filter(col("__gh").isNotNull)
+      .select(col(idCol), col("__pos"), col("__tok"), md5(gram).as("__gh"))
   }
+
+  /** Positioned gram hashes: (id, __pos, __gh) for every start
+    * position with a full n-token window.
+    */
+  def gramStarts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    positionedGrams(df, idCol, textCol, n)
+      .select(col(idCol), col("__pos"), col("__gh"))
+      .filter(col("__gh").isNotNull)
 
   /** Gram hashes occurring in ≥ `minDocs` distinct documents. */
   def duplicatedGrams(starts: DataFrame, idCol: String, minDocs: Int): DataFrame = {
@@ -78,10 +89,34 @@ object SpanDedup {
     * cross-document duplicated gram), clean_text (survivors joined by
     * single spaces; null when nothing survives — including documents
     * with no tokens at all).
+    *
+    * This form recomputes the positioned pass for each of its two
+    * consumers — zero memory pressure, two source scans. When the
+    * source scan dominates (wide rows, remote storage), use
+    * [[auditManaged]] to pin the positioned stream instead.
     */
   def audit(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val starts = gramStarts(df, idCol, textCol, n)
+      n: Int = 5, minDocs: Int = 2): DataFrame =
+    auditFrom(df, positionedGrams(df, idCol, textCol, n), idCol, n, minDocs)
+
+  /** As [[audit]], but the positioned token+gram stream is persisted
+    * (MEMORY_AND_DISK) and read by both halves — ONE corpus scan. The
+    * pinned stream is token-exploded (larger than the source text by
+    * the 32-char gram digest per token), so this is the right trade
+    * exactly when rescanning is the bottleneck. Call the returned
+    * thunk after materializing the result.
+    */
+  def auditManaged(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): (DataFrame, () => Unit) = {
+    val pg = positionedGrams(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (auditFrom(df, pg, idCol, n, minDocs), () => { pg.unpersist(); () })
+  }
+
+  private def auditFrom(df: DataFrame, pg: DataFrame, idCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val starts = pg.select(col(idCol), col("__pos"), col("__gh"))
+      .filter(col("__gh").isNotNull)
     val dup = duplicatedGrams(starts, idCol, minDocs)
     val dupStarts = starts.join(dup, Seq("__gh"), "left_semi")
       .select(col(idCol), col("__pos"), lit(1).as("__start"))
@@ -89,7 +124,7 @@ object SpanDedup {
       .rowsBetween(-(n - 1), Window.currentRow)
     // positions are dense (posexplode), so the rows-frame max marks
     // exactly the tokens inside some duplicated gram's window.
-    val covered = tokenStream(df, idCol, textCol)
+    val covered = pg.select(col(idCol), col("__pos"), col("__tok"))
       .join(dupStarts, Seq(idCol, "__pos"), "left")
       .withColumn("__cov", max(coalesce(col("__start"), lit(0))).over(byDoc))
     val perDoc = covered.groupBy(col(idCol)).agg(

@@ -59,6 +59,19 @@ class SpanDedupSpec extends SparkSpec {
     assert(a(2L) == ((5L, 4L, "z")))
   }
 
+  test("auditManaged equals audit and releases its pin") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "other words alpha beta gamma delta tail")).toDF("id", "text")
+    val (out, release) = SpanDedup.auditManaged(df, "id", "text", n = 3, minDocs = 2)
+    val managed = out.collect().map(_.toSeq).toSet
+    val plain = SpanDedup.audit(df, "id", "text", n = 3, minDocs = 2)
+      .collect().map(_.toSeq).toSet
+    assert(managed == plain)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "pin must be released")
+  }
+
   test("removeDuplicatedSpans rewrites in place and keeps other columns") {
     val df = Seq((1L, "shared run here plus own words", "keepme"),
       (2L, "prefix shared run here suffix", "other")).toDF("id", "text", "tag")
