@@ -232,6 +232,82 @@ object CorpusOps {
        |LIMIT $dsirK""".stripMargin
   }
 
+  // The round's batteries composed end to end: Gopher word-level gate →
+  // C4 line rewrite → exact-substring span dedup on the REWRITTEN text.
+  // Every stage is exact, so the whole pipeline hash-matches.
+  private val fullPrep: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val g = graft.ops.GopherRules.filterQuality(docs, "text", gopherT)
+    val c = graft.ops.C4Rules.clean(g, "text", c4Conf)
+    graft.ops.SpanDedup.audit(c, "doc_id", "text", n = 3, minDocs = 2)
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        col("clean_text").as("final_text"))
+  }
+
+  private val fullPrepSql =
+    s"""WITH gs AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws
+       |  FROM documents),
+       |gm AS (
+       |  SELECT doc_id, text,
+       |    CAST(coalesce(len(ws), 0) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_aggregate(list_transform(ws, w -> len(w)), 'sum'), 0)
+       |         AS BIGINT) AS char_sum,
+       |    CAST(coalesce(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))), 0)
+       |         AS BIGINT) AS alpha_words,
+       |    CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'the')
+       |         THEN 1 ELSE 0 END AS stop_hits
+       |  FROM gs),
+       |gk AS (
+       |  SELECT doc_id, text FROM gm
+       |  WHERE n_words >= ${gopherT.minWords} AND n_words <= ${gopherT.maxWords}
+       |    AND n_words > 0 AND char_sum >= ${gopherT.minMeanWordLen} * n_words
+       |    AND char_sum <= ${gopherT.maxMeanWordLen} * n_words
+       |    AND alpha_words * ${gopherT.minAlphaWordFrac._2} >=
+       |        n_words * ${gopherT.minAlphaWordFrac._1}
+       |    AND stop_hits >= ${gopherT.minStopwords}),
+       |c4s AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split_regex(text, 'line'),
+       |                               l -> trim(l)), l -> l <> '') AS lines,
+       |    coalesce(contains(lower(text), 'dup'), false) AS has_doc_block
+       |  FROM gk),
+       |c4k AS (
+       |  SELECT doc_id,
+       |    list_filter(lines, l ->
+       |      (ends_with(l, 'e') OR ends_with(l, 't') OR ends_with(l, 'a'))
+       |      AND len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 2
+       |      AND NOT contains(lower(l), 'vector')) AS kept,
+       |    has_doc_block
+       |  FROM c4s),
+       |c4c AS (
+       |  SELECT doc_id, array_to_string(kept, '|') AS text
+       |  FROM c4k WHERE len(kept) >= 2 AND NOT has_doc_block),
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS ts
+       |  FROM c4c),
+       |tok AS (SELECT doc_id, r.p - 1 AS pos, ts[r.p] AS tok
+       |        FROM t, unnest(range(1, len(ts) + 1)) AS r(p)),
+       |g AS (SELECT doc_id, r.p - 1 AS pos,
+       |        md5(array_to_string(list_slice(ts, r.p, r.p + 2), ' ')) AS gh
+       |      FROM t, unnest(range(1, len(ts) - 1)) AS r(p)),
+       |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd
+       |                        FROM g GROUP BY gh) WHERE nd >= 2),
+       |st AS (SELECT g.doc_id, g.pos, 1 AS flag FROM g SEMI JOIN dup USING (gh)),
+       |cov AS (
+       |  SELECT tok.doc_id, tok.pos, tok.tok,
+       |    max(coalesce(st.flag, 0)) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+       |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
+       |  FROM tok LEFT JOIN st USING (doc_id, pos))
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(c) AS BIGINT) AS dup_tokens,
+       |  string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE c = 0) AS final_text
+       |FROM cov GROUP BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_quality_model", qualityModel, Some(qualityModelSql)),
     Entry("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
@@ -239,5 +315,6 @@ object CorpusOps {
     Entry("text_temperature_mix", tempMix, Some(tempMixSql)),
     Entry("text_c4_rules", c4, Some(c4Sql)),
     Entry("text_dsir_topk", dsir, Some(dsirSql)),
+    Entry("pipeline_quality_prep", fullPrep, Some(fullPrepSql)),
   )
 }
