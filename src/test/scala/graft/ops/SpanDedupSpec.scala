@@ -63,13 +63,16 @@ class SpanDedupSpec extends SparkSpec {
     val df = Seq(
       (1L, "alpha beta gamma delta unique one"),
       (2L, "other words alpha beta gamma delta tail")).toDF("id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) = SpanDedup.auditManaged(df, "id", "text", n = 3, minDocs = 2)
     val managed = out.collect().map(_.toSeq).toSet
     val plain = SpanDedup.audit(df, "id", "text", n = 3, minDocs = 2)
       .collect().map(_.toSeq).toSet
     assert(managed == plain)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "pin must be released")
+    // other suites may share the session — only OUR pin must be gone
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "span-dedup pin must be released")
   }
 
   test("removeDuplicatedSpans rewrites in place and keeps other columns") {
