@@ -57,11 +57,30 @@ object Dsir {
     concat(ts, bigrams)
   }
 
+  /** (id, __term) feature OCCURRENCE rows — the hot-path form of
+    * [[featureTerms]]: posexplode + window lead builds the bigrams
+    * (codegen'd column ops; the array-lambda form is interpreted and
+    * measured ~5× slower at bench scale). One doc-keyed window
+    * shuffle; the unigram leg rides the same exchange.
+    */
+  def featureOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        posexplode(Dedup.tokens(lower(col(textCol)))).as(Seq("__pos", "__tok")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val withNext = toks.withColumn("__next", lead(col("__tok"), 1).over(byDoc))
+    val uni = withNext.select(col(idCol), col("__tok").as("__term"))
+    val bi = withNext.filter(col("__next").isNotNull)
+      .select(col(idCol),
+        concat(col("__tok"), lit(" "), col("__next")).as("__term"))
+    uni.unionByName(bi)
+  }
+
   /** (id, bucket, cnt) hashed-feature counts per document. */
   def featureCounts(df: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    df.select(col(idCol), explode(featureTerms(col(textCol))).as("__term"))
+    featureOccurrences(df, idCol, textCol)
       .select(col(idCol), bucketOf(col("__term"), buckets).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -80,7 +99,7 @@ object Dsir {
     val spark = df.sparkSession
     import spark.implicits._
     val w = broadcast(milliWeights.toSeq.toDF("__ds_b", "__ds_w"))
-    val occ = df.select(col(idCol), explode(featureTerms(col(textCol))).as("__term"))
+    val occ = featureOccurrences(df, idCol, textCol)
       .select(col(idCol), bucketOf(col("__term"), buckets).cast("int").as("__ds_b"))
     val sums = occ.join(w, Seq("__ds_b"))
       .groupBy(col(idCol))
@@ -104,11 +123,16 @@ object Dsir {
     require(buckets > 0 && buckets <= MaxBuckets,
       s"buckets must be in [1, $MaxBuckets] (driver holds one cell per bucket)")
     require(alpha > 0, "alpha must be positive (unseen buckets need mass)")
-    def counts(df: DataFrame): Map[Int, Long] =
-      df.select(explode(featureTerms(col(textCol))).as("__term"))
+    def counts(df: DataFrame): Map[Int, Long] = {
+      // synthetic per-row id: adjacency is per-document no matter what
+      // columns the corpus carries
+      val withId = df.select(col(textCol))
+        .withColumn("__ds_id", monotonically_increasing_id())
+      featureOccurrences(withId, "__ds_id", textCol)
         .select(bucketOf(col("__term"), buckets).cast("int").as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
     val t = counts(target)
     val r = counts(raw)
     val tTot = t.values.sum + alpha * buckets
