@@ -308,6 +308,38 @@ object CorpusOps {
        |  string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE c = 0) AS final_text
        |FROM cov GROUP BY doc_id""".stripMargin
 
+  // Winnowing fingerprints (ops.Winnow): 4-gram hashes, window 8 —
+  // every complete 8-gram window contributes its min hash; short docs
+  // contribute their global min. Pure window algebra → hash-exact.
+  private val winnow: Q = (s, dir) =>
+    graft.ops.Winnow.fingerprints(
+      Tables.load(s, dir, "documents"), "doc_id", "text", n = 4, w = 8)
+
+  private val winnowSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, r.p - 1 AS pos,
+      |    md5(array_to_string(list_slice(ts, r.p, r.p + 3), ' ')) AS gh
+      |  FROM t, unnest(range(1, len(ts) - 2)) AS r(p)),
+      |wnd AS (
+      |  SELECT doc_id, gh,
+      |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wcnt
+      |  FROM g),
+      |complete AS (
+      |  SELECT DISTINCT doc_id, wmin AS fingerprint FROM wnd WHERE wcnt = 8),
+      |short AS (
+      |  SELECT doc_id, min(gh) AS fingerprint FROM g
+      |  GROUP BY doc_id HAVING count(*) < 8)
+      |SELECT DISTINCT doc_id, fingerprint FROM (
+      |  SELECT * FROM complete UNION ALL SELECT * FROM short)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_quality_model", qualityModel, Some(qualityModelSql)),
     Entry("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
@@ -316,5 +348,6 @@ object CorpusOps {
     Entry("text_c4_rules", c4, Some(c4Sql)),
     Entry("text_dsir_topk", dsir, Some(dsirSql)),
     Entry("pipeline_quality_prep", fullPrep, Some(fullPrepSql)),
+    Entry("text_winnow_fingerprint", winnow, Some(winnowSql)),
   )
 }
