@@ -56,8 +56,10 @@ final case class OfflineResolver(library: BiDictLibrary) extends TermResolver {
 /** Per-executor memoization of an inner resolver (the reference's
   * `Cache<String, String>` in bioportal_client.rs:62). Caches hits AND
   * misses — an unknown term asked 10⁶ times must not make 10⁶ calls.
-  * Insertion-order eviction at `maxEntries` (the cache is per executor
-  * JVM and rebuilt on executor loss — a working set, not a store).
+  * LRU (access-order) eviction at `maxEntries`, so a hot term stays
+  * resident however many distinct terms pass through (the cache is per
+  * executor JVM and rebuilt on executor loss — a working set, not a
+  * store).
   */
 final case class CachedResolver(base: TermResolver, maxEntries: Int = 100000)
     extends TermResolver {

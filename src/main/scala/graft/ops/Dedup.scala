@@ -204,6 +204,11 @@ object Dedup {
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
         (a, b) => java.lang.Long.compare(
           a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+      // Decimal ids keep full precision — DECIMAL(38,0) ids from JDBC/
+      // parquet exceed a double's 53-bit mantissa just like longs do.
+      case _: org.apache.spark.sql.types.DecimalType =>
+        (a, b) => a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal])
       case _: org.apache.spark.sql.types.NumericType =>
         (a, b) => java.lang.Double.compare(
           a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())

@@ -39,10 +39,10 @@ object Dsir {
   val MaxBuckets: Int = 1 << 20
 
   /** md5 bucket of one n-gram — the engine-portable hash idiom
-    * (hex prefix → long → mod).
+    * ([[Md5Family.hex60]] → mod).
     */
   def bucketOf(term: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+    pmod(Md5Family.hex60(term), lit(buckets.toLong))
 
   /** Word unigram + bigram feature terms of a text column (lowercased,
     * whitespace-tokenized; bigrams joined with one space). Null/blank
@@ -167,11 +167,10 @@ object Dsir {
       milliWeights: Map[Int, Long], buckets: Int, k: Int,
       seed: Int = 42): DataFrame = {
     require(k > 0, "k must be positive")
-    // md5 prefix → uniform in (0,1): (h + 1) / (2^32 + 1) keeps both
-    // endpoints open, so the double log below never sees 0.
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
-        lit(":"), lit(seed.toString))), 1, 8), 16, 10).cast("double") + 1.0) /
-      4294967297.0
+    // both-endpoints-open uniform: the double log below never sees 0
+    val u = Sampling.md5Uniform(
+      concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)),
+      openTop = true)
     val gumbelMilli = (-log(-log(u)) * 1000.0).cast("long")
     score(df, idCol, textCol, milliWeights, buckets)
       .withColumn("milli_perturbed", col("milli_weight") + gumbelMilli)

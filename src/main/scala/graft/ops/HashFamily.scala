@@ -63,8 +63,17 @@ case object Md5Family extends HashFamily {
   private def hx(seedExpr: String, sExpr: String): String =
     s"CAST(conv(substring(md5(concat($seedExpr, ':', $sExpr)), 1, 15), 16, 10) AS BIGINT)"
 
+  /** THE engine-portable 60-bit hash: first 15 md5 hex digits → long.
+    * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`. Every
+    * spelling of the idiom routes through here (or
+    * [[Sampling.md5Uniform]] for the 32-bit uniform variant) so the
+    * SQL twins can never drift on prefix width or cast.
+    */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   def hashString(seed: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10).cast("long")
+    hex60(concat(lit(s"$seed:"), s))
 
   /** md5 of "seed:v1,v2,…" — `array_to_string(arr, ',')` in DuckDB. */
   def hashLongArray(seed: Column, arr: Column): Column =

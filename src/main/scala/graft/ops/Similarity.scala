@@ -125,7 +125,7 @@ object Similarity {
     * 15))::BIGINT` in DuckDB, byte-identical (the [[Md5Family]] trick).
     */
   def md5SampleHash(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+    Md5Family.hex60(id.cast("string"))
 
   /** The `n` nearest centroid cell ids for a vector, best-first (exact
     * cosine against each centroid — nlist native dots per row).

@@ -148,10 +148,14 @@ object SpanDedup {
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
+    // unique internal name: the input may legitimately carry a
+    // clean_text column (e.g. another audit's output joined back)
+    require(!df.columns.contains("__sd_clean"),
+      "reserved column name collision (__sd_clean)")
     val cleaned = audit(df, idCol, textCol, n, minDocs)
-      .select(col(idCol), col("clean_text"))
+      .select(col(idCol), col("clean_text").as("__sd_clean"))
     df.drop(textCol)
       .join(cleaned, Seq(idCol), "left")
-      .withColumnRenamed("clean_text", textCol)
+      .withColumnRenamed("__sd_clean", textCol)
   }
 }

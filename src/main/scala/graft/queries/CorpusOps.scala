@@ -239,31 +239,45 @@ object CorpusOps {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
     val g = graft.ops.GopherRules.filterQuality(docs, "text", gopherT)
     val c = graft.ops.C4Rules.clean(g, "text", c4Conf)
+    // plain audit recomputes the Gopher+C4 chain for each of span
+    // dedup's two passes — the right call for the harness's one-shot
+    // read; a long pipeline materializing the result would pin via
+    // SpanDedup.auditManaged and release after the write.
     graft.ops.SpanDedup.audit(c, "doc_id", "text", n = 3, minDocs = 2)
       .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
         col("clean_text").as("final_text"))
   }
 
-  private val fullPrepSql =
+  private val fullPrepSql = {
+    // the FULL Gopher battery, same construction as gopherSql — the
+    // two oracles must agree on the gate semantics rule for rule
+    val stops = graft.ops.GopherRules.Stopwords
+      .map(sw => s"CASE WHEN list_contains(lw, '$sw') THEN 1 ELSE 0 END")
+      .mkString("\n       |        + ")
     s"""WITH gs AS (
        |  SELECT doc_id, text,
-       |    list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws
+       |    list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws,
+       |    CAST(coalesce(len(text) - len(replace(text, '#', '')), 0) AS BIGINT)
+       |      + CAST(coalesce((len(text) - len(replace(text, '...', ''))) / 3, 0) AS BIGINT)
+       |      AS symbol_hits
        |  FROM documents),
        |gm AS (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id, text, symbol_hits,
        |    CAST(coalesce(len(ws), 0) AS BIGINT) AS n_words,
        |    CAST(coalesce(list_aggregate(list_transform(ws, w -> len(w)), 'sum'), 0)
        |         AS BIGINT) AS char_sum,
        |    CAST(coalesce(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))), 0)
        |         AS BIGINT) AS alpha_words,
-       |    CASE WHEN list_contains(list_transform(ws, w -> lower(w)), 'the')
-       |         THEN 1 ELSE 0 END AS stop_hits
-       |  FROM gs),
+       |    CAST($stops AS BIGINT) AS stop_hits
+       |  FROM (SELECT doc_id, text, ws, symbol_hits,
+       |          list_transform(ws, w -> lower(w)) AS lw FROM gs) t),
        |gk AS (
        |  SELECT doc_id, text FROM gm
        |  WHERE n_words >= ${gopherT.minWords} AND n_words <= ${gopherT.maxWords}
        |    AND n_words > 0 AND char_sum >= ${gopherT.minMeanWordLen} * n_words
        |    AND char_sum <= ${gopherT.maxMeanWordLen} * n_words
+       |    AND symbol_hits * ${gopherT.maxSymbolWordRatio._2} <=
+       |        n_words * ${gopherT.maxSymbolWordRatio._1}
        |    AND alpha_words * ${gopherT.minAlphaWordFrac._2} >=
        |        n_words * ${gopherT.minAlphaWordFrac._1}
        |    AND stop_hits >= ${gopherT.minStopwords}),
@@ -307,6 +321,7 @@ object CorpusOps {
        |  CAST(sum(c) AS BIGINT) AS dup_tokens,
        |  string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE c = 0) AS final_text
        |FROM cov GROUP BY doc_id""".stripMargin
+  }
 
   // Winnowing fingerprints (ops.Winnow): 4-gram hashes, window 8 —
   // every complete 8-gram window contributes its min hash; short docs

@@ -293,7 +293,7 @@ object DedupOps {
   // directories).
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
+  private[queries] def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator

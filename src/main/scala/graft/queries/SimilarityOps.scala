@@ -89,8 +89,9 @@ object SimilarityOps {
       val corpus = Tables.load(s, dir, "embeddings")
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         nlist, refineSweeps = 0, sampleHash = Similarity.md5SampleHash)
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_").resolve("corpus").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_")
+      DedupOps.deleteRecursivelyOnExit(tmp) // same hygiene as the minhash artifact
+      val p = tmp.resolve("corpus").toString
       Similarity.ivfIngest(corpus, "vec_id", "embedding", cents, p)
       (cents, p)
     })

@@ -402,6 +402,20 @@ class OpsSpec extends SparkSpec {
     assert(cc == Map(10L -> 10L, big -> 10L, (big + 1) -> 10L))
   }
 
+  test("connected components keeps Decimal ids distinct above 2^53") {
+    val big = new java.math.BigDecimal("9007199254740992") // 2^53
+    val pairs = Seq(
+      (big, big.add(java.math.BigDecimal.ONE)),
+      (java.math.BigDecimal.TEN, big)).toDF("id_a", "id_b")
+      .select(col("id_a").cast("decimal(38,0)").as("id_a"),
+        col("id_b").cast("decimal(38,0)").as("id_b"))
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getDecimal(0).toBigInteger.longValueExact() ->
+        r.getDecimal(1).toBigInteger.longValueExact()).toMap
+    val b = 9007199254740992L
+    assert(cc == Map(10L -> 10L, b -> 10L, (b + 1) -> 10L))
+  }
+
   test("hash sampling is deterministic, fraction-accurate, and splits are disjoint") {
     val df = (0 until 5000).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "text")
     val a = Sampling.hashSample(df, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
