@@ -46,4 +46,56 @@ object SkewJoin {
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc).limit(topN)
+
+  /** Differentiated hot/cold equi-join: the `hotKeys` most frequent
+    * left-side key tuples are joined via a BROADCAST of just their
+    * right-side slice; everything else takes the ordinary shuffle join.
+    * Result is IDENTICAL to `left.join(right, keys, joinType)`; no side
+    * is replicated (the [[saltedJoin]] cost), so the right side may be
+    * corpus-sized — only its hot slice (≤ `hotKeys` keys) must be
+    * broadcast-small.
+    *
+    * This is the count-then-split pattern for joins whose hot keys are
+    * data-derived but stable within a job (stopword bigrams, null-ish
+    * sentinel ids): one cheap TakeOrderedAndProject recon pass over the
+    * left keys, then two joins neither of which holds a straggler
+    * partition. AQE's skew split covers the same ground reactively;
+    * this form is deterministic and works where AQE can't re-plan
+    * (streaming, pinned exchanges).
+    *
+    * Null key tuples never match in an equi-join; they ride the cold
+    * path (preserving their left-outer behavior). Inner/left only —
+    * the hot/cold union would double-count unmatched right rows under
+    * right/full outer.
+    */
+  def hotKeyJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      hotKeys: Int = 64, joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    require(hotKeys > 0, "hotKeys must be positive")
+    val allowed = Set("inner", "left", "leftouter", "leftsemi")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"hotKeyJoin supports inner/left/left_semi join types, got '$joinType'")
+    val hotRows = left
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, struct(keys.map(col): _*))
+      .limit(hotKeys)
+      .select(keys.map(col): _*)
+      .collect()
+    if (hotRows.isEmpty) return left.join(right, keys, joinType)
+    // literal predicate: OR over hot tuples of AND over key equalities —
+    // codegen'd map-side filter, no extra shuffle on either side
+    val hotPred = hotRows.map { r =>
+      keys.zipWithIndex.map { case (k, i) =>
+        if (r.isNullAt(i)) col(k).isNull else col(k) <=> lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    // null-safe <=> above: a hot tuple that contains a null (possible
+    // under left join recon) still routes its rows to the hot side;
+    // those rows match nothing, same as the plain join.
+    val hot = left.filter(hotPred)
+      .join(broadcast(right.filter(hotPred)), keys, joinType)
+    val cold = left.filter(!coalesce(hotPred, lit(false)))
+      .join(right, keys, joinType)
+    hot.unionByName(cold)
+  }
 }

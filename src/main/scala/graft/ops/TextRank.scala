@@ -159,9 +159,19 @@ object TextRank {
     * `maxVocab` caps it top-K with an OOV unigram-count floor of 1
     * (see [[unigramLogProb]]); default uncapped. Adjacency is
     * posexplode + window lead, not interpreted array lambdas.
+    *
+    * `hotKeys > 0` routes the (doc, bigram) ⋈ (bigram, count) join
+    * through [[SkewJoin.hotKeyJoin]]: the `hotKeys` most frequent
+    * bigrams (the stopword transitions — natural hot keys at corpus
+    * scale) join via a broadcast of their count rows while the long
+    * tail takes the ordinary shuffle, so no partition holds "of the".
+    * Deterministic alternative to AQE's reactive skew split; costs one
+    * extra evaluation of the doc-bigram aggregate (the recon pass) and
+    * one of the occurrence pipeline, so it pays off only when the hot
+    * keys genuinely straggle. Default 0 = plain join + AQE.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
-      maxVocab: Int = Int.MaxValue): DataFrame = {
+      maxVocab: Int = Int.MaxValue, hotKeys: Int = 0): DataFrame = {
     val toks = docs.select(col(idCol),
         posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
@@ -184,8 +194,10 @@ object TextRank {
     // which would run the tokenize+window pipeline with an extra
     // hash-aggregate pass on its second evaluation.
     val bi = occ.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
-    docBi
-      .join(bi, Seq("__w1", "__w2"))
+    val scored =
+      if (hotKeys > 0) SkewJoin.hotKeyJoin(docBi, bi, Seq("__w1", "__w2"), hotKeys)
+      else docBi.join(bi, Seq("__w1", "__w2"))
+    scored
       .join(broadcast(uni.withColumnRenamed("__term", "__w1")), Seq("__w1"), "left")
       .crossJoin(broadcast(vocabSize))
       .groupBy(col(idCol))

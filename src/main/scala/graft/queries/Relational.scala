@@ -290,6 +290,27 @@ object Relational {
       |GROUP BY s_nationkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_hotkey_join — differentiated hot/cold join (events ⋈ per-user
+  // lifetime stats on a power-law user_id; hot users broadcast, tail
+  // shuffled). Like the salt, the split must be invisible: the oracle
+  // is the PLAIN join. Integer sums only — no float sum-order risk.
+  private val qHotKey: Q = (s, dir) => {
+    val ev = Tables.load(s, dir, "events").select("user_id", "event_type")
+    val userTotals = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    graft.ops.SkewJoin.hotKeyJoin(ev, userTotals, Seq("user_id"), hotKeys = 32)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_events")).as("partner_events"))
+  }
+
+  private val qHotKeySql =
+    """WITH ut AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(user_events) AS BIGINT) AS partner_events
+      |FROM events JOIN ut USING (user_id)
+      |GROUP BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_cube — full cube over two dims.
   private val qCube: Q = (s, dir) =>
     li(s, dir)
@@ -671,6 +692,7 @@ object Relational {
     Entry("q_median_exact", qMedian, Some(qMedianSql)),
     Entry("q_json_extract", qJson, Some(qJsonSql)),
     Entry("q_skew_salted_join", qSalted, Some(qSaltedSql)),
+    Entry("q_hotkey_join", qHotKey, Some(qHotKeySql)),
     Entry("q_cube", qCube, Some(qCubeSql)),
     Entry("q_intersect", qIntersect, Some(qIntersectSql)),
     Entry("q_approx_sketches", qApprox, Some(qApproxSql)),

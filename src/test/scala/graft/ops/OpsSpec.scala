@@ -512,6 +512,36 @@ class OpsSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("hot-key join equals plain join (inner and left, null keys ride the cold path)") {
+    val left = (1 to 2000).map { i =>
+      val k: java.lang.Long =
+        if (i % 3 == 0) 7L else if (i % 7 == 0) null else i.toLong
+      (k, i)
+    }.toDF("k", "v")
+    val right = (1 to 500).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+      val hot = SkewJoin.hotKeyJoin(left, right, Seq("k"), hotKeys = 4, joinType = jt)
+      assert(hot.count() == plain.count(), s"count under $jt")
+      assert(hot.except(plain).isEmpty && plain.except(hot).isEmpty, s"rows under $jt")
+    }
+    // the hot branch must actually broadcast
+    val planStr = SkewJoin.hotKeyJoin(left, right, Seq("k"), hotKeys = 4)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr.take(500))
+  }
+
+  test("bigram LM hot-key path scores identically to the plain join") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, ("of the end " * (i % 5 + 1)) + s"unique$i tail$i")
+    }.toDF("doc_id", "text")
+    val plain = TextRank.bigramLogProb(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("mean_logprob"), 9).as("p"), col("n_bigrams"))
+    val hot = TextRank.bigramLogProb(docs, "doc_id", "text", hotKeys = 4)
+      .select(col("doc_id"), round(col("mean_logprob"), 9).as("p"), col("n_bigrams"))
+    assert(hot.except(plain).isEmpty && plain.except(hot).isEmpty)
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     def hex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
