@@ -336,6 +336,32 @@ object Dedup {
     corpus.join(contaminated.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Graded contamination: for each corpus document, how many of its
+    * distinct word n-grams appear anywhere in the reference (eval) set
+    * — the GPT-3/PaLM-style overlap measure that [[decontaminate]]'s
+    * binary any-gram rule coarsens. The caller thresholds
+    * hit_grams/n_grams per its own tolerance.
+    *
+    * Scale shape: one gram-keyed join (distinct reference grams on the
+    * build side — eval suites are small, AQE broadcasts them) and one
+    * doc-keyed count aggregate; document bodies never ride a shuffle.
+    * Documents shorter than `n` tokens have no grams and are absent
+    * from the output (same domain rule as [[decontaminate]], which
+    * cannot flag them either).
+    */
+  def contaminationScore(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refIdCol: String, refTextCol: String,
+      n: Int): DataFrame = {
+    val corpusShingles = shingleRows(corpus, idCol, textCol, n)
+    val refShingles = shingleRows(reference, refIdCol, refTextCol, n)
+      .select(col("g")).distinct().withColumn("__hit", lit(1))
+    corpusShingles
+      .join(refShingles, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("hit_grams"))
+      .select(col("id").as(idCol), col("n_grams"), col("hit_grams"))
+  }
+
   /** Paragraph-level exact dedup (the Dolma/CCNet shape): the corpus is
     * exploded into (doc, position, paragraph) rows; of all occurrences
     * of an identical paragraph, only the GLOBALLY FIRST (smallest

@@ -245,6 +245,32 @@ object DedupOps {
       |SELECT doc_id, source, lang FROM documents
       |WHERE source = 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
+  // Graded contamination: per src0 doc, how many of its distinct word
+  // 3-grams appear anywhere in the src1 "benchmark" set — the overlap
+  // fraction the binary decontaminate rule coarsens.
+  private val contamination: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.contaminationScore(
+      docs.filter(col("source") === "src0"), "doc_id", "text",
+      docs.filter(col("source") === "src1"), "doc_id", "text",
+      n = 3)
+  }
+  private val contaminationSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(len(toks) - 2),
+      |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS g
+      |  FROM d WHERE len(toks) >= 3),
+      |ref AS (SELECT DISTINCT g FROM sh WHERE source = 'src1')
+      |SELECT s.doc_id, count(*) AS n_grams,
+      |  CAST(count(CASE WHEN r.g IS NOT NULL THEN 1 END) AS BIGINT) AS hit_grams
+      |FROM (SELECT doc_id, g FROM sh WHERE source = 'src0') s
+      |LEFT JOIN ref r ON s.g = r.g
+      |GROUP BY s.doc_id""".stripMargin
+
   // Incremental dedup: the src0 shard deduped within itself
   // (first-wins) and against the rest of the corpus — the
   // continuous-crawl shape; digests shuffle, bodies never do.
@@ -417,5 +443,6 @@ object DedupOps {
     Entry("dedup_remove_neardups", removeNearDups, Some(removeNearDupsSql)),
     Entry("dedup_paragraphs", paragraphs, Some(paragraphsSql)),
     Entry("dedup_decontaminate", decontaminate, Some(decontaminateSql)),
+    Entry("dedup_contamination_score", contamination, Some(contaminationSql)),
   )
 }

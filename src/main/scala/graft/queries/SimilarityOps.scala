@@ -306,8 +306,75 @@ object SimilarityOps {
       |SELECT vec_id, label FROM embeddings
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
+  // Hybrid retrieval: BM25 lexical ranking fused with dense cosine
+  // ranking by reciprocal-rank fusion (ops.Fusion — integer nano-unit
+  // contributions, exactly summable cross-engine). Pools are top-50 per
+  // side (TakeOrderedAndProject, never a global window); query vector
+  // is embeddings id 0, lexical terms the text_bm25 set.
+  private val hybridRrf: Q = (s, dir) => {
+    val lex = graft.ops.TextRank.bm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "stream"))
+      .select(col("doc_id"), col("bm25").as("score"))
+    val emb = Tables.load(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("cos_sim").as("score"))
+    graft.ops.Fusion.rrfFuse(Seq(lex, dense), "doc_id", "score",
+      k = 15, poolSize = 50, scoreScale = 5)
+  }
+
+  private val hybridRrfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+      |    FROM documents) u WHERE t <> ''
+      |), dtf AS (
+      |  SELECT doc_id, count(*) AS dl,
+      |    count(CASE WHEN t = 'spark' THEN 1 END) AS tf_spark,
+      |    count(CASE WHEN t = 'join' THEN 1 END) AS tf_join,
+      |    count(CASE WHEN t = 'stream' THEN 1 END) AS tf_stream
+      |  FROM toks GROUP BY doc_id
+      |), st AS (
+      |  SELECT count(*) AS n, avg(dl) AS avgdl,
+      |    count(CASE WHEN tf_spark > 0 THEN 1 END) AS df_spark,
+      |    count(CASE WHEN tf_join > 0 THEN 1 END) AS df_join,
+      |    count(CASE WHEN tf_stream > 0 THEN 1 END) AS df_stream
+      |  FROM dtf
+      |), bm AS (
+      |  SELECT doc_id, round(
+      |      CASE WHEN tf_spark > 0
+      |           THEN ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1)
+      |                * (tf_spark * 2.2) / (tf_spark + (1.2 * (0.25 + 0.75 * dl / avgdl)))
+      |           ELSE 0.0 END
+      |    + CASE WHEN tf_join > 0
+      |           THEN ln((n - df_join + 0.5) / (df_join + 0.5) + 1)
+      |                * (tf_join * 2.2) / (tf_join + (1.2 * (0.25 + 0.75 * dl / avgdl)))
+      |           ELSE 0.0 END
+      |    + CASE WHEN tf_stream > 0
+      |           THEN ln((n - df_stream + 0.5) / (df_stream + 0.5) + 1)
+      |                * (tf_stream * 2.2) / (tf_stream + (1.2 * (0.25 + 0.75 * dl / avgdl)))
+      |           ELSE 0.0 END, 5) AS s
+      |  FROM dtf, st
+      |  WHERE tf_spark > 0 OR tf_join > 0 OR tf_stream > 0
+      |), lexpool AS (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id LIMIT 50),
+      |lex AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM lexpool),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |dn AS (
+      |  SELECT e.vec_id AS doc_id, round(list_cosine_similarity(e.v, q.qv), 5) AS s
+      |  FROM e, q WHERE e.vec_id <> 0
+      |), dnpool AS (SELECT doc_id, s FROM dn ORDER BY s DESC, doc_id LIMIT 50),
+      |dense AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM dnpool),
+      |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+      |SELECT doc_id, CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_nano,
+      |  count(*) AS n_sides, CAST(min(r) AS BIGINT) AS best_rank
+      |FROM u GROUP BY doc_id
+      |ORDER BY rrf_nano DESC, doc_id LIMIT 15""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("emb_centroid", centroid, Some(centroidSql)),
+    Entry("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Entry("dedup_semantic", semantic, Some(semanticSql)),
     Entry("emb_quantize", quantize, Some(quantizeSql)),
     Entry("ann_brute_topk", brute, Some(bruteSql)),

@@ -542,6 +542,46 @@ class OpsSpec extends SparkSpec {
     assert(hot.except(plain).isEmpty && plain.except(hot).isEmpty)
   }
 
+  test("rrf fusion: hand-computed nano scores, pool cut, side counts") {
+    // side A ranks: d1, d2, d3; side B ranks: d2, d4 (pooled to 2)
+    val a = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("id", "score")
+    val b = Seq((2L, 0.9), (4L, 0.8), (5L, 0.1)).toDF("id", "score")
+    val out = Fusion.rrfFuse(Seq(a, b), "id", "score", k = 4, poolSize = 2, k0 = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val c = (r: Int) => 1000000000L / (60 + r)
+    // pool=2 cuts d3 (side A) and d5 (side B)
+    assert(out.toSeq == Seq(
+      (2L, c(2) + c(1), 2L, 1L), // both sides
+      (1L, c(1), 1L, 1L),
+      (4L, c(2), 1L, 2L)))
+  }
+
+  test("rrf fusion breaks score ties by id deterministically") {
+    val a = Seq((10L, 5.0), (2L, 5.0), (7L, 5.0)).toDF("id", "score")
+    val b = Seq((7L, 1.0), (2L, 1.0)).toDF("id", "score")
+    val ranks = Fusion.rrfFuse(Seq(a, b), "id", "score", k = 5, poolSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // equal scores rank by ascending id within each side
+    assert(ranks == Map(2L -> 1L, 7L -> 2L, 10L -> 3L))
+  }
+
+  test("contamination score counts distinct reference-gram hits per doc") {
+    val corpus = Seq(
+      (1L, "a b c d"),        // grams: "a b c", "b c d"
+      (2L, "x y z"),          // gram: "x y z"
+      (3L, "a b"),            // too short: absent from output
+      (4L, "a b c a b c d")   // distinct grams incl. both ref hits
+    ).toDF("doc_id", "text")
+    val ref = Seq((9L, "a b c d e")).toDF("doc_id", "text") // ref grams: abc, bcd, cde
+    val out = Dedup.contaminationScore(corpus, "doc_id", "text", ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 4 grams: "a b c","b c a","c a b","a b c"(dup),"b c d" → 4 distinct, 2 hits
+    assert(out == Map(
+      1L -> ((2L, 2L)),
+      2L -> ((1L, 0L)),
+      4L -> ((4L, 2L))))
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     def hex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
