@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a term stream (Cormode & Muthukrishnan) — the
+  * fixed-memory frequency summary for corpus-scale n-gram statistics.
+  * A full `groupBy(term).count()` shuffles every distinct term; the
+  * sketch shuffles at most `depth × width` CELLS however many distinct
+  * terms the 100 TB corpus holds, because the map-side partial
+  * aggregate collapses each partition to the cell grid first. Estimates
+  * only ever OVERCOUNT: `true ≤ est ≤ true + εN` with ε = e/width at
+  * probability 1 − (1/2)^depth… the classic one-sided guarantee, so a
+  * heavy-hitter screen never misses a genuinely hot term.
+  *
+  * Built on [[HashFamily]]: xxhash64 for production, [[Md5Family]] when
+  * the sketch must replay in ANSI SQL (the oracle path — every cell and
+  * estimate is then engine-portable).
+  */
+object CountMin {
+
+  /** Build the sketch: one row per non-empty cell,
+    * (cm_row, cm_col, cm_cnt). `depth` independent seeded hashes row a
+    * term into `width` columns; each occurrence of `termCol` counts 1.
+    * Null terms are skipped.
+    */
+  def sketch(terms: DataFrame, termCol: String, depth: Int, width: Int,
+      family: HashFamily = XxHash64Family): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth out of range (1..16)")
+    require(width >= 2, "width must be >= 2")
+    terms
+      .filter(col(termCol).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("cm_row"), col(termCol))
+      .select(col("cm_row"),
+        pmod(family.hashString(0, concat(col("cm_row").cast("string"),
+          lit("#"), col(termCol))), lit(width.toLong)).as("cm_col"))
+      .groupBy(col("cm_row"), col("cm_col"))
+      .agg(count(lit(1)).as("cm_cnt"))
+  }
+
+  /** Point-estimate the frequency of each candidate term: the MIN over
+    * the sketch cells the term hashes into. Candidates are typically
+    * few (a heavy-hitter shortlist) — their d-cell probe rows join the
+    * (≤ depth × width)-row sketch, which AQE broadcasts. A term whose
+    * cell is absent from the sketch has true count 0 (no stream term
+    * ever hit that cell) and estimates 0.
+    */
+  def estimate(sketchDf: DataFrame, candidates: DataFrame, termCol: String,
+      depth: Int, width: Int,
+      family: HashFamily = XxHash64Family): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth out of range (1..16)")
+    require(width >= 2, "width must be >= 2")
+    candidates
+      .filter(col(termCol).isNotNull)
+      .select(col(termCol), explode(sequence(lit(0), lit(depth - 1))).as("cm_row"))
+      .withColumn("cm_col",
+        pmod(family.hashString(0, concat(col("cm_row").cast("string"),
+          lit("#"), col(termCol))), lit(width.toLong)))
+      .join(sketchDf, Seq("cm_row", "cm_col"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("cm_cnt"), lit(0L))).as("est_n"))
+  }
+
+  /** Word n-gram OCCURRENCE stream of a text column — every occurrence,
+    * NOT deduped per doc (contrast [[Dedup.shingleRows]]): frequency
+    * statistics want the multiset. Same tokenizer and posexplode +
+    * window-lead adjacency as the dedup/DSIR shingle pass.
+    */
+  def ngramStream(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "n-gram width out of range")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cm_id")).orderBy(col("__cm_pos"))
+    val toks = docs
+      .select(col(idCol).as("__cm_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("__cm_pos", "t")))
+    val withLeads = (1 until n).foldLeft(toks) { (acc, i) =>
+      acc.withColumn(s"t$i", lead(col("t"), i).over(byDoc))
+    }
+    val parts = col("t") +: (1 until n).map(i => col(s"t$i"))
+    withLeads
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws(" ", parts: _*).as("g"))
+  }
+
+  /** Exact corpus-wide top-`k` n-grams by occurrence count (ties by
+    * gram): the heavy-hitter ground truth. One gram-keyed aggregate
+    * (map-side combined) + TakeOrderedAndProject — no global sort.
+    */
+  def topKNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    ngramStream(docs, idCol, textCol, n)
+      .groupBy(col("g")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("g"))
+      .limit(k)
+  }
+}

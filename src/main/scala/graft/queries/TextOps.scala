@@ -695,7 +695,54 @@ object TextOps {
       |  round((ln(n.n) - sum(c.cnt * ln(c.cnt)) / n.n) / ln(2.0), 4) AS token_entropy
       |FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n""".stripMargin
 
+  // Corpus heavy hitters: exact top-20 bigrams (ground truth) probed
+  // against a 4×1024 count-min sketch built with the md5 family — the
+  // oracle replays cells and estimates; overcount_ok is the CMS
+  // one-sided guarantee (estimates never undercount).
+  private val ngramTopk: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val stream = graft.ops.CountMin.ngramStream(docs, "doc_id", "text", n = 2)
+    val exact = graft.ops.CountMin.topKNgrams(docs, "doc_id", "text", n = 2, k = 20)
+    val sk = graft.ops.CountMin.sketch(stream, "g", depth = 4, width = 1024,
+      family = graft.ops.Md5Family)
+    val est = graft.ops.CountMin.estimate(sk, exact.select("g"), "g",
+      depth = 4, width = 1024, family = graft.ops.Md5Family)
+    exact.join(est, Seq("g"))
+      .select(col("g"), col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).as("overcount_ok"))
+  }
+
+  private val ngramTopkSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |gs AS (
+      |  SELECT unnest(list_transform(range(len(toks) - 1),
+      |    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+      |  FROM d WHERE len(toks) >= 2),
+      |exact AS (
+      |  SELECT g, count(*) AS exact_n FROM gs GROUP BY g
+      |  ORDER BY exact_n DESC, g LIMIT 20),
+      |rows4 AS (SELECT unnest(range(0, 4)) AS cm_row),
+      |cells AS (
+      |  SELECT cm_row,
+      |    ('0x' || substr(md5('0:' || CAST(cm_row AS VARCHAR) || '#' || g), 1, 15))::BIGINT
+      |      % 1024 AS cm_col,
+      |    count(*) AS cm_cnt
+      |  FROM gs CROSS JOIN rows4
+      |  GROUP BY 1, 2),
+      |est AS (
+      |  SELECT e.g, min(coalesce(c.cm_cnt, 0)) AS est_n
+      |  FROM exact e CROSS JOIN rows4 r
+      |  LEFT JOIN cells c ON c.cm_row = r.cm_row AND c.cm_col =
+      |    ('0x' || substr(md5('0:' || CAST(r.cm_row AS VARCHAR) || '#' || e.g), 1, 15))::BIGINT
+      |      % 1024
+      |  GROUP BY e.g)
+      |SELECT exact.g, exact_n, est_n, est_n >= exact_n AS overcount_ok
+      |FROM exact JOIN est USING (g)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("text_ngram_topk", ngramTopk, Some(ngramTopkSql)),
     Entry("text_vocab", vocab, Some(vocabSql)),
     Entry("text_encode", encode, Some(encodeSql)),
     Entry("text_oov", oov, Some(oovSql)),

@@ -582,6 +582,31 @@ class OpsSpec extends SparkSpec {
       4L -> ((4L, 2L))))
   }
 
+  test("count-min estimates never undercount and are exact at collision-free width") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val stream = CountMin.ngramStream(docs, "doc_id", "text", n = 1)
+    val exact = stream.groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wide = CountMin.estimate(
+      CountMin.sketch(stream, "g", depth = 3, width = 4096),
+      stream.distinct(), "g", depth = 3, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == exact) // no collisions at width 4096
+    val narrow = CountMin.estimate(
+      CountMin.sketch(stream, "g", depth = 2, width = 2),
+      stream.distinct(), "g", depth = 2, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) => assert(narrow(g) >= n, s"undercount for $g") }
+  }
+
+  test("ngram stream is the occurrence multiset; topK ties break by gram") {
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    // bigram occurrences: "x y"×3, "y x"×1, "y z"×1
+    val top = CountMin.topKNgrams(docs, "doc_id", "text", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("x y", 3L), ("y x", 1L)))
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     def hex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
