@@ -148,6 +148,47 @@ object Dedup {
     verifiedJaccard(allPairs, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard similarity join at scale via prefix filtering
+    * (the PPJoin family, Xiao et al.) — same results as
+    * [[ngramJaccardPairs]] (recall 1.0, unlike [[minhashLshPairs]]'s
+    * probabilistic candidates), but candidate pairs come only from the
+    * PREFIX of each document's gram set: grams ordered globally by
+    * (document frequency asc, gram) — rarest first — of which the first
+    * `|S| − floor(t·|S|) + 1` per document are kept. Two documents with
+    * Jaccard ≥ t MUST share a prefix gram under any common total order
+    * (pigeonhole on the ≥ t/(1+t)·(|S|+|T|) shared grams), so nothing
+    * is missed; `floor` (vs the tight `ceil`) costs at most one extra
+    * prefix gram and keeps the bound safe under float rounding. The
+    * size filter `t·|S| ≤ |T| ≤ |S|/t` prunes the rest. Hot boilerplate
+    * grams are by construction LAST in the frequency order, so the
+    * candidate join never explodes on them — the skew profile the
+    * banded-LSH path handles with mega-bucket caps simply doesn't
+    * arise.
+    */
+  def ngramJaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sh = shingleRows(df, idCol, textCol, n)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))
+    val prefixes = sh
+      .join(freq, Seq("g"))
+      .withColumn("__r", row_number().over(byRarity))
+      .join(counts, Seq("id"))
+      .filter(col("__r") <=
+        col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("g"), col("n_sh"))
+    val cand = prefixes.as("x")
+      .join(prefixes.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+          col("y.n_sh") * lit(threshold) <= col("x.n_sh") &&
+          col("x.n_sh") * lit(threshold) <= col("y.n_sh"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifiedJaccard(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
   /** Exact Jaccard for given (id_a, id_b) pairs from shingle rows:
     * |intersection| via a g-equi-join restricted to the pairs,
     * |union| = n_a + n_b − |intersection|. Codegen'd joins/aggregates

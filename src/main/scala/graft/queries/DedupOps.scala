@@ -48,6 +48,34 @@ object DedupOps {
       |JOIN counts b ON id_b = b.doc_id
       |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.05""".stripMargin
 
+  // Prefix-filtered EXACT Jaccard join (PPJoin family) over the whole
+  // corpus — recall 1.0, so the oracle is the PLAIN quadratic join: the
+  // prefix+size filters must be invisible in the result.
+  private val jaccardPrefix: Q = (s, dir) =>
+    Dedup.ngramJaccardPrefixPairs(
+      Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  private val jaccardPrefixSql =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+      |  FROM docs WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |counts AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+      |common AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+      |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN counts a ON id_a = a.doc_id
+      |JOIN counts b ON id_b = b.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.3""".stripMargin
+
   // MinHash + LSH near-dup candidates, Jaccard-verified. The md5 hash
   // family makes signatures, band hashes, bucket caps AND the verify
   // join all SQL-expressible — the oracle recomputes the full pipeline.
@@ -444,5 +472,6 @@ object DedupOps {
     Entry("dedup_paragraphs", paragraphs, Some(paragraphsSql)),
     Entry("dedup_decontaminate", decontaminate, Some(decontaminateSql)),
     Entry("dedup_contamination_score", contamination, Some(contaminationSql)),
+    Entry("dedup_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
   )
 }

@@ -607,6 +607,23 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq == Seq(("x y", 3L), ("y x", 1L)))
   }
 
+  test("prefix-filtered jaccard join equals the quadratic join exactly") {
+    // near-dup families + singletons + shared boilerplate tail (a hot
+    // gram that must not explode the prefix join)
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon doc$i common tail boilerplate")
+    } ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta common tail boilerplate"),
+      (101L, "totally different words here nothing shared at all"),
+      (102L, "totally different words here nothing shared at most"))).toDF("doc_id", "text")
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = t)
+      val pref = Dedup.ngramJaccardPrefixPairs(docs, "doc_id", "text", n = 3, threshold = t)
+      assert(pref.count() == exact.count(), s"count at t=$t")
+      assert(pref.except(exact).isEmpty && exact.except(pref).isEmpty, s"rows at t=$t")
+    }
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     def hex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
