@@ -166,27 +166,66 @@ object Dedup {
     * arise.
     */
   def ngramJaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double): DataFrame =
+    ngramJaccardPrefixPairsManaged(df, idCol, textCol, n, threshold)._1
+
+  /** As [[ngramJaccardPrefixPairs]], plus the unpersist thunk for the
+    * internal shingle cache (read by the prefix pass and all three
+    * verify joins — ~7 shingle-window recomputations without it). The
+    * plain form leaves release to the context cleaner on plan GC;
+    * long-lived sessions should call the thunk after materializing.
+    */
+  def ngramJaccardPrefixPairsManaged(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    // Epsilon on every float boundary below: t·|S| for integer-valued
+    // t·|S| can land one ulp HIGH in binary (0.3 × 10 = 3.0000…04),
+    // which would wrongly prune a boundary pair. The slack only ever
+    // ADMITS extra candidates — the exact verify pass disposes of them.
+    val eps = 1e-9
     val sh = shingleRows(df, idCol, textCol, n)
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    val byRarity = Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doc-frequency and set size via windows — one shuffle on g, one on
+    // id (the rank sort reuses the id partitioning), no joins
+    val byId = Window.partitionBy(col("id"))
+    val byRarity = byId.orderBy(col("__df"), col("g"))
     val prefixes = sh
-      .join(freq, Seq("g"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("n_sh", count(lit(1)).over(byId))
       .withColumn("__r", row_number().over(byRarity))
-      .join(counts, Seq("id"))
       .filter(col("__r") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("g"), col("n_sh"))
+      .select(col("id"), col("g"), col("n_sh"), col("__r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // position filter: at the FIRST gram a truly-similar pair shares,
+    // overlap ≤ min(suffix lengths incl. the gram) must still clear the
+    // t/(1+t)·(|Sx|+|Sy|) intersection bound — rows for later shared
+    // grams may fail it, but the first-gram row survives, so the pair
+    // does too (distinct below).
+    val minOverlap = (lit(threshold) / (lit(1.0) + lit(threshold))) *
+      (col("x.n_sh") + col("y.n_sh")) - lit(eps)
     val cand = prefixes.as("x")
       .join(prefixes.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
-          col("y.n_sh") * lit(threshold) <= col("x.n_sh") &&
-          col("x.n_sh") * lit(threshold) <= col("y.n_sh"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          col("y.n_sh") * lit(threshold) <= col("x.n_sh") + lit(eps) &&
+          col("x.n_sh") * lit(threshold) <= col("y.n_sh") + lit(eps) &&
+          (least(col("x.n_sh") - col("x.__r"), col("y.n_sh") - col("y.__r"))
+            + 1 >= minOverlap))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
       .distinct()
-    verifiedJaccard(cand, sh).filter(col("jaccard") >= threshold)
+    // sizes ride the candidates — the verify pass needs only the
+    // common-gram count, not another counts aggregate + two joins
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+    (common.filter(col("jaccard") >= threshold),
+      () => { sh.unpersist(); prefixes.unpersist(); () })
   }
 
   /** Exact Jaccard for given (id_a, id_b) pairs from shingle rows:
