@@ -188,4 +188,33 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed.head._2 ==
       "The cat sat here quietly.\nAnd the dog kept watch all night.")
   }
+
+  test("streaming count-min sketch accumulates across micro-batches to the batch sketch") {
+    // the CMS cell grid is the canonical BOUNDED streaming state:
+    // ≤ depth×width cells however many distinct terms flow through —
+    // complete-mode aggregation never grows past the grid
+    val batch1 = Seq((1L, "a b a"), (2L, "b c"))
+    val batch2 = Seq((3L, "a d d"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.CountMin.sketch(
+        graft.ops.CountMin.ngramStream(df, "id", "text", n = 1),
+        "g", depth = 2, width = 16)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = shape(mem.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cms_stream")
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val batch = shape((batch1 ++ batch2).toDF("id", "text"))
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
