@@ -82,6 +82,27 @@ object Sampling {
       .drop("__wrank")
   }
 
+  /** Leakage-safe train/eval split: documents are split by the
+    * connected COMPONENT of their near-dup graph, not by their own id,
+    * so two near-duplicates can never straddle a split boundary — the
+    * eval-set hygiene rule (a train doc's near-dup in the test split is
+    * leakage that survives doc-keyed splitting). `pairs` is any
+    * near-dup pair set ([[Dedup.minhashLshPairs]], exact-dup pairs, …);
+    * documents absent from it are singletons split by their own id.
+    * Same deterministic md5 cuts as [[hashSplit]]; splits stay disjoint
+    * and exhaustive whatever the pair set.
+    */
+  def leakageSafeSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
+      weights: Seq[Double]): Seq[DataFrame] = {
+    require(!df.columns.contains("__lss_key") && !df.columns.contains("component"),
+      "reserved column name collision (__lss_key / component)")
+    val comp = Dedup.connectedComponents(pairs).withColumnRenamed("id", keyCol)
+    val keyed = df.join(comp, Seq(keyCol), "left")
+      .withColumn("__lss_key", coalesce(col("component"), col(keyCol)))
+      .drop("component")
+    hashSplit(keyed, "__lss_key", weights).map(_.drop("__lss_key"))
+  }
+
   /** First 8 md5 hex digits of the stringified key → a deterministic
     * uniform draw. `openTop = false` (default) maps into (0, 1] — safe
     * under a single `-ln(u)` (u = 1 gives exactly 0); `openTop = true`

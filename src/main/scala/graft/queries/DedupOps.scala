@@ -76,6 +76,36 @@ object DedupOps {
       |JOIN counts b ON id_b = b.doc_id
       |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.3""".stripMargin
 
+  // Leakage-safe 80/20 split: split key is the connected component of
+  // the exact-duplicate graph (min doc_id per text group), so duplicate
+  // docs always land in the same split — the eval-hygiene rule. With
+  // exact-dup pairs the component is replayable as a window min, no
+  // iterative CC needed in the oracle.
+  private val leakageSplit: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val pairs = docs.filter(col("text").isNotNull)
+      .withColumn("__fp", md5(col("text")))
+      .withColumn("__keeper", min(col("doc_id")).over(byFp))
+      .filter(col("__keeper") =!= col("doc_id"))
+      .select(col("__keeper").as("id_a"), col("doc_id").as("id_b"))
+    val splits = graft.ops.Sampling.leakageSafeSplit(
+      docs, "doc_id", pairs, Seq(0.8, 0.2))
+    splits(0).select(col("doc_id"), lit(0).as("split"))
+      .unionByName(splits(1).select(col("doc_id"), lit(1).as("split")))
+  }
+  private val leakageSplitSql = {
+    val cut = graft.ops.Sampling.hexThreshold(0.8)
+    s"""WITH comp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN doc_id
+       |         ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS key
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN md5(CAST(key AS VARCHAR)) < '$cut' THEN 0 ELSE 1 END AS split
+       |FROM comp""".stripMargin
+  }
+
   // MinHash + LSH near-dup candidates, Jaccard-verified. The md5 hash
   // family makes signatures, band hashes, bucket caps AND the verify
   // join all SQL-expressible — the oracle recomputes the full pipeline.
@@ -473,5 +503,6 @@ object DedupOps {
     Entry("dedup_decontaminate", decontaminate, Some(decontaminateSql)),
     Entry("dedup_contamination_score", contamination, Some(contaminationSql)),
     Entry("dedup_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
+    Entry("dedup_leakage_split", leakageSplit, Some(leakageSplitSql)),
   )
 }

@@ -624,6 +624,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split keeps every near-dup component in one split") {
+    val docs = (0 until 400).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    // chain components: (0,1,2), (3,4,5), ... via pair rows
+    val pairs = (0 until 399 by 3).flatMap(i =>
+      Seq((i.toLong, i + 1L), (i + 1L, i + 2L))).toDF("id_a", "id_b")
+    val Seq(train, eval_) =
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs, Seq(0.8, 0.2))
+    val t = train.select("doc_id").as[Long].collect().toSet
+    val e = eval_.select("doc_id").as[Long].collect().toSet
+    assert((t & e).isEmpty && (t ++ e).size == 400) // disjoint, exhaustive
+    // no component straddles the boundary
+    (0 until 399 by 3).foreach { i =>
+      val comp = Set(i.toLong, i + 1L, i + 2L)
+      assert(comp.subsetOf(t) || comp.subsetOf(e), s"component at $i straddles")
+    }
+    assert(t.size > 200 && e.size > 20) // both splits materially populated
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     def hex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
