@@ -83,7 +83,12 @@ object SkewJoin {
       .collect()
     if (hotRows.isEmpty) return left.join(right, keys, joinType)
     // literal predicate: OR over hot tuples of AND over key equalities —
-    // codegen'd map-side filter, no extra shuffle on either side
+    // codegen'd map-side filter, no extra shuffle on either side. For
+    // single-column keys the equalities even reach the parquet scan as
+    // PushedFilters (verified on q_hotkey_join's plan: the hot branch
+    // scans only hot-key row groups, the cold branch pushes the
+    // negations) — a split via join against a hot-keys DataFrame could
+    // never push down.
     val hotPred = hotRows.map { r =>
       keys.zipWithIndex.map { case (k, i) =>
         if (r.isNullAt(i)) col(k).isNull else col(k) <=> lit(r.get(i))
