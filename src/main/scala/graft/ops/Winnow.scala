@@ -43,19 +43,26 @@ object Winnow {
       .filter(col("__gh").isNotNull)
     val ahead = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val windowed = grams
-      .withColumn("__wmin", min(col("__gh")).over(ahead))
-      .withColumn("__wcnt", count(lit(1)).over(ahead))
+    val byId = Window.partitionBy(col(idCol))
     // complete windows select their min; short documents (< w grams
     // in total ⇒ no complete window anywhere) fall back to the global
-    // min, which is exactly the widest prefix window's min.
-    val complete = windowed.filter(col("__wcnt") === w)
-      .select(col(idCol), col("__wmin").as("fingerprint"))
-    val short = grams.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__cnt"), min(col("__gh")).as("fingerprint"))
-      .filter(col("__cnt") < w)
-      .select(col(idCol), col("fingerprint"))
-    complete.unionByName(short).distinct()
+    // min, which is exactly the widest prefix window's min. The
+    // fallback rides the SAME window pass (whole-doc count + min share
+    // the id partitioning — no sort of their own): a short doc emits
+    // its global min on every gram row and the distinct collapses
+    // them, which beats a second positioned-gram evaluation + union
+    // (the previous formulation ran the tokenize+window pipeline
+    // twice).
+    grams
+      .withColumn("__wmin", min(col("__gh")).over(ahead))
+      .withColumn("__wcnt", count(lit(1)).over(ahead))
+      .withColumn("__tot", count(lit(1)).over(byId))
+      .withColumn("__gmin", min(col("__gh")).over(byId))
+      .filter(col("__wcnt") === w || col("__tot") < w)
+      .select(col(idCol),
+        when(col("__tot") < w, col("__gmin"))
+          .otherwise(col("__wmin")).as("fingerprint"))
+      .distinct()
   }
 
   /** Cross-document candidate pairs: documents sharing at least
