@@ -394,6 +394,34 @@ object Dedup {
     corpus.join(losers, corpus(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** As [[removeNearDuplicates]], but each duplicate cluster keeps its
+    * BEST document by `scoreCol` (max score, ties by smallest id)
+    * instead of its smallest id — the representative-selection policy
+    * of quality-aware pipelines (keep the longest / highest-quality
+    * member, drop the rest). Rows in no pair survive untouched; null
+    * scores sort last.
+    *
+    * Scale shape: components label the pair graph only; the corpus
+    * contributes (id, score) pairs to a component-keyed argmax window
+    * whose input is duplicate-cluster members ONLY (a semi-join-sized
+    * slice), then one narrow anti-join removes the losers. Bodies
+    * never ride any shuffle.
+    */
+  def keepBestOfCluster(corpus: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, idA, idB)
+    val members = corpus
+      .select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(comp, Seq("id"))
+    val byComp = Window.partitionBy(col("component"))
+      .orderBy(col("__score").desc_nulls_last, col("id"))
+    val losers = members
+      .withColumn("__rk", row_number().over(byComp))
+      .filter(col("__rk") =!= 1)
+      .select(col("id").as("__dup_id"))
+    corpus.join(losers, corpus(idCol) === col("__dup_id"), "left_anti")
+  }
+
   /** Benchmark decontamination (the eval-leakage guard every training
     * pipeline needs): drop every corpus document that shares ANY word
     * n-gram with the reference (benchmark/eval) set.

@@ -106,6 +106,37 @@ object DedupOps {
        |FROM comp""".stripMargin
   }
 
+  // Quality-aware representative selection: clusters are normalized-
+  // text exact duplicates (case/whitespace-insensitive), each keeps its
+  // LONGEST member (n_chars desc, ties by id) — the keep-best policy,
+  // vs remove_neardups' keep-smallest-id.
+  private val keepBest: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val pairs = docs.filter(col("text").isNotNull)
+      .withColumn("__fp", md5(norm))
+      .withColumn("__keeper", min(col("doc_id")).over(byFp))
+      .filter(col("__keeper") =!= col("doc_id"))
+      .select(col("__keeper").as("id_a"), col("doc_id").as("id_b"))
+    Dedup.keepBestOfCluster(docs, "doc_id", "n_chars", pairs)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+  private val keepBestSql =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |    n_chars
+      |  FROM documents WHERE text IS NOT NULL),
+      |ranked AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY fp
+      |                       ORDER BY n_chars DESC NULLS LAST, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY fp) AS csz
+      |  FROM norm)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE csz > 1 AND rk <> 1)""".stripMargin
+
   // MinHash + LSH near-dup candidates, Jaccard-verified. The md5 hash
   // family makes signatures, band hashes, bucket caps AND the verify
   // join all SQL-expressible — the oracle recomputes the full pipeline.
@@ -504,5 +535,6 @@ object DedupOps {
     Entry("dedup_contamination_score", contamination, Some(contaminationSql)),
     Entry("dedup_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Entry("dedup_leakage_split", leakageSplit, Some(leakageSplitSql)),
+    Entry("dedup_keep_best", keepBest, Some(keepBestSql)),
   )
 }

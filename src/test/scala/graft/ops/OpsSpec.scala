@@ -642,6 +642,18 @@ class OpsSpec extends SparkSpec {
     assert(t.size > 200 && e.size > 20) // both splits materially populated
   }
 
+  test("keep-best-of-cluster keeps the argmax by score, ties by id, nulls last") {
+    val corpus = Seq(
+      (1L, Some(10L)), (2L, Some(30L)), (3L, Some(30L)), // cluster A: 2 wins tie vs 3
+      (4L, None), (5L, Some(1L)),                        // cluster B: 5 wins (null last)
+      (6L, Some(99L))                                    // singleton survives
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestOfCluster(corpus, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L, 6L))
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     def hex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
