@@ -355,7 +355,30 @@ object CorpusOps {
       |SELECT DISTINCT doc_id, fingerprint FROM (
       |  SELECT * FROM complete UNION ALL SELECT * FROM short)""".stripMargin
 
+  // Corpus profile: the per-source/lang report every pipeline run
+  // opens with — doc counts, char totals/means, null-text counts, with
+  // ROLLUP subtotals and grand total. grouping_id disambiguates rollup
+  // nulls from data nulls so the report is unambiguous whatever the
+  // fixture holds. One pass, map-side combinable.
+  private val profile: Q = (s, dir) =>
+    graft.Tables.load(s, dir, "documents")
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        round(avg(col("n_chars")), 4).as("chars_mean"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"),
+        grouping_id().as("gid"))
+
+  private val profileSql =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+      |  round(avg(n_chars), 4) AS chars_mean,
+      |  CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS null_texts,
+      |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+      |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("corpus_profile", profile, Some(profileSql)),
     Entry("text_quality_model", qualityModel, Some(qualityModelSql)),
     Entry("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Entry("text_gopher_rules", gopher, Some(gopherSql)),
