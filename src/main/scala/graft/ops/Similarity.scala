@@ -72,9 +72,21 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame =
-    topK(scorePairs(
+    topK(cosineScores(corpus, idCol, vecCol, queries, qidCol, qvecCol), k)
+
+  /** The UNCUT exact scored side: every (query_id, neighbor_id,
+    * cos_sim) pair, self-match excluded — for consumers that apply
+    * their own selection rule (e.g. [[Fusion.rrfFuse]] pools on
+    * ROUNDED scores: a top-k pre-cut on raw floats here would decide
+    * the pool boundary before the rounding can absorb float noise).
+    * No shuffle of its own — downstream TakeOrderedAndProject or
+    * aggregation does the cutting.
+    */
+  def cosineScores(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String): DataFrame =
+    scorePairs(
       corpusSide(corpus, idCol, vecCol)
-        .crossJoin(broadcast(querySide(queries, qidCol, qvecCol)))), k)
+        .crossJoin(broadcast(querySide(queries, qidCol, qvecCol))))
 
   // --- IVF -----------------------------------------------------------
 

@@ -60,8 +60,10 @@ object SkewJoin {
     * sentinel ids): one cheap TakeOrderedAndProject recon pass over the
     * left keys, then two joins neither of which holds a straggler
     * partition. AQE's skew split covers the same ground reactively;
-    * this form is deterministic and works where AQE can't re-plan
-    * (streaming, pinned exchanges).
+    * this form is deterministic and works with AQE disabled or the
+    * exchange pinned. BATCH-ONLY: the recon pass collects, which a
+    * streaming left side cannot do — a streaming caller must split on
+    * hot keys recon'd from a prior batch.
     *
     * Null key tuples never match in an equi-join; they ride the cold
     * path (preserving their left-outer behavior). Inner/left only —

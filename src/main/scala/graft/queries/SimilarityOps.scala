@@ -316,9 +316,12 @@ object SimilarityOps {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "stream"))
       .select(col("doc_id"), col("bm25").as("score"))
+    // UNCUT scored side: rrfFuse pools on ROUNDED scores, so a raw-
+    // float top-k pre-cut here would decide the pool boundary before
+    // the rounding can absorb cross-engine float noise
     val emb = Tables.load(s, dir, "embeddings")
-    val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+    val dense = Similarity.cosineScores(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding")
       .select(col("neighbor_id").as("doc_id"), col("cos_sim").as("score"))
     graft.ops.Fusion.rrfFuse(Seq(lex, dense), "doc_id", "score",
       k = 15, poolSize = 50, scoreScale = 5)

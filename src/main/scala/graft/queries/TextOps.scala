@@ -700,9 +700,17 @@ object TextOps {
   // oracle replays cells and estimates; overcount_ok is the CMS
   // one-sided guarantee (estimates never undercount).
   private val ngramTopk: Q = (s, dir) => {
+    import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val stream = graft.ops.CountMin.ngramStream(docs, "doc_id", "text", n = 2)
-    val exact = graft.ops.CountMin.topKNgrams(docs, "doc_id", "text", n = 2, k = 20)
+    // the exact top-20 is collected to a LITERAL frame: it seeds both
+    // the estimate probe and the final join, and as a plan subtree it
+    // would re-run the tokenize+lead+aggregate pass once per consumer
+    // (the sketch pass below is then the only other full-stream scan)
+    val exactRows = graft.ops.CountMin
+      .topKNgrams(docs, "doc_id", "text", n = 2, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = exactRows.toSeq.toDF("g", "exact_n")
     val sk = graft.ops.CountMin.sketch(stream, "g", depth = 4, width = 1024,
       family = graft.ops.Md5Family)
     val est = graft.ops.CountMin.estimate(sk, exact.select("g"), "g",
