@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads ride through the engine as
@@ -133,4 +133,101 @@ object Multimodal {
     df.select(col(idCol),
       length(col(payloadCol).cast("binary")).as("n_bytes"),
       md5(col(payloadCol).cast("binary")).as("digest"))
+
+  /** Frame sampling over an opaque fixed-frame binary column (the
+    * video-ingest plumbing): every `every`-th complete `frameBytes`
+    * slice comes out as its own row — (id, frame_idx, byte_start,
+    * frame). Pure column algebra (sequence + explode + substr on
+    * binary): row-local, shuffle-free, scales with input splits, and
+    * exactly replayable in SQL. A real container (MP4/MKV) would swap
+    * the fixed stride for the container's frame index — the pipeline
+    * shape (explode to frame rows, slice bytes, feed per-frame
+    * decode/features downstream) is identical.
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, every: Int): DataFrame = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    require(every > 0, "every must be positive")
+    val payload = col(payloadCol).cast("binary")
+    df.select(col(idCol), payload.as("__mm_p"))
+      .filter(length(col("__mm_p")) >= frameBytes)
+      .select(col(idCol), col("__mm_p"),
+        explode(sequence(lit(0),
+          (length(col("__mm_p")) / frameBytes).cast("int") - 1,
+          lit(every))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        (col("frame_idx") * frameBytes).cast("long").as("byte_start"),
+        col("__mm_p").substr(col("frame_idx") * frameBytes + 1,
+          lit(frameBytes)).as("frame"))
+  }
+
+  /** Aspect-preserving resize PLAN from the sniffed header: images
+    * whose longest side exceeds `maxDim` get integer-division target
+    * dims (longest side → `maxDim`, never upscaled, floor ≥ 1);
+    * undecodable payloads pass through with (-1, -1). All-integer
+    * math — deterministic on any engine. The pixel resample itself
+    * would need a codec; a pruning/routing pipeline needs exactly this
+    * plan (skip / resize-to / pass-through) per asset.
+    */
+  def resizePlan(df: DataFrame, idCol: String, payloadCol: String,
+      maxDim: Int): DataFrame = {
+    require(maxDim > 0, "maxDim must be positive")
+    val m = decodeImageMeta(df, idCol, payloadCol).toDF()
+    val longest = greatest(col("width"), col("height"))
+    // integer `div`, not float division-then-truncate: a quotient one
+    // ulp above an integer boundary would round up and shift a target
+    // dim by one pixel between engines
+    val scaled = (c: String) => greatest(lit(1),
+      expr(s"CAST((CAST($c AS BIGINT) * $maxDim) DIV GREATEST(width, height) AS INT)"))
+    m.select(col("id"), col("format"), col("width"), col("height"),
+      when(col("width") < 0, lit(-1))
+        .when(longest <= maxDim, col("width"))
+        .otherwise(scaled("width")).as("out_w"),
+      when(col("height") < 0, lit(-1))
+        .when(longest <= maxDim, col("height"))
+        .otherwise(scaled("height")).as("out_h"))
+  }
+
+  final case class ByteFeatures(
+      id: Long, n_bytes: Int, entropy_milli: Long, hist: Array[Long])
+
+  /** Content features from raw bytes, no codec: a `bins`-bin byte
+    * histogram and Shannon entropy in milli-bits — the cheap
+    * compressibility/corruption signal (encrypted/compressed payloads
+    * sit near 8000 milli-bits, text and bitmaps far lower). Same
+    * single-iterator-pass batch shape as [[decodeImageMeta]] (the
+    * `mapInPandas` analogue); the histogram vector feeds the embedding
+    * ops ([[VectorAgg]], [[Similarity]]) as a feature column.
+    */
+  def byteFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      bins: Int = 16): Dataset[ByteFeatures] = {
+    require(bins >= 2 && bins <= 256 && 256 % bins == 0,
+      "bins must divide 256")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = 256 / bins
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Long](bins)
+          val n = if (bytes == null) 0 else bytes.length
+          var i = 0
+          while (i < n) { hist((bytes(i) & 0xff) / width) += 1; i += 1 }
+          var entBits = 0.0
+          if (n > 0) {
+            var b = 0
+            while (b < bins) {
+              val c = hist(b)
+              if (c > 0) {
+                val p = c.toDouble / n
+                entBits -= p * math.log(p) / math.log(2.0)
+              }
+              b += 1
+            }
+          }
+          ByteFeatures(id, n, math.floor(entBits * 1000).toLong, hist)
+        }
+      }
+  }
 }

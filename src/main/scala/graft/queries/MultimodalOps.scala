@@ -35,8 +35,10 @@ object MultimodalOps {
   private def le32(n: Column) =
     concat(le16(pmod(n, lit(65536))), le16((n.cast("long") / 65536).cast("int")))
 
-  private val decode: Q = (s, dir) => {
-    val docs = Tables.load(s, dir, "documents")
+  /** The synthesized container payloads (see object doc), shared by the
+    * decode and resize-plan gates: (doc_id, payload binary).
+    */
+  private def synthPayloads(docs: org.apache.spark.sql.DataFrame) = {
     val w = (lit(16) + pmod(col("doc_id"), lit(101))).cast("int")
     val h = (lit(16) + pmod(col("doc_id") * 7, lit(97))).cast("int")
     // 16 opaque payload bytes after each header, from the doc text.
@@ -63,9 +65,12 @@ object MultimodalOps {
       .when(pmod(col("doc_id"), lit(4)) === 1, gif)
       .when(pmod(col("doc_id"), lit(4)) === 2, jpeg)
       .otherwise(bmp)
+    docs.select(col("doc_id"), unhex(payloadHex).as("payload"))
+  }
+
+  private val decode: Q = (s, dir) => {
     Multimodal.decodeImageMeta(
-        docs.select(col("doc_id"), unhex(payloadHex).as("payload")),
-        "doc_id", "payload")
+        synthPayloads(Tables.load(s, dir, "documents")), "doc_id", "payload")
       .toDF()
       .select(col("id").as("doc_id"), col("format"), col("width"), col("height"))
   }
@@ -77,8 +82,68 @@ object MultimodalOps {
       |  CAST(16 + (doc_id * 7) % 97 AS INTEGER) AS height
       |FROM documents""".stripMargin
 
+  // Resize PLAN over the same synthesized containers: longest side
+  // capped at 64, integer `div` scaling, no upscale — the oracle
+  // derives the plan from the same attribute math as decodeSql.
+  private val resize: Q = (s, dir) =>
+    Multimodal.resizePlan(
+        synthPayloads(Tables.load(s, dir, "documents")), "doc_id", "payload",
+        maxDim = 64)
+      .withColumnRenamed("id", "doc_id")
+
+  private val resizeSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |                    WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
+      |    CAST(16 + doc_id % 101 AS INTEGER) AS width,
+      |    CAST(16 + (doc_id * 7) % 97 AS INTEGER) AS height
+      |  FROM documents)
+      |SELECT doc_id, format, width, height,
+      |  CASE WHEN GREATEST(width, height) <= 64 THEN width
+      |       ELSE GREATEST(1, CAST((CAST(width AS BIGINT) * 64)
+      |                             // GREATEST(width, height) AS INTEGER)) END AS out_w,
+      |  CASE WHEN GREATEST(width, height) <= 64 THEN height
+      |       ELSE GREATEST(1, CAST((CAST(height AS BIGINT) * 64)
+      |                             // GREATEST(width, height) AS INTEGER)) END AS out_h
+      |FROM m""".stripMargin
+
+  // Frame sampling over an md5-synthesized "video" payload (variable
+  // frame count per doc): every 2nd 8-byte frame, replayed in SQL by
+  // hex-string slicing.
+  private val frames: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val hexPayload = concat(
+      md5(col("text")),
+      md5(concat(col("text"), lit("x"))),
+      md5(concat(col("text"), lit("y"))),
+      expr("repeat(md5(concat(text, 'z')), CAST(doc_id % 3 AS INT))"))
+    Multimodal.frameSample(
+        docs.select(col("doc_id"), unhex(hexPayload).as("payload")),
+        "doc_id", "payload", frameBytes = 8, every = 2)
+      .select(col("doc_id"), col("frame_idx"), col("byte_start"),
+        lower(hex(col("frame"))).as("frame_hex"))
+  }
+
+  private val framesSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    md5(text) || md5(text || 'x') || md5(text || 'y')
+      |      || repeat(md5(text || 'z'), CAST(doc_id % 3 AS INT)) AS hx
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (
+      |  SELECT doc_id, hx,
+      |    unnest(range(0, 6 + 2 * (doc_id % 3), 2)) AS frame_idx
+      |  FROM p)
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(frame_idx * 8 AS BIGINT) AS byte_start,
+      |  substr(hx, CAST(frame_idx * 16 + 1 AS INTEGER), 16) AS frame_hex
+      |FROM f""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("mm_binary_meta", meta, Some(metaSql)),
     Entry("mm_decode", decode, Some(decodeSql)),
+    Entry("mm_resize_plan", resize, Some(resizeSql)),
+    Entry("mm_frame_sample", frames, Some(framesSql)),
   )
 }

@@ -654,6 +654,49 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(2L, 5L, 6L))
   }
 
+  test("frame sampling slices every k-th complete frame; short payloads vanish") {
+    val p1 = (0 until 20).map(_.toByte).toArray // 2 complete 8-byte frames
+    val p2 = Array[Byte](1, 2, 3)               // shorter than one frame
+    val df = Seq((1L, p1), (2L, p2)).toDF("id", "payload")
+    val out = Multimodal.frameSample(df, "id", "payload", frameBytes = 8, every = 1)
+      .orderBy("id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getAs[Array[Byte]](3).toSeq))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0L, (0 until 8).map(_.toByte)),
+      (1L, 1, 8L, (8 until 16).map(_.toByte))))
+  }
+
+  test("resize plan: cap longest side, integer floor, no upscale, -1 passthrough") {
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640×480 (scales 2:1 at maxDim 320 → 320×240); GIF 100×50
+    // (under cap → unchanged); garbage (undecodable → -1)
+    val png = hex("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000 00000000")
+    val gif = hex("474946383961 6400 3200 F70000 AABB")
+    val bad = hex("00112233445566778899")
+    val df = Seq((1L, png), (2L, gif), (3L, bad)).toDF("id", "payload")
+    val out = Multimodal.resizePlan(df, "id", "payload", maxDim = 320)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    assert(out == Map(1L -> ((320, 240)), 2L -> ((100, 50)), 3L -> ((-1, -1))))
+  }
+
+  test("byte features: hand-computed histogram and entropy; vectors feed similarity") {
+    // 8 bytes: 4 in bin 0 (0x00-0x0F), 4 in bin 15 (0xF0-0xFF) → 1 bit entropy
+    val p = Array[Byte](0, 1, 2, 3, -1, -2, -3, -4)
+    val df = Seq((1L, p), (2L, Array[Byte]())).toDF("id", "payload")
+    val feats = Multimodal.byteFeatures(df, "id", "payload", bins = 16)
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(1L).hist.toSeq == Seq(4L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 4L))
+    assert(feats(1L).entropy_milli == 1000L) // exactly 1 bit
+    assert(feats(2L).n_bytes == 0 && feats(2L).entropy_milli == 0L)
+    // the histogram is a usable feature vector for the embedding ops
+    val vecs = Multimodal.byteFeatures(df, "id", "payload", bins = 16)
+      .toDF().select(col("id").as("vec_id"),
+        col("hist").cast("array<double>").as("embedding"))
+    assert(vecs.filter(size(col("embedding")) === 16).count() == 2)
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     def hex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
