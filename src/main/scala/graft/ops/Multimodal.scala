@@ -188,6 +188,64 @@ object Multimodal {
         .otherwise(scaled("height")).as("out_h"))
   }
 
+  final case class AudioMeta(
+      id: Long, n_bytes: Int, format: String, sample_rate: Int,
+      channels: Int, bits: Int, n_samples: Long)
+
+  /** WAV/RIFF header parse — a GENUINE chunk walk (skips LIST/fact/
+    * arbitrary chunks, respects odd-size padding) to the fmt and data
+    * chunks; no audio library, fixed-offset LE reads only. Returns
+    * ("wav", rate, channels, bits, samples) or ("unknown", -1, …) for
+    * anything malformed. n_samples = data size / block align (frames,
+    * i.e. per-channel samples).
+    */
+  def sniffWav(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
+    val bad = ("unknown", -1, -1, -1, -1L)
+    if (bytes == null || bytes.length < 12) return bad
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
+      return bad
+    if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return bad
+    var p = 12
+    var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
+    var dataLen = -1L
+    while (p + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
+      val cid = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val clen = le32(bytes, p + 4)
+      val body = p + 8
+      if (cid == "fmt ") {
+        if (clen < 16 || body + 16 > bytes.length) return bad
+        ch = le16(bytes, body + 2)
+        rate = le32(bytes, body + 4).toInt
+        blockAlign = le16(bytes, body + 12)
+        bits = le16(bytes, body + 14)
+      } else if (cid == "data") {
+        dataLen = clen
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      p = body + clen.toInt + (clen.toInt & 1)
+    }
+    if (rate <= 0 || ch <= 0 || bits <= 0 || blockAlign <= 0 || dataLen < 0) bad
+    else ("wav", rate, ch, bits, dataLen / blockAlign)
+  }
+
+  /** [[sniffWav]] over a DataFrame — same single-iterator-pass batch
+    * shape as [[decodeImageMeta]].
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          val (fmt, rate, ch, bits, samples) = sniffWav(bytes)
+          AudioMeta(id, n, fmt, rate, ch, bits, samples)
+        }
+      }
+  }
+
   final case class ByteFeatures(
       id: Long, n_bytes: Int, entropy_milli: Long, hist: Array[Long])
 

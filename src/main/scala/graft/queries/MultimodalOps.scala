@@ -140,10 +140,49 @@ object MultimodalOps {
       |  substr(hx, CAST(frame_idx * 16 + 1 AS INTEGER), 16) AS frame_hex
       |FROM f""".stripMargin
 
+  // Audio metadata over synthesized WAVs whose rate/channels/bits
+  // derive from doc attributes; a LIST chunk of varying (sometimes
+  // odd, hence padded) size sits before fmt so the REAL chunk walk is
+  // exercised. The oracle derives the expected fields independently.
+  private val audio: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val ch = (lit(1) + pmod(col("doc_id"), lit(2))).cast("int")
+    val bits = (lit(8) + pmod(col("doc_id"), lit(3)) * 8).cast("int")
+    val rate = (lit(8000) + pmod(col("doc_id"), lit(5)) * lit(8000)).cast("int")
+    val blockAlign = (ch * bits / lit(8)).cast("int")
+    val listLen = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
+    val listHex = concat(
+      expr("repeat('00', CAST(doc_id % 5 AS INT) + 1)"),
+      when(pmod(listLen, lit(2)) === 1, lit("00")).otherwise(lit("")))
+    val body = coalesce(md5(col("text")), lit("00112233445566778899aabbccddeeff"))
+    val wav = concat(
+      lit("52494646"), le32(lit(100)), lit("57415645"),
+      lit("4C495354"), le32(listLen), listHex,
+      lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(ch),
+      le32(rate), le32(rate * blockAlign), le16(blockAlign), le16(bits),
+      lit("64617461"), le32(lit(16)), body)
+    Multimodal.decodeAudioMeta(
+        docs.select(col("doc_id"), unhex(wav).as("payload")),
+        "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"), col("format"), col("sample_rate"),
+        col("channels"), col("bits"), col("n_samples"))
+  }
+
+  private val audioSql =
+    """SELECT doc_id, 'wav' AS format,
+      |  CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST(8 + (doc_id % 3) * 8 AS INTEGER) AS bits,
+      |  CAST(16 // ((1 + doc_id % 2) * (8 + (doc_id % 3) * 8) // 8) AS BIGINT)
+      |    AS n_samples
+      |FROM documents""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("mm_binary_meta", meta, Some(metaSql)),
     Entry("mm_decode", decode, Some(decodeSql)),
     Entry("mm_resize_plan", resize, Some(resizeSql)),
     Entry("mm_frame_sample", frames, Some(framesSql)),
+    Entry("mm_audio_meta", audio, Some(audioSql)),
   )
 }

@@ -697,6 +697,29 @@ class OpsSpec extends SparkSpec {
     assert(vecs.filter(size(col("embedding")) === 16).count() == 2)
   }
 
+  test("wav sniff walks chunks, honors odd-size padding, rejects malformed") {
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical: RIFF/WAVE, fmt (PCM stereo 44100 16-bit), data 8 bytes → 2 frames
+    val wav = hex("52494646 24000000 57415645" +
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+      "64617461 08000000 0011223344556677")
+    assert(Multimodal.sniffWav(wav) == ("wav", 44100, 2, 16, 2L))
+    // an ODD-size LIST chunk (3 bytes + pad) before fmt: the walk must
+    // skip 3+1 bytes, not 3
+    val padded = hex("52494646 24000000 57415645" +
+      "4C495354 03000000 AABBCC 00" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 06000000 001122334455")
+    assert(Multimodal.sniffWav(padded) == ("wav", 8000, 1, 16, 3L))
+    // malformed: wrong magic, truncated fmt, missing data
+    assert(Multimodal.sniffWav(hex("52494646 24000000 57415646"))._1 == "unknown")
+    assert(Multimodal.sniffWav(hex("52494646 24000000 57415645 666D7420 10000000 0100"))._1 == "unknown")
+    assert(Multimodal.sniffWav(hex("52494646 24000000 57415645" +
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000"))._1 == "unknown")
+    assert(Multimodal.sniffWav(null)._1 == "unknown")
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     def hex(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
