@@ -143,18 +143,30 @@ object Multimodal {
     * the fixed stride for the container's frame index — the pipeline
     * shape (explode to frame rows, slice bytes, feed per-frame
     * decode/features downstream) is identical.
+    *
+    * The index sequence materializes per row before the explode, so
+    * samples per payload are capped at `maxFrames` (frames past the
+    * cap are dropped — a 500 MB payload at a 188-byte TS-packet stride
+    * would otherwise build a multi-million-element array per record).
+    * Raise the cap deliberately when payloads are known-small.
     */
   def frameSample(df: DataFrame, idCol: String, payloadCol: String,
-      frameBytes: Int, every: Int): DataFrame = {
+      frameBytes: Int, every: Int, maxFrames: Int = 1 << 16): DataFrame = {
     require(frameBytes > 0, "frameBytes must be positive")
     require(every > 0, "every must be positive")
+    require(maxFrames > 0, "maxFrames must be positive")
+    require(maxFrames.toLong * every <= Int.MaxValue,
+      "maxFrames * every must fit in an int")
     val payload = col(payloadCol).cast("binary")
+    // integer `div` for the frame count — same engine-exactness rule
+    // as resizePlan's scaling
+    val lastIdx = least(
+      expr(s"CAST(length(__mm_p) DIV $frameBytes AS INT)") - 1,
+      lit(maxFrames * every - 1))
     df.select(col(idCol), payload.as("__mm_p"))
       .filter(length(col("__mm_p")) >= frameBytes)
       .select(col(idCol), col("__mm_p"),
-        explode(sequence(lit(0),
-          (length(col("__mm_p")) / frameBytes).cast("int") - 1,
-          lit(every))).as("frame_idx"))
+        explode(sequence(lit(0), lastIdx, lit(every))).as("frame_idx"))
       .select(col(idCol), col("frame_idx"),
         (col("frame_idx") * frameBytes).cast("long").as("byte_start"),
         col("__mm_p").substr(col("frame_idx") * frameBytes + 1,
@@ -179,11 +191,15 @@ object Multimodal {
     // dim by one pixel between engines
     val scaled = (c: String) => greatest(lit(1),
       expr(s"CAST((CAST($c AS BIGINT) * $maxDim) DIV GREATEST(width, height) AS INT)"))
+    // the (-1, -1) passthrough gates on EITHER dimension being
+    // non-positive: a half-parsed or degenerate header (negative be32,
+    // zero width) must yield a whole undecodable row, never half a plan
+    val badDim = col("width") <= 0 || col("height") <= 0
     m.select(col("id"), col("format"), col("width"), col("height"),
-      when(col("width") < 0, lit(-1))
+      when(badDim, lit(-1))
         .when(longest <= maxDim, col("width"))
         .otherwise(scaled("width")).as("out_w"),
-      when(col("height") < 0, lit(-1))
+      when(badDim, lit(-1))
         .when(longest <= maxDim, col("height"))
         .otherwise(scaled("height")).as("out_h"))
   }
@@ -206,24 +222,31 @@ object Multimodal {
       return bad
     if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
       return bad
-    var p = 12
+    // The cursor is a LONG and chunk sizes are kept unsigned: a lying
+    // 32-bit size (0xFFFFFFF8 → -8 as int) would otherwise stall the
+    // walk in place or overflow the cursor negative and read out of
+    // bounds — corrupt payloads must come back ("unknown", …), never
+    // hang or throw.
+    var p = 12L
     var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
     var dataLen = -1L
     while (p + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
-      val cid = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val clen = le32(bytes, p + 4)
+      val cid = new String(bytes, p.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val clen = le32(bytes, p.toInt + 4) // unsigned, in a Long
       val body = p + 8
       if (cid == "fmt ") {
         if (clen < 16 || body + 16 > bytes.length) return bad
-        ch = le16(bytes, body + 2)
-        rate = le32(bytes, body + 4).toInt
-        blockAlign = le16(bytes, body + 12)
-        bits = le16(bytes, body + 14)
+        ch = le16(bytes, body.toInt + 2)
+        rate = le32(bytes, body.toInt + 4).toInt
+        blockAlign = le16(bytes, body.toInt + 12)
+        bits = le16(bytes, body.toInt + 14)
       } else if (cid == "data") {
+        if (body + clen > bytes.length) return bad // lying data size
         dataLen = clen
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      p = body + clen.toInt + (clen.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte; p grows
+      // by >= 8 every iteration, so the walk always terminates
+      p = body + clen + (clen & 1L)
     }
     if (rate <= 0 || ch <= 0 || bits <= 0 || blockAlign <= 0 || dataLen < 0) bad
     else ("wav", rate, ch, bits, dataLen / blockAlign)

@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   private val base =
     "the quick brown fox jumps over the lazy dog again and again every day"
   private val docs = Seq(
@@ -665,11 +668,13 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 0, 0L, (0 until 8).map(_.toByte)),
       (1L, 1, 8L, (8 until 16).map(_.toByte))))
+    // maxFrames caps the per-row sample count (frames past it drop)
+    val capped = Multimodal.frameSample(df, "id", "payload",
+      frameBytes = 4, every = 1, maxFrames = 2)
+    assert(capped.filter(col("id") === 1).count() == 2) // of 5 complete frames
   }
 
   test("resize plan: cap longest side, integer floor, no upscale, -1 passthrough") {
-    def hex(s: String): Array[Byte] =
-      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     // PNG 640×480 (scales 2:1 at maxDim 320 → 320×240); GIF 100×50
     // (under cap → unchanged); garbage (undecodable → -1)
     val png = hex("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000 00000000")
@@ -698,8 +703,6 @@ class OpsSpec extends SparkSpec {
   }
 
   test("wav sniff walks chunks, honors odd-size padding, rejects malformed") {
-    def hex(s: String): Array[Byte] =
-      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     // canonical: RIFF/WAVE, fmt (PCM stereo 44100 16-bit), data 8 bytes → 2 frames
     val wav = hex("52494646 24000000 57415645" +
       "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
@@ -718,11 +721,21 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.sniffWav(hex("52494646 24000000 57415645" +
       "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000"))._1 == "unknown")
     assert(Multimodal.sniffWav(null)._1 == "unknown")
+    // adversarial chunk sizes: 0xFFFFFFF8 (-8 as int — would stall the
+    // walk in place) and 0x7FFFFFFF (would overflow an int cursor);
+    // both must terminate with "unknown", not hang or throw
+    assert(Multimodal.sniffWav(hex("52494646 24000000 57415645" +
+      "4A554E4B F8FFFFFF 00112233"))._1 == "unknown")
+    assert(Multimodal.sniffWav(hex("52494646 24000000 57415645" +
+      "4A554E4B FFFFFF7F 00112233"))._1 == "unknown")
+    // a data chunk claiming more bytes than the buffer holds is a lie,
+    // not a frame count
+    assert(Multimodal.sniffWav(hex("52494646 24000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 FF000000 0011"))._1 == "unknown")
   }
 
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
-    def hex(s: String): Array[Byte] =
-      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     // PNG 640×480: signature + IHDR with BE32 dims.
     assert(Multimodal.sniff(hex(
       "89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000 00000000"))
