@@ -159,15 +159,29 @@ object Dedup {
     * (pigeonhole on the ≥ t/(1+t)·(|S|+|T|) shared grams), so nothing
     * is missed; `floor` (vs the tight `ceil`) costs at most one extra
     * prefix gram and keeps the bound safe under float rounding. The
-    * size filter `t·|S| ≤ |T| ≤ |S|/t` prunes the rest. Hot boilerplate
-    * grams are by construction LAST in the frequency order, so the
-    * candidate join never explodes on them — the skew profile the
-    * banded-LSH path handles with mega-bucket caps simply doesn't
-    * arise.
+    * size filter `t·|S| ≤ |T| ≤ |S|/t` prunes the rest.
+    *
+    * Skew regime — be honest about it: hot boilerplate grams sit LAST
+    * in the frequency order, so they stay OUT of prefixes exactly when
+    * each document's rarer grams fill its prefix, i.e. when
+    * `floor(t·|S|)` exceeds the document's boilerplate gram count.
+    * Documents MOSTLY made of corpus-wide boilerplate push hot grams
+    * into their prefixes, and a hot prefix gram makes the equi-join
+    * enumerate its bucket quadratically (the position filter rejects
+    * the pairs but only after enumeration). `maxGramDocs` is the
+    * standard mega-bucket guard for that regime: prefix grams in more
+    * documents than the cap are dropped from candidate generation
+    * (observable via the "jaccard_prefix_grams" observation). The
+    * default keeps the cap off — recall exactly 1.0; with a cap, a
+    * pair is missed only if EVERY prefix gram it shares is hotter than
+    * the cap (boilerplate-only pairs — [[SpanDedup]]'s job, same
+    * division of labor as [[Winnow.candidatePairs]]).
     */
   def ngramJaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame =
-    ngramJaccardPrefixPairsManaged(df, idCol, textCol, n, threshold)._1
+      n: Int, threshold: Double,
+      maxGramDocs: Int = Int.MaxValue): DataFrame =
+    ngramJaccardPrefixPairsManaged(df, idCol, textCol, n, threshold,
+      maxGramDocs)._1
 
   /** As [[ngramJaccardPrefixPairs]], plus the unpersist thunk for the
     * internal shingle cache (read by the prefix pass and all three
@@ -176,8 +190,10 @@ object Dedup {
     * long-lived sessions should call the thunk after materializing.
     */
   def ngramJaccardPrefixPairsManaged(df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): (DataFrame, () => Unit) = {
+      textCol: String, n: Int, threshold: Double,
+      maxGramDocs: Int = Int.MaxValue): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(maxGramDocs > 0, "maxGramDocs must be positive")
     // Epsilon on every float boundary below: t·|S| for integer-valued
     // t·|S| can land one ulp HIGH in binary (0.3 × 10 = 3.0000…04),
     // which would wrongly prune a boundary pair. The slack only ever
@@ -195,6 +211,11 @@ object Dedup {
       .withColumn("__r", row_number().over(byRarity))
       .filter(col("__r") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+      .observe("jaccard_prefix_grams",
+        sum(when(col("__df") > maxGramDocs, 1L).otherwise(0L))
+          .as("dropped_prefix_grams"),
+        max(col("__df")).as("max_gram_docs"))
+      .filter(col("__df") <= maxGramDocs)
       .select(col("id"), col("g"), col("n_sh"), col("__r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // position filter: at the FIRST gram a truly-similar pair shares,

@@ -293,6 +293,47 @@ class VolumeStressSpec extends SparkSpec {
       r._4 == s"u${r._1} v${r._1} w${r._1}"), out.take(3).mkString(", "))
   }
 
+  test("prefix jaccard at 50k docs: a corpus-wide boilerplate tail stays out " +
+      "of rare-gram-filled prefixes; the cap guards the boilerplate-heavy regime") {
+    // 12 unique body tokens + a 6-token boilerplate tail per doc
+    // (18 tokens → 16 grams: 12 touch a unique token, 4 are pure
+    // boilerplate shared by ALL 50k docs). At t = 0.5 the prefix is
+    // 16 − 8 + 1 = 9 grams ≤ the 12 rare ones, so no hot gram enters
+    // any prefix and the candidate join sees only the planted twin —
+    // all-pairs on the shared grams would be ~1.25B enumerations.
+    // (Boilerplate-only overlap is 4/(32−4) ≈ 0.14 < 0.5, so the
+    // planted pair is also the TRUE answer.)
+    def corpus(ids: org.apache.spark.sql.DataFrame) = ids.select(col("id"),
+      concat(
+        Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k").map(p =>
+          concat(lit(p), col("id"), lit(" "))) :+
+        concat(lit("l"), col("id")) :+
+        lit(" all rights reserved legal terms apply"): _*).as("text"))
+    val docs = corpus(spark.range(0, 50000).toDF("id"))
+      .union(corpus(Seq(100007L).toDF("id"))
+        .select(col("id"), regexp_replace(col("text"), "100007", "7").as("text")))
+    val (pairs, release) = Dedup.ngramJaccardPrefixPairsManaged(
+      docs, "id", "text", n = 3, threshold = 0.5)
+    val out = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    release()
+    assert(out.toSeq == Seq((7L, 100007L)), out.take(5).mkString(", "))
+
+    // Boilerplate-DOMINATED docs (prefix overflows into hot grams):
+    // the maxGramDocs cap drops those grams from candidate generation
+    // instead of enumerating a 50k-doc bucket quadratically. The twin
+    // pair still surfaces via its rare grams.
+    val short = spark.range(0, 50000).select(col("id"),
+      concat(lit("u"), col("id"),
+        lit(" all rights reserved legal terms apply")).as("text"))
+      .union(Seq((100007L, "u7 all rights reserved legal terms apply"))
+        .toDF("id", "text"))
+    val (capped, release2) = Dedup.ngramJaccardPrefixPairsManaged(
+      short, "id", "text", n = 3, threshold = 0.5, maxGramDocs = 1000)
+    val outCapped = capped.select("id_a", "id_b").as[(Long, Long)].collect()
+    release2()
+    assert(outCapped.toSeq == Seq((7L, 100007L)), outCapped.take(5).mkString(", "))
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))
