@@ -48,6 +48,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Streaming-safe twin of [[shingleRows]]: the same distinct (id, g)
+    * rows built with ROW-LOCAL array lambdas instead of the
+    * posexplode + window-lead pass (streaming rejects non-time
+    * windows). ~5× slower in batch (interpreted higher-order
+    * functions — the reason the window form is the batch default);
+    * ops that accept streaming input switch to this form when
+    * `df.isStreaming`.
+    */
+  def shingleRowsRowLocal(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "shingle width out of range")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("__tk")) - n),
+        i => concat_ws(" ", (0 until n).map(j => col("__tk").getItem(i + j)): _*)
+      ))).as("g"))
+  }
+
   /** Array-valued shingles for one row (API/spec convenience — the
     * distributed paths use shingleRows).
     */
@@ -477,11 +496,20 @@ object Dedup {
     * Documents shorter than `n` tokens have no grams and are absent
     * from the output (same domain rule as [[decontaminate]], which
     * cannot flag them either).
+    *
+    * STREAMING-READY: a streaming corpus takes the row-local shingle
+    * path ([[shingleRowsRowLocal]] — window lead is rejected on
+    * streams), the gram join becomes a stream-static join against the
+    * (always static) reference, and the per-doc count is a streaming
+    * aggregate — the continuous-ingest decontamination shape.
     */
   def contaminationScore(corpus: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refIdCol: String, refTextCol: String,
       n: Int): DataFrame = {
-    val corpusShingles = shingleRows(corpus, idCol, textCol, n)
+    require(!reference.isStreaming, "the reference (benchmark) set must be static")
+    val corpusShingles =
+      if (corpus.isStreaming) shingleRowsRowLocal(corpus, idCol, textCol, n)
+      else shingleRows(corpus, idCol, textCol, n)
     val refShingles = shingleRows(reference, refIdCol, refTextCol, n)
       .select(col("g")).distinct().withColumn("__hit", lit(1))
     corpusShingles

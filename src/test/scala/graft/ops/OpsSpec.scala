@@ -568,6 +568,18 @@ class OpsSpec extends SparkSpec {
     assert(ranks == Map(2L -> 1L, 7L -> 2L, 10L -> 3L))
   }
 
+  test("row-local shingles equal the window-lead shingles exactly") {
+    val docs = Seq(
+      (1L, "a b c d a b c"), (2L, "  x   y  "), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "p q r")).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val win = Dedup.shingleRows(docs, "doc_id", "text", n)
+      val local = Dedup.shingleRowsRowLocal(docs, "doc_id", "text", n)
+      assert(local.except(win).isEmpty && win.except(local).isEmpty, s"n=$n")
+      assert(local.count() == win.count(), s"n=$n count")
+    }
+  }
+
   test("contamination score counts distinct reference-gram hits per doc") {
     val corpus = Seq(
       (1L, "a b c d"),        // grams: "a b c", "b c d"

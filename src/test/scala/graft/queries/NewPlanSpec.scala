@@ -108,6 +108,43 @@ class NewPlanSpec extends SparkSpec {
     }
   }
 
+  test("hot/cold join plan: the hot-tuple predicate reaches the parquet scan") {
+    // single-column keys: the literal OR-of-equalities must appear as
+    // PushedFilters on BOTH branches (hot equalities, cold negations) —
+    // the design reason for a literal predicate over a join-based split
+    val dir = java.nio.file.Files.createTempDirectory("graft_hk_").toString
+    try {
+      (0 until 2000).map(i => (i.toLong % 7, i))
+        .toDF("k", "v").write.mode("overwrite").parquet(dir)
+      val left = spark.read.parquet(dir)
+      val right = left.groupBy("k").count()
+      val plan = graft.ops.SkewJoin.hotKeyJoin(left, right, Seq("k"), hotKeys = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [Or(") ||
+        plan.contains("PushedFilters: [EqualNullSafe"), plan.take(2000))
+      assert(plan.contains("Not(EqualNullSafe"), plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    } finally {
+      graft.queries.DedupOps.deleteRecursivelyOnExit(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("rrf fusion nano-units are exact at 3+ sides regardless of union order") {
+    // the motivation for integer contributions: a float 1/(k0+r) sum is
+    // association-order-sensitive at 3+ sides; longs are exact
+    val a = Seq((1L, 3.0), (2L, 2.0)).toDF("id", "score")
+    val b = Seq((2L, 9.0), (3L, 8.0)).toDF("id", "score")
+    val c = Seq((2L, 0.5), (1L, 0.4)).toDF("id", "score")
+    // doc 2 ranks: 2nd on side a, 1st on b, 1st on c
+    val want = (1000000000L / 62) + (1000000000L / 61) + (1000000000L / 61)
+    val outs = (1 to 3).map { _ =>
+      graft.ops.Fusion.rrfFuse(Seq(a, b, c), "id", "score", k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(outs.forall(_ == outs.head), "fusion must be run-stable")
+    assert(outs.head(2L) == want, s"exact nano sum, got ${outs.head(2L)}")
+  }
+
   test("native vec_dot keeps brute-force scoring inside WholeStageCodegen") {
     val df = vecs(200)
     val q = df.filter($"vec_id" < 2)

@@ -189,6 +189,35 @@ class StreamingCorpusSpec extends SparkSpec {
       "The cat sat here quietly.\nAnd the dog kept watch all night.")
   }
 
+  test("streaming contamination score: micro-batches score against a static benchmark") {
+    // the continuous-ingest decontamination shape: the reference (eval
+    // benchmark) set is STATIC, the corpus streams; the gram join is a
+    // stream-static join and the per-doc count is a streaming agg
+    val ref = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val batch1 = Seq((1L, "a b c d"), (2L, "x y z"))
+    val batch2 = Seq((4L, "a b c a b c d"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.contaminationScore(df, "doc_id", "text", ref, "doc_id", "text", n = 3)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = shape(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("complete").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("contam_stream")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = shape((batch1 ++ batch2).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq((1L, 2L, 2L), (2L, 1L, 0L), (4L, 4L, 2L)))
+  }
+
   test("streaming count-min sketch accumulates across micro-batches to the batch sketch") {
     // the CMS cell grid is the canonical BOUNDED streaming state:
     // ≤ depth×width cells however many distinct terms flow through —
