@@ -48,13 +48,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Streaming-safe twin of [[shingleRows]]: the same distinct (id, g)
-    * rows built with ROW-LOCAL array lambdas instead of the
-    * posexplode + window-lead pass (streaming rejects non-time
-    * windows). ~5× slower in batch (interpreted higher-order
-    * functions — the reason the window form is the batch default);
-    * ops that accept streaming input switch to this form when
-    * `df.isStreaming`.
+  /** Streaming-safe twin of [[shingleRows]]: distinct (id, g) rows
+    * built with ROW-LOCAL array lambdas instead of the posexplode +
+    * window-lead pass (streaming rejects non-time windows). ~5× slower
+    * in batch (interpreted higher-order functions — the reason the
+    * window form is the batch default); ops that accept streaming
+    * input switch to this form when `df.isStreaming`.
+    *
+    * Scope of the distinct: PER ROW. An id that spans multiple input
+    * rows emits each row's grams (the window form dedupes globally
+    * across rows — a global distinct here would be a second stateful
+    * op, which streaming queries with a downstream aggregate cannot
+    * hold). Equivalent to the batch form when each id arrives on one
+    * row — the exactly-once delivery that checkpointed sources
+    * provide; at-least-once redelivery double-counts.
     */
   def shingleRowsRowLocal(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
@@ -230,7 +237,9 @@ object Dedup {
       .withColumn("__r", row_number().over(byRarity))
       .filter(col("__r") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
-      .observe("jaccard_prefix_grams",
+      // unique per call: a fixed name would bar two prefix joins from
+      // composing in one query plan (duplicate CollectMetrics)
+      .observe(s"jaccard_prefix_grams_${ObsId.next()}",
         sum(when(col("__df") > maxGramDocs, 1L).otherwise(0L))
           .as("dropped_prefix_grams"),
         max(col("__df")).as("max_gram_docs"))

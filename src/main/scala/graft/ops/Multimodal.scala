@@ -155,16 +155,23 @@ object Multimodal {
     require(frameBytes > 0, "frameBytes must be positive")
     require(every > 0, "every must be positive")
     require(maxFrames > 0, "maxFrames must be positive")
-    require(maxFrames.toLong * every <= Int.MaxValue,
-      "maxFrames * every must fit in an int")
     val payload = col(payloadCol).cast("binary")
+    // the cap bound clamps at Int.MaxValue in LONG arithmetic — frame
+    // indexes are ints anyway (a ≤2 GB binary holds < 2^31 frames), so
+    // a large stride times the default cap must not overflow into a
+    // spurious require failure
+    val capLast = math.min(maxFrames.toLong * every - 1, Int.MaxValue.toLong).toInt
     // integer `div` for the frame count — same engine-exactness rule
     // as resizePlan's scaling
-    val lastIdx = least(
-      expr(s"CAST(length(__mm_p) DIV $frameBytes AS INT)") - 1,
-      lit(maxFrames * every - 1))
+    val frameCount = expr(s"CAST(length(__mm_p) DIV $frameBytes AS INT)")
+    val lastIdx = least(frameCount - 1, lit(capLast))
     df.select(col(idCol), payload.as("__mm_p"))
       .filter(length(col("__mm_p")) >= frameBytes)
+      // capped payloads are observable, like every other drop cap here
+      .observe(s"frame_sample_${ObsId.next()}",
+        sum(when(frameCount - 1 > capLast, 1L).otherwise(0L))
+          .as("capped_payloads"),
+        max(frameCount).as("max_frames"))
       .select(col(idCol), col("__mm_p"),
         explode(sequence(lit(0), lastIdx, lit(every))).as("frame_idx"))
       .select(col(idCol), col("frame_idx"),
@@ -241,7 +248,11 @@ object Multimodal {
         blockAlign = le16(bytes, body.toInt + 12)
         bits = le16(bytes, body.toInt + 14)
       } else if (cid == "data") {
-        if (body + clen > bytes.length) return bad // lying data size
+        // the DECLARED size is trusted even when the buffer holds less
+        // — header-prefix sniffing (store the first N bytes, extract
+        // metadata) is a documented use, and the image decoders trust
+        // header-claimed dimensions the same way; a lying size yields a
+        // wrong n_samples, never a hang or a read past the buffer
         dataLen = clen
       }
       // chunks are word-aligned: odd sizes carry a pad byte; p grows

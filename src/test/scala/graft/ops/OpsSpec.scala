@@ -740,11 +740,12 @@ class OpsSpec extends SparkSpec {
       "4A554E4B F8FFFFFF 00112233"))._1 == "unknown")
     assert(Multimodal.sniffWav(hex("52494646 24000000 57415645" +
       "4A554E4B FFFFFF7F 00112233"))._1 == "unknown")
-    // a data chunk claiming more bytes than the buffer holds is a lie,
-    // not a frame count
+    // a data chunk extending past the buffer is TRUSTED (header-prefix
+    // sniffing stores only the first N bytes; the image decoders trust
+    // header-claimed dims the same way): 0xFF bytes / blockAlign 2
     assert(Multimodal.sniffWav(hex("52494646 24000000 57415645" +
       "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
-      "64617461 FF000000 0011"))._1 == "unknown")
+      "64617461 FF000000 0011")) == ("wav", 8000, 1, 16, 127L))
   }
 
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
