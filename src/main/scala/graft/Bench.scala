@@ -21,10 +21,24 @@ object Bench {
     // A crashed query must be visibly failed in the JSON, never an
     // innocuous-looking elapsed time: its per-query value is null and
     // it is listed under "failed".
+    //
+    // Each query is timed as the MEDIAN of `passes` runs (default 3):
+    // a single contention burst on a shared box then pollutes at most
+    // one pass, not the committed artifact. Failure semantics stay
+    // per-pass — the median is taken over successful passes only, and
+    // a query is "failed" only when every pass failed.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (times.isEmpty) (name, 0.0, false)
+      else {
+        val s = times.sorted
+        (name, s(s.length / 2), true)
+      }
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v.toString else "null")

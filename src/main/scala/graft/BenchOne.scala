@@ -9,6 +9,12 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: BenchOne <query> [sfDir] [runs]")
     val name = args(0)
+    // Validate BEFORE the session spins up — a typo'd name should die
+    // with the available names, not a NoSuchElementException after 10 s
+    // of Spark startup.
+    require(SparkEntry.queries.contains(name),
+      s"unknown query '$name'; available:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Explain <query> [sfDir]")
+    require(SparkEntry.queries.contains(args(0)),
+      s"unknown query '${args(0)}'; available:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
       .master("local[8]")

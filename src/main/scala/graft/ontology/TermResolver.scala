@@ -34,6 +34,13 @@ trait TermResolver extends Serializable {
 
   /** Resolve a CURIE-or-label within a resolution class ("hpo",
     * "disease", "assay", …). `None` = unknown term.
+    *
+    * CONTRACT: `None` means the term is AUTHORITATIVELY unknown.
+    * Transient failures (network errors, timeouts, 5xx) must THROW,
+    * never return `None` — [[CachedResolver]] memoizes misses for the
+    * executor's lifetime, so a `None` returned on a flaky request
+    * would poison the cache and silently drop that term from every
+    * subsequent packet built on that executor.
     */
   def resolveIn(scope: String, value: String): Option[(OntologyClass, Resource)]
 
@@ -177,9 +184,17 @@ object TermResolver {
       s"$className does not implement graft.ontology.TermResolver")
     val viaLib = cls.getConstructors.find(
       c => c.getParameterTypes.toSeq == Seq(classOf[BiDictLibrary]))
-    viaLib match {
+    try viaLib match {
       case Some(c) => c.newInstance(library).asInstanceOf[TermResolver]
       case None    => cls.getDeclaredConstructor().newInstance().asInstanceOf[TermResolver]
+    } catch {
+      // A package-private constructor or a constructor that throws
+      // otherwise surfaces as an opaque reflection error; name the
+      // class and the expected shapes like the require()s above do.
+      case e: ReflectiveOperationException => throw new IllegalArgumentException(
+        s"could not instantiate resolver $className: it must expose a PUBLIC " +
+          "(BiDictLibrary) or public no-arg constructor " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
     }
   }
 }

@@ -195,9 +195,12 @@ object Dedup {
     * into their prefixes, and a hot prefix gram makes the equi-join
     * enumerate its bucket quadratically (the position filter rejects
     * the pairs but only after enumeration). `maxGramDocs` is the
-    * standard mega-bucket guard for that regime: prefix grams in more
-    * documents than the cap are dropped from candidate generation
-    * (observable via the "jaccard_prefix_grams" observation). The
+    * standard mega-bucket guard for that regime: grams in more
+    * documents than the cap are removed by a broadcast anti-join
+    * BEFORE any shuffle — their occurrence rows never ride an
+    * exchange, so a corpus-wide boilerplate gram cannot pin a single
+    * task even while being discarded (observable via the
+    * "jaccard_prefix_grams" observation). The
     * default keeps the cap off — recall exactly 1.0; with a cap, a
     * pair is missed only if EVERY prefix gram it shares is hotter than
     * the cap (boilerplate-only pairs — [[SpanDedup]]'s job, same
@@ -227,23 +230,55 @@ object Dedup {
     val eps = 1e-9
     val sh = shingleRows(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // doc-frequency and set size via windows — one shuffle on g, one on
-    // id (the rank sort reuses the id partitioning), no joins
-    val byId = Window.partitionBy(col("id"))
-    val byRarity = byId.orderBy(col("__df"), col("g"))
-    val prefixes = sh
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .withColumn("n_sh", count(lit(1)).over(byId))
-      .withColumn("__r", row_number().over(byRarity))
-      .filter(col("__r") <=
-        col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+    // Gram document-frequency as a map-side-combinable AGGREGATE, never
+    // a per-gram window: a window partition is ONE task, so a corpus-
+    // wide boilerplate gram (billions of rows at 100 TB) would funnel
+    // into a single straggler before any cap could discard it. The
+    // aggregate partial-combines the hot gram inside every map task
+    // (shuffle carries one row per task × gram), the cap is applied to
+    // the tiny one-row-per-gram result, and only THEN does anything
+    // fan back out — the join below is AQE-skew-splittable, unlike a
+    // window, so even the capped-off hot gram's probe rows can't pin
+    // one reducer.
+    val gramDf = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
       // unique per call: a fixed name would bar two prefix joins from
       // composing in one query plan (duplicate CollectMetrics)
       .observe(s"jaccard_prefix_grams_${ObsId.next()}",
         sum(when(col("__df") > maxGramDocs, 1L).otherwise(0L))
-          .as("dropped_prefix_grams"),
+          .as("dropped_grams"),
         max(col("__df")).as("max_gram_docs"))
       .filter(col("__df") <= maxGramDocs)
+    // Set size |S| counts ALL grams (pre-cap — it is the true Jaccard
+    // denominator), as its own map-side-combined aggregate joined back
+    // on id (the join's id exchange is then reused by the rank window).
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // With a cap, rows of over-cap grams are removed by a BROADCAST
+    // anti-join before the g-shuffle — the hot gram's occurrence rows
+    // (cap × overflow, billions at 100 TB for a boilerplate gram)
+    // never ride any exchange. The hot-gram LIST is broadcast-sized by
+    // pigeonhole: at most |sh| / maxGramDocs grams can exceed the cap.
+    val shKept =
+      if (maxGramDocs == Int.MaxValue) sh
+      else sh.join(
+        broadcast(sh.groupBy(col("g")).agg(count(lit(1)).as("__hf"))
+          .filter(col("__hf") > maxGramDocs).select(col("g"))),
+        Seq("g"), "left_anti")
+    // The rarity rank runs over surviving grams only. With the cap off
+    // (the default) that is the full set — identical to before. With a
+    // cap, dropped hot grams vacate prefix slots that rarer grams then
+    // fill — a SUPERSET of the uncapped prefix minus the dropped
+    // grams, so the documented recall bound (a pair is missed only if
+    // every shared prefix gram is hotter than the cap) still holds;
+    // n_sh − __r then only overstates the remaining suffix, admitting
+    // extra candidates for the exact verify to discard — never
+    // dropping a true pair.
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))
+    val prefixes = shKept
+      .join(gramDf, Seq("g"))
+      .join(sizes, Seq("id"))
+      .withColumn("__r", row_number().over(byRarity))
+      .filter(col("__r") <=
+        col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
       .select(col("id"), col("g"), col("n_sh"), col("__r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // position filter: at the FIRST gram a truly-similar pair shares,
@@ -338,9 +373,14 @@ object Dedup {
       case _: org.apache.spark.sql.types.DecimalType =>
         (a, b) => a.asInstanceOf[java.math.BigDecimal]
           .compareTo(b.asInstanceOf[java.math.BigDecimal])
-      case _: org.apache.spark.sql.types.NumericType =>
-        (a, b) => java.lang.Double.compare(
-          a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+      // Fractional ids are rejected loudly rather than silently compared
+      // as doubles: a Float/Double "document id" is pathological, and a
+      // lossy comparator that collapses near-equal ids would merge
+      // unrelated clusters without any visible error.
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+        throw new IllegalArgumentException(
+          s"connectedComponents does not support fractional id type $idType: " +
+            "cast ids to an integral, decimal, or string type first")
       case org.apache.spark.sql.types.StringType =>
         (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
       case other => throw new IllegalArgumentException(

@@ -91,6 +91,12 @@ object Mixture {
     * oracle-checkable. Other alphas go through `pow`, whose last ulp
     * is libm-specific; fine for production, not for cross-engine
     * hash equality.
+    *
+    * NULL GROUPS: rows whose `groupCol` is null are DROPPED — weights
+    * are fit on non-null groups only and [[mixCorpora]]'s default
+    * weight for unlisted groups is 0.0. Coalesce nulls to a sentinel
+    * group first ("unknown") to keep them, mirroring
+    * [[TokenBudget.sample]]'s explicit null handling.
     */
   def temperatureMix(
       df: DataFrame,

@@ -233,6 +233,13 @@ object Similarity {
     * all-pairs straggler). Pass `maxBucket = Int.MaxValue` to recover
     * the uncapped pre-cap behavior; drops are observable via the
     * "embedding_lsh_buckets" observation.
+    *
+    * @note BEHAVIOR CHANGE: before the cap existed this operator was
+    *       uncapped; the 4096 default means dense regions (> 4096 docs
+    *       in one LSH bucket) now silently lose in-bucket pairs unless
+    *       callers raise `maxBucket` or watch the dropped_buckets
+    *       metric. The capped default is deliberate — it is the
+    *       100 TB-safe posture — but existing callers should audit.
     */
   def embeddingNearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 12, tables: Int = 6, seed: Int = 42,

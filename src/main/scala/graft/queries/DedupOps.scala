@@ -21,16 +21,29 @@ object DedupOps {
       |FROM documents GROUP BY md5(text)""".stripMargin
 
   // Exact pairwise word-3-gram Jaccard on a bounded subset (quadratic by
-  // construction — the LSH query below is the scale path).
-  private val jaccard: Q = (s, dir) =>
-    Dedup.ngramJaccardPairs(
-      Tables.load(s, dir, "documents").filter(col("source") === "src0"),
-      "doc_id", "text", n = 3, threshold = 0.05)
+  // construction — the LSH query below is the scale path). The raw src0
+  // subset yields no natural pairs at gate scale, so the query UNIONs in
+  // re-keyed NEAR-duplicates (every 5th doc with a marker suffix —
+  // Jaccard ≈ 0.9, not 1.0) identically on both sides: a gate that
+  // can't tell a correct plan from `LIMIT 0` is not a gate.
+  private val jaccard: Q = (s, dir) => {
+    val src0 = Tables.load(s, dir, "documents").filter(col("source") === "src0")
+    val seeded = src0.unionByName(
+      src0.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000L))
+        .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
+    Dedup.ngramJaccardPairs(seeded, "doc_id", "text", n = 3, threshold = 0.05)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
   private val jaccardSql =
-    """WITH docs AS (
+    """WITH raw AS (
+      |  SELECT doc_id, text FROM documents WHERE source = 'src0'
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' graft dup marker' FROM documents
+      |  WHERE source = 'src0' AND doc_id % 5 = 0),
+      |docs AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-      |  FROM documents WHERE source = 'src0' AND trim(text) <> ''),
+      |  FROM raw WHERE trim(text) <> ''),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh

@@ -148,15 +148,22 @@ object Relational {
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin
 
   // ------------------------------------------------------------------
-  // q_antijoin — customers with no orders at all.
+  // q_antijoin — customers with no URGENT order. (Every customer has
+  // SOME order at gate scale, so anti-joining against all orders
+  // matched vacuously on 0 rows; the priority filter guarantees a
+  // non-empty result — 18 rows at sf0.001, 203 at sf0.01 — that a
+  // wrong join type or flipped filter would visibly break.)
   private val qAnti: Q = (s, dir) =>
     cust(s, dir)
-      .join(ord(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(ord(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))
 
   private val qAntiSql =
     """SELECT c_custkey, c_mktsegment FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')""".stripMargin
 
   // ------------------------------------------------------------------
   // q_setop — EXCEPT: BUILDING-segment customers that never placed a

@@ -493,6 +493,18 @@ class OpsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap == expected)
   }
 
+  test("connected components rejects fractional id types loudly") {
+    val pairs = Seq((1.0, 2.0), (2.0, 3.0)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs)
+    }
+    assert(e.getMessage.contains("fractional"), e.getMessage)
+    val pairsF = Seq((1.0f, 2.0f)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairsF)
+    }
+  }
+
   test("vec_dot: a null array element nulls the product (no fabricated score)") {
     val df = Seq(
       (1L, Seq[java.lang.Double](1.0, null, 2.0)),

@@ -334,6 +334,42 @@ class VolumeStressSpec extends SparkSpec {
     assert(outCapped.toSeq == Seq((7L, 100007L)), outCapped.take(5).mkString(", "))
   }
 
+  test("prefix jaccard cap at 100k docs: the boilerplate gram's rows never " +
+      "pin one task (anti-joined out before any shuffle)") {
+    // Every doc shares a 4×-hot boilerplate run (each hot gram occurs
+    // in ALL 100k docs). Under the old per-gram window the df pass
+    // funneled each hot gram's 100k rows into ONE task even though the
+    // cap then discarded the gram; the aggregate + broadcast-anti-join
+    // shape must keep every task's shuffle read at ~|rows|/partitions.
+    val docs = spark.range(0, 100000).select(col("id"),
+      concat(lit("u"), col("id"),
+        lit(" all rights reserved legal terms apply")).as("text"))
+      .union(Seq((100007L, "u7 all rights reserved legal terms apply"))
+        .toDF("id", "text"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      var out: Array[(Long, Long)] = null
+      val (pairs, release) = Dedup.ngramJaccardPrefixPairsManaged(
+        docs, "id", "text", n = 3, threshold = 0.5, maxGramDocs = 1000)
+      val maxTask = maxTaskShuffleRead {
+        out = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      }
+      release()
+      assert(out.toSeq == Seq((7L, 100007L)), out.take(5).mkString(", "))
+      // 5 grams/doc, 4 hot (dropped pre-shuffle), 1 unique: ~100k kept
+      // gram rows spread over 32 partitions ≈ 3k/task; the old window
+      // plan read 100k rows of ONE hot gram in a single task.
+      assert(maxTask <= 50000L,
+        s"hot-gram rows must not funnel into one task, max task read $maxTask")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))
