@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Md5Family}
+import graft.ops.{Dedup, Md5Family, Md5Mix32Family}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator queries — ALL DuckDB-oracle-checked. The
@@ -150,17 +150,31 @@ object DedupOps {
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE csz > 1 AND rk <> 1)""".stripMargin
 
-  // MinHash + LSH near-dup candidates, Jaccard-verified. The md5 hash
-  // family makes signatures, band hashes, bucket caps AND the verify
-  // join all SQL-expressible — the oracle recomputes the full pipeline.
+  // The Md5Mix32Family constants, interpolated into the oracle SQL so
+  // both engines run the SAME (a·x + b) mod p mixer — see HashFamily.
+  private def mixConstsCte(n: Int): String = {
+    val as = (0 until n).map(Md5Mix32Family.a).mkString("[", ", ", "]")
+    val bs = (0 until n).map(Md5Mix32Family.b).mkString("[", ", ", "]")
+    s"""consts AS (SELECT unnest(range(0, $n)) AS seed,
+       |  unnest($as) AS a,
+       |  unnest($bs) AS b)""".stripMargin
+  }
+  private val mixHash =
+    s"(a * ('0x' || substr(md5(g), 1, 8))::BIGINT + b) % ${Md5Mix32Family.P}"
+
+  // MinHash + LSH near-dup candidates, Jaccard-verified. The md5-mix
+  // hash family makes signatures, band hashes, bucket caps AND the
+  // verify join all SQL-expressible — the oracle recomputes the full
+  // pipeline (one md5 per gram + integer mixing per seed; see
+  // HashFamily for why this halves the gate's hashing cost).
   private val minhash: Q = (s, dir) =>
     Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
       "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.05,
-      family = Md5Family)
+      family = Md5Mix32Family)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   private val minhashSql =
-    """WITH docs AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    s"""WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |shl AS (
       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
@@ -168,10 +182,10 @@ object DedupOps {
       |  FROM docs WHERE len(toks) >= 3),
       |ex AS (SELECT doc_id, unnest(sh) AS g FROM shl),
       |counts AS (SELECT doc_id, len(sh) AS n_sh FROM shl),
+      |${mixConstsCte(32)},
       |minh AS (
-      |  SELECT doc_id, seed,
-      |    min(('0x' || substr(md5(seed || ':' || g), 1, 15))::BIGINT) AS v
-      |  FROM ex CROSS JOIN (SELECT unnest(range(0, 32)) AS seed) s
+      |  SELECT doc_id, seed, min($mixHash) AS v
+      |  FROM ex CROSS JOIN consts
       |  GROUP BY doc_id, seed),
       |sig AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM minh GROUP BY doc_id),
       |banded AS (
@@ -436,7 +450,7 @@ object DedupOps {
       val tmp = java.nio.file.Files.createTempDirectory("graft_minhash_")
       deleteRecursivelyOnExit(tmp)
       val p = tmp.resolve("artifact").toString
-      Dedup.minhashArtifact(corpus, "doc_id", "text", family = Md5Family)
+      Dedup.minhashArtifact(corpus, "doc_id", "text", family = Md5Mix32Family)
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -446,21 +460,21 @@ object DedupOps {
     val docs = Tables.load(s, dir, "documents")
     Dedup.incrementalNearDupMatches(
       docs.filter(col("source") === "src0"), "doc_id", "text",
-      artifactFor(s, dir), threshold = 0.3, family = Md5Family)
+      artifactFor(s, dir), threshold = 0.3, family = Md5Mix32Family)
   }
   private val incrementalNearSql =
-    """WITH docs AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+    s"""WITH docs AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |shl AS (
       |  SELECT doc_id, source, list_distinct(list_transform(range(len(toks) - 2),
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
       |  FROM docs WHERE len(toks) >= 3),
       |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM shl),
+      |${mixConstsCte(32)},
       |minh AS (
-      |  SELECT doc_id, source, seed,
-      |    min(('0x' || substr(md5(seed || ':' || g), 1, 15))::BIGINT) AS v
-      |  FROM ex CROSS JOIN (SELECT unnest(range(0, 32)) AS seed) s
+      |  SELECT doc_id, source, seed, min($mixHash) AS v
+      |  FROM ex CROSS JOIN consts
       |  GROUP BY doc_id, source, seed),
       |sig AS (SELECT doc_id, source, list(v ORDER BY seed) AS sig
       |        FROM minh GROUP BY doc_id, source),
