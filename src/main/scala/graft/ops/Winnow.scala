@@ -77,9 +77,15 @@ object Winnow {
       maxBucket: Int = 1024): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val fps = fingerprints(df, idCol, textCol, n, w)
-    val capped = fps.withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
-      .filter(col("__bsz") <= maxBucket)
+    // Bucket sizes as a map-side-combined AGGREGATE and the cap as a
+    // broadcast anti-join — the same shape as the prefix-jaccard cap
+    // (Dedup.ngramJaccardPrefixPairsManaged): a per-fingerprint window
+    // would funnel a corpus-wide boilerplate fingerprint into ONE task
+    // before the cap could drop it. The over-cap list is broadcast-
+    // sized by pigeonhole (≤ |fps| / maxBucket entries).
+    val hot = fps.groupBy(col("fingerprint")).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket).select(col("fingerprint"))
+    val capped = fps.join(broadcast(hot), Seq("fingerprint"), "left_anti")
     val a = capped.select(col("fingerprint"), col(idCol).as("id_a"))
     val b = capped.select(col("fingerprint"), col(idCol).as("id_b"))
     a.join(b, Seq("fingerprint"))
