@@ -51,14 +51,21 @@ object ConfigLoader {
 
   /** `pipeline.resolver` block — the config gate for a live term
     * resolver (default absent = offline dictionaries only):
-    * `class` names a [[graft.ontology.TermResolver]] implementation;
-    * `cache_size` / `rate_limit_per_sec` size its per-executor cache
-    * and token bucket.
+    * `class` names a [[graft.ontology.TermResolver]] implementation,
+    * or the literal `http` for the built-in
+    * [[graft.ontology.HttpTermResolver]] (then `url` is required and
+    * `user` / `password` add basic auth — source secrets via `${ENV}`
+    * expansion, the reference reads LOINC credentials from the
+    * environment too); `cache_size` / `rate_limit_per_sec` size its
+    * per-executor cache and token bucket.
     */
   final case class ResolverConfig(
       className: String,
       cacheSize: Int = 100000,
-      ratePerSec: Option[Double] = None)
+      ratePerSec: Option[Double] = None,
+      url: Option[String] = None,
+      user: Option[String] = None,
+      password: Option[String] = None)
 
   def load(path: String): GraftConfig = {
     val raw = Files.readString(Paths.get(path))
@@ -173,7 +180,10 @@ object ConfigLoader {
         ResolverConfig(
           className = req(r, "class"),
           cacheSize = Option(r.get("cache_size")).map(_.asInt(100000)).getOrElse(100000),
-          ratePerSec = Option(r.get("rate_limit_per_sec")).map(_.asDouble()))
+          ratePerSec = Option(r.get("rate_limit_per_sec")).map(_.asDouble()),
+          url = Option(r.get("url")).map(_.asText()),
+          user = Option(r.get("user")).map(_.asText()),
+          password = Option(r.get("password")).map(_.asText()))
       })
   }
 

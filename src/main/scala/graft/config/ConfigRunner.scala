@@ -79,8 +79,14 @@ object ConfigRunner {
   def buildResolver(cfg: ConfigLoader.GraftConfig,
       library: BiDictLibrary): Option[graft.ontology.TermResolver] =
     cfg.resolver.map { r =>
-      graft.ontology.TermResolver.wrapped(
-        graft.ontology.TermResolver.custom(r.className, library),
+      val custom = r.className.trim.toLowerCase match {
+        case "http" => graft.ontology.HttpTermResolver(
+          baseUrl = r.url.getOrElse(throw new IllegalArgumentException(
+            "resolver class 'http' requires a 'url'")),
+          user = r.user, password = r.password)
+        case _ => graft.ontology.TermResolver.custom(r.className, library)
+      }
+      graft.ontology.TermResolver.wrapped(custom,
         offline = library, cacheSize = r.cacheSize, ratePerSec = r.ratePerSec)
     }
 
