@@ -85,6 +85,35 @@ object SpanDedup {
       .select(col("__gh"))
   }
 
+  /** Distinct-document count per gram hash: (__gh, n_docs) — the
+    * MERGEABLE count side of the audit. A document contributes to
+    * exactly one shard, so per-shard counts SUM to the whole-corpus
+    * count: a streaming ingest appends each micro-batch's counts to an
+    * artifact and `sum(n_docs) >= minDocs` over the accumulated rows
+    * is exactly [[duplicatedGrams]] of everything seen so far (the
+    * contamination-score stream-static shape; proven in
+    * `StreamingCorpusSpec`).
+    */
+  def gramDocCounts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    gramStarts(df, idCol, textCol, n)
+      .select(col("__gh"), col(idCol)).distinct()
+      .groupBy(col("__gh")).agg(count(lit(1)).as("n_docs"))
+
+  /** [[audit]] against an EXTERNAL duplicated-gram set (`__gh` rows —
+    * build one from accumulated [[gramDocCounts]], or reuse another
+    * corpus's): the incremental/streaming deploy, where each shard is
+    * audited against the grams of everything ingested so far instead
+    * of only itself. With `dupGrams = duplicatedGrams(...)` of the same
+    * corpus this is identical to [[audit]].
+    */
+  def auditAgainst(df: DataFrame, idCol: String, textCol: String,
+      n: Int, dupGrams: DataFrame): DataFrame = {
+    require(dupGrams.columns.contains("__gh"),
+      "dupGrams must carry the __gh gram-hash column (see gramDocCounts)")
+    auditWith(df, positionedGrams(df, idCol, textCol, n), idCol, n,
+      dupGrams.select(col("__gh")))
+  }
+
   /** Per-document audit: id, n_tokens, dup_tokens (covered by some
     * cross-document duplicated gram), clean_text (survivors joined by
     * single spaces; null when nothing survives — including documents
@@ -118,6 +147,13 @@ object SpanDedup {
     val starts = pg.select(col(idCol), col("__pos"), col("__gh"))
       .filter(col("__gh").isNotNull)
     val dup = duplicatedGrams(starts, idCol, minDocs)
+    auditWith(df, pg, idCol, n, dup)
+  }
+
+  private def auditWith(df: DataFrame, pg: DataFrame, idCol: String,
+      n: Int, dup: DataFrame): DataFrame = {
+    val starts = pg.select(col(idCol), col("__pos"), col("__gh"))
+      .filter(col("__gh").isNotNull)
     val dupStarts = starts.join(dup, Seq("__gh"), "left_semi")
       .select(col(idCol), col("__pos"), lit(1).as("__start"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))

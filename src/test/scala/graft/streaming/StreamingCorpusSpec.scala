@@ -218,6 +218,61 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed == Seq((1L, 2L, 2L), (2L, 1L, 0L), (4L, 4L, 2L)))
   }
 
+  test("streaming span-dedup audit: gram counts accumulate across micro-batches " +
+      "to exactly the batch audit") {
+    // The continuous-ingest span-surgery shape: the audit's doc-local
+    // windows need bounded data, but its gram-COUNT side is mergeable
+    // state (a doc lives in exactly one micro-batch, so per-batch
+    // distinct-doc counts SUM to the corpus count). foreachBatch
+    // appends each batch's gramDocCounts to a parquet artifact; dup
+    // grams = sum(n_docs) >= minDocs over the artifact. Cross-batch
+    // boilerplate ("all rights reserved legal x" split across the two
+    // batches) is only detectable through that accumulation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_stream").toString
+    val countsPath = s"$dir/gram_counts"
+    val batch1 = Seq(
+      (1L, "alpha bravo all rights reserved legal x charlie"),
+      (2L, "delta echo foxtrot golf"))
+    val batch2 = Seq(
+      (3L, "hotel india all rights reserved legal x juliet"),
+      (4L, "kilo lima mike november"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.SpanDedup.gramDocCounts(batch, "doc_id", "text", n = 4)
+          .write.mode("append").parquet(countsPath)
+        ()
+      }
+      .start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val full = (batch1 ++ batch2).toDF("doc_id", "text")
+    // accumulated counts == one batch pass over the whole corpus
+    val accumulated = spark.read.parquet(countsPath)
+      .groupBy("__gh").agg(sum("n_docs").as("n_docs"))
+    val oneShot = graft.ops.SpanDedup.gramDocCounts(full, "doc_id", "text", n = 4)
+    assert(accumulated.as[(String, Long)].collect().sorted.toSeq ==
+      oneShot.as[(String, Long)].collect().sorted.toSeq)
+    // audit against the accumulated dup grams == the self-derived audit
+    val dupFromStream = accumulated.filter(col("n_docs") >= 2).select("__gh")
+    val streamed = graft.ops.SpanDedup
+      .auditAgainst(full, "doc_id", "text", n = 4, dupFromStream)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val batchAudit = graft.ops.SpanDedup.audit(full, "doc_id", "text", n = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batchAudit)
+    // the cross-batch boilerplate was cut from BOTH its occurrences
+    assert(streamed.map(r => r._1 -> r._4).toMap ==
+      Map(1L -> "alpha bravo charlie", 2L -> "delta echo foxtrot golf",
+        3L -> "hotel india juliet", 4L -> "kilo lima mike november"))
+  }
+
   test("streaming count-min sketch accumulates across micro-batches to the batch sketch") {
     // the CMS cell grid is the canonical BOUNDED streaming state:
     // ≤ depth×width cells however many distinct terms flow through —
