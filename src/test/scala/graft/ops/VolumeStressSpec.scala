@@ -462,6 +462,63 @@ class VolumeStressSpec extends SparkSpec {
       s"importance selection must surface exactly the target-like docs; got ${picked.take(5)}")
   }
 
+  test("bigram LM under ONE dominant transition: AQE skew-splits the plain " +
+      "scoring join, and the hotKeyJoin route broadcasts it — same scores") {
+    // 150k docs all containing the same hot transition once: after
+    // doc-collapsing, the scoring join still holds 150k rows of ONE
+    // (w1, w2) key — real residual join skew. The claim in
+    // bigramLogProb's scaladoc is that AQE's reactive skew split
+    // covers it (it is a join, not an agg) OR hotKeys routes it
+    // through a broadcast. Both must be EXECUTABLE facts, not plan
+    // commentary: at test scale the AQE thresholds are lowered so the
+    // hot partition (~MBs) is split the same way a multi-GB partition
+    // would be at defaults.
+    val docs = spark.range(0, 150000).select(col("id"),
+      concat(lit("of the tail"), pmod(col("id"), lit(997))).as("text"))
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.select(col("id"), (col("mean_logprob") * 1000).cast("long"), col("n_bigrams"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val keep = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // the bigram table must NOT auto-broadcast, or there is no
+      // shuffle join left to skew-split at this tiny scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val plain = TextRank.bigramLogProb(docs, "id", "text")
+      val plainScores = scores(plain)
+      val finalPlan = plain.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skewed="),
+        s"expected an AQE skew-split shuffle read in the final plan:\n${finalPlan.take(2000)}")
+
+      val routed = TextRank.bigramLogProb(docs, "id", "text", hotKeys = 8)
+      val routedScores = scores(routed)
+      val routedPlan = routed.queryExecution.executedPlan.toString
+      assert(routedPlan.contains("BroadcastHashJoin"),
+        s"hotKeyJoin must broadcast the hot bigram rows:\n${routedPlan.take(2000)}")
+      assert(routedScores == plainScores,
+        "hot-key routing must not change a single score")
+      assert(plainScores.size == 150000 && plainScores.values.forall(_._2 == 2L))
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))
