@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -16,16 +16,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true: the
-    * events table carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader otherwise rejects; the nanos arrive as LongType and are
-    * normalized here to a microsecond TimestampType (integer division —
-    * a double division would lose precision above 2^53 ns).
+  /** The events table's `ts` physical type has varied across data
+    * generations; normalize every variant to a session-zone
+    * TimestampType so downstream `unix_micros` algebra is stable:
+    *
+    *  - TIMESTAMP(NANOS): requires
+    *    spark.sql.legacy.parquet.nanosAsLong=true (the vectorized
+    *    reader otherwise rejects it); the nanos arrive as LongType and
+    *    are divided down to micros (integer division — a double
+    *    division would lose precision above 2^53 ns);
+    *  - timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+    *    TIMESTAMP_NTZ (spark.sql.parquet.inferTimestampNTZ.enabled
+    *    defaults true); cast to TimestampType — all sessions here pin
+    *    spark.sql.session.timeZone=UTC, so the instant is unchanged
+    *    and matches what a naive-timestamp oracle engine reads.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 }

@@ -152,10 +152,17 @@ object TextRank {
     * bigram key, and that shuffle carries PRE-AGGREGATED
     * (doc, bigram, n) rows, not raw occurrences: a document repeating
     * "of the" 500 times contributes one row of weight 500, so hot
-    * stopword transitions are bounded by distinct-docs-per-bigram (AQE
-    * skew-split covers the residual join skew — it is a join, not an
-    * agg). The per-doc score is the n-weighted mean, identical to the
-    * per-occurrence mean. The unigram vocabulary stays a broadcast;
+    * stopword transitions are bounded by distinct-docs-per-bigram.
+    * NOTE the residual join skew (every doc contains "of the" once) is
+    * NOT covered by AQE's reactive skew split: `OptimizeSkewedJoin`
+    * only rewrites `SMJ(Sort(shuffle), Sort(shuffle))`, and here the
+    * count side's final HashAggregate sits between its Sort and its
+    * shuffle stage — splitting the fat probe partition would have to
+    * re-run that aggregate per slice, so the rule never matches
+    * (executable proof in `VolumeStressSpec`). At corpus scale pass
+    * `hotKeys > 0`; it is the real mitigation, not a belt-and-braces
+    * alternative. The per-doc score is the n-weighted mean, identical
+    * to the per-occurrence mean. The unigram vocabulary stays a broadcast;
     * `maxVocab` caps it top-K with an OOV unigram-count floor of 1
     * (see [[unigramLogProb]]); default uncapped. Adjacency is
     * posexplode + window lead, not interpreted array lambdas.
@@ -165,10 +172,11 @@ object TextRank {
     * bigrams (the stopword transitions — natural hot keys at corpus
     * scale) join via a broadcast of their count rows while the long
     * tail takes the ordinary shuffle, so no partition holds "of the".
-    * Deterministic alternative to AQE's reactive skew split; costs one
-    * extra evaluation of the doc-bigram aggregate (the recon pass) and
-    * one of the occurrence pipeline, so it pays off only when the hot
-    * keys genuinely straggle. Default 0 = plain join + AQE.
+    * This is the ONLY skew mitigation available here (see the note
+    * above — AQE cannot split this join); it costs one extra
+    * evaluation of the doc-bigram aggregate (the recon pass) and one
+    * of the occurrence pipeline, so it pays off only when the hot
+    * keys genuinely straggle. Default 0 = plain join.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = Int.MaxValue, hotKeys: Int = 0): DataFrame = {

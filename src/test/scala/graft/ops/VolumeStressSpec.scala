@@ -462,22 +462,39 @@ class VolumeStressSpec extends SparkSpec {
       s"importance selection must surface exactly the target-like docs; got ${picked.take(5)}")
   }
 
-  test("bigram LM under ONE dominant transition: AQE skew-splits the plain " +
-      "scoring join, and the hotKeyJoin route broadcasts it — same scores") {
+  test("bigram LM under ONE dominant transition: AQE can NOT split the " +
+      "aggregate-fed scoring join; hotKeyJoin broadcasts it — same scores") {
     // 150k docs all containing the same hot transition once: after
     // doc-collapsing, the scoring join still holds 150k rows of ONE
-    // (w1, w2) key — real residual join skew. The claim in
-    // bigramLogProb's scaladoc is that AQE's reactive skew split
-    // covers it (it is a join, not an agg) OR hotKeys routes it
-    // through a broadcast. Both must be EXECUTABLE facts, not plan
-    // commentary: at test scale the AQE thresholds are lowered so the
-    // hot partition (~MBs) is split the same way a multi-GB partition
-    // would be at defaults.
+    // (w1, w2) key — real residual join skew. This test pins BOTH
+    // halves of bigramLogProb's scaladoc claim as executable facts:
+    //
+    //  1. AQE's reactive skew split does NOT cover this join, even
+    //     with thresholds lowered so the hot partition (~850KB vs
+    //     ~55KB median) is far past the skew trigger.
+    //     OptimizeSkewedJoin only matches SMJ(Sort(shuffleStage),
+    //     Sort(shuffleStage)); the bigram-count side's final
+    //     HashAggregate sits between its Sort and its shuffle stage,
+    //     so the rule never fires and one task swallows every row of
+    //     the hot key. If a Spark upgrade ever makes AQE handle this
+    //     shape, this test fails loudly and the scaladoc + this spec
+    //     flip to assert the split.
+    //  2. hotKeys routing is the real mitigation: the hot rows join
+    //     via broadcast, no single task reads a hot-key-sized
+    //     partition, and not one score changes.
     val docs = spark.range(0, 150000).select(col("id"),
       concat(lit("of the tail"), pmod(col("id"), lit(997))).as("text"))
+    // Collect from the DataFrame ITSELF (not a .select on top of it):
+    // the plan assertions below read df.queryExecution.executedPlan,
+    // and only an action on the same QueryExecution finalizes its
+    // AdaptiveSparkPlan (a derived select would execute a sibling plan
+    // and leave this one isFinalPlan=false).
     def scores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
-      df.select(col("id"), (col("mean_logprob") * 1000).cast("long"), col("n_bigrams"))
-        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      df.collect().map { r =>
+        r.getLong(r.fieldIndex("id")) ->
+          ((r.getDouble(r.fieldIndex("mean_logprob")) * 1000).toLong,
+            r.getLong(r.fieldIndex("n_bigrams")))
+      }.toMap
     val keep = Seq("spark.sql.shuffle.partitions",
       "spark.sql.adaptive.enabled",
       "spark.sql.adaptive.coalescePartitions.enabled",
@@ -496,20 +513,31 @@ class VolumeStressSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
       // the bigram table must NOT auto-broadcast, or there is no
-      // shuffle join left to skew-split at this tiny scale
+      // shuffle join left at this tiny scale
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
       val plain = TextRank.bigramLogProb(docs, "id", "text")
-      val plainScores = scores(plain)
+      var plainScores: Map[Long, (Long, Long)] = null
+      val plainMax = maxTaskShuffleRead { plainScores = scores(plain) }
       val finalPlan = plain.queryExecution.executedPlan.toString
-      assert(finalPlan.contains("skewed="),
-        s"expected an AQE skew-split shuffle read in the final plan:\n${finalPlan.take(2000)}")
+      assert(finalPlan.contains("isFinalPlan=true"))
+      assert(!finalPlan.contains("skewed="),
+        "AQE unexpectedly skew-split the aggregate-fed join — a Spark " +
+          s"upgrade changed OptimizeSkewedJoin's reach; update the " +
+          s"scaladoc and flip this assertion:\n${finalPlan.take(2000)}")
+      // the negative proof in task terms: one task read every hot-key
+      // row (150k of them, plus that partition's share of the tail)
+      assert(plainMax >= 150000L,
+        s"expected one straggler task to swallow the hot key; max=$plainMax")
 
       val routed = TextRank.bigramLogProb(docs, "id", "text", hotKeys = 8)
-      val routedScores = scores(routed)
+      var routedScores: Map[Long, (Long, Long)] = null
+      val routedMax = maxTaskShuffleRead { routedScores = scores(routed) }
       val routedPlan = routed.queryExecution.executedPlan.toString
       assert(routedPlan.contains("BroadcastHashJoin"),
         s"hotKeyJoin must broadcast the hot bigram rows:\n${routedPlan.take(2000)}")
+      assert(routedMax < 150000L,
+        s"hot route must not funnel the hot key through one task; max=$routedMax")
       assert(routedScores == plainScores,
         "hot-key routing must not change a single score")
       assert(plainScores.size == 150000 && plainScores.values.forall(_._2 == 2L))
