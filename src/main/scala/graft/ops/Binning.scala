@@ -104,4 +104,64 @@ object Binning {
       .drop(qs.map(_._1): _*)
     (out, () => { input.unpersist(); () })
   }
+
+  /** CCNet-style labeled partition (Wenzek et al. 2020): split each
+    * group's rows into NAMED buckets with WEIGHTED target shares —
+    * the canonical use is head/middle/tail by language-model score per
+    * language, where "head" is the best-scoring ~third of each
+    * language used preferentially for training. [[quantileBins]] is
+    * the equal-share special case; here `parts` carries
+    * (label, integer weight) in ASCENDING value order, e.g.
+    * `("tail", 2), ("middle", 3), ("head", 5)` targets 20%/30%/50%.
+    *
+    * Boundaries are the ceil(n·cumulative-fraction)-th discrete values
+    * per group ([[Percentiles.exactDiscrete]] — histogram-located, no
+    * per-group sort task), broadcast back for row-local assignment.
+    * Value-ties on a boundary share the LOWER bucket, so shares are
+    * targets, not guarantees, under heavy duplication — the price of
+    * engine- and partitioning-reproducible labels (`ntile`'s exact
+    * shares split ties arbitrarily AND serialize each group into one
+    * sort task). Null values and null-boundary groups get a null
+    * label. Same multi-pass persistence rationale as [[quantileBins]].
+    */
+  def labeledPartition(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      parts: Seq[(String, Int)],
+      labelCol: String = "bucket",
+      maxDriverGroups: Int = 4096): DataFrame = {
+    require(parts.size > 1, "need at least 2 parts")
+    require(parts.map(_._1).distinct.size == parts.size, "labels must be distinct")
+    require(parts.forall(_._2 > 0), "part weights must be positive")
+    require(!df.columns.contains(labelCol),
+      s"label column '$labelCol' already exists on the input")
+    val tot = parts.map(_._2.toLong).sum.toDouble
+    val qs = parts.init.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+      .zipWithIndex.map { case (cum, i) => s"__lp$i" -> (cum / tot) }
+    require(!df.columns.exists(qs.map(_._1).toSet),
+      "reserved column name collision (__lp<i>)")
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boundsPlan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs,
+      maxDriverGroups = maxDriverGroups)
+    val bounds = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(boundsPlan.collect(): _*), boundsPlan.schema)
+    // label = the first part whose boundary the value does not exceed;
+    // structurally the same count-of-boundaries-below as quantileBins,
+    // mapped through the label list.
+    val idx = qs.map { case (q, _) =>
+      when(col(valueCol) > col(q), 1).otherwise(0)
+    }.reduce(_ + _)
+    val labels = array(parts.map(p => lit(p._1)): _*)
+    val out = input.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn(labelCol,
+        when(col(valueCol).isNull || col(qs.head._1).isNull, lit(null).cast("string"))
+          .otherwise(element_at(labels, idx + 1)))
+      .drop(qs.map(_._1): _*)
+    // As with [[quantileBins]], the cache stays pinned through the
+    // caller's assignment pass and is reclaimed by the context cleaner
+    // once the plan is garbage-collected.
+    out
+  }
 }

@@ -259,4 +259,87 @@ object TextRank {
 
     winner.join(dup, Seq(idCol))
   }
+
+  /** Stupid-backoff trigram LM score (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): the web-scale smoothing
+    * that replaces Kneser–Ney's normalized discounts with a fixed
+    * backoff factor, chosen because it needs only raw count tables —
+    * exactly the aggregate shapes a distributed engine produces
+    * cheaply. Score per trigram position:
+    *
+    *   S(w3|w1 w2) = c(w1 w2 w3) / c(w1 w2)            if seen,
+    *               = α · c(w2 w3) / c(w2)              else if seen,
+    *               = α² · c(w3) / N                    else
+    *                 (OOV count floor 1, as [[unigramLogProb]]),
+    *
+    * and the document score is the occurrence-weighted mean ln S.
+    * Counts are fit on `fit` and scored on `docs` — SEPARATE inputs,
+    * because a corpus scored by its own counts never backs off (every
+    * trigram is its own evidence); the standard use is scoring fresh
+    * data against a reference corpus (the CCNet recipe).
+    *
+    * Scale shape, mirroring [[bigramLogProb]]: the score side
+    * collapses to (doc, trigram, n) before anything shuffles; the
+    * trigram/bigram count tables are data-derived and join by their
+    * gram keys (never broadcast); the two unigram lookups and N ride
+    * one broadcast each. Docs with fewer than 3 tokens produce no
+    * trigram and are absent from the output. The aggregate-fed join
+    * skew note on [[bigramLogProb]] applies here unchanged.
+    */
+  def trigramStupidBackoff(fit: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    def toks(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__t")): _*)
+        .filter(col("__t") =!= "")
+    def grams(df: DataFrame, cols: Column*): DataFrame = {
+      val w = Window.partitionBy(cols: _*).orderBy(col("__pos"))
+      df.withColumn("__t2", lead(col("__t"), 1).over(w))
+        .withColumn("__t3", lead(col("__t"), 2).over(w))
+    }
+    // fit side: one tokenize + one window pass feeds all three count
+    // tables (unigram counts come straight off the token stream).
+    // Adjacency is PER DOCUMENT — the window partitions by the fit
+    // corpus's own id, so grams never span document boundaries and the
+    // window pass scales with documents, not corpus size.
+    val ft = grams(toks(fit, col(idCol)), col(idCol))
+    val tri = ft.filter(col("__t3").isNotNull)
+      .groupBy(col("__t").as("__w1"), col("__t2").as("__w2"), col("__t3").as("__w3"))
+      .agg(count(lit(1)).as("__c3"))
+    val big = ft.filter(col("__t2").isNotNull)
+      .groupBy(col("__t").as("__w1"), col("__t2").as("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val uni = ft.groupBy(col("__t").as("__w")).agg(count(lit(1)).as("__cu"))
+    val total = ft.agg(count(lit(1)).as("__n"))
+
+    val st = grams(toks(docs, col(idCol)), col(idCol))
+    val docTri = st.filter(col("__t3").isNotNull)
+      .groupBy(col(idCol), col("__t").as("__w1"), col("__t2").as("__w2"),
+        col("__t3").as("__w3"))
+      .agg(count(lit(1)).as("__n3"))
+
+    val lnA = math.log(alpha)
+    val scored = docTri
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(big, Seq("__w1", "__w2"), "left")
+      .join(big.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
+        col("__c12").as("__c23")), Seq("__w2", "__w3"), "left")
+      .join(broadcast(uni.select(col("__w").as("__w2"), col("__cu").as("__c2"))),
+        Seq("__w2"), "left")
+      .join(broadcast(uni.select(col("__w").as("__w3"), col("__cu").as("__c3u"))),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__s",
+        when(col("__c3").isNotNull,
+          log(col("__c3").cast("double") / col("__c12")))
+        .when(col("__c23").isNotNull,
+          log(col("__c23").cast("double") / col("__c2")) + lit(lnA))
+        .otherwise(
+          log(coalesce(col("__c3u"), lit(1L)).cast("double") / col("__n"))
+            + lit(2 * lnA)))
+    scored.groupBy(col(idCol))
+      .agg((sum(col("__n3") * col("__s")) / sum(col("__n3"))).as("mean_logprob"),
+        sum(col("__n3")).as("n_trigrams"))
+  }
 }

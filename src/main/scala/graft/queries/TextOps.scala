@@ -749,6 +749,119 @@ object TextOps {
       |SELECT exact.g, exact_n, est_n, est_n >= exact_n AS overcount_ok
       |FROM exact JOIN est USING (g)""".stripMargin
 
+  // Stupid-backoff trigram LM (ops.TextRank.trigramStupidBackoff):
+  // counts fit on sources src0–src4, scored on the WHOLE corpus so the
+  // backoff chain genuinely fires (a corpus scored on its own counts
+  // never backs off). α = 0.4, Brants et al.'s published constant.
+  private val trigramBackoff: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.TextRank.trigramStupidBackoff(
+        docs.filter(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        docs, idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), round(col("mean_logprob"), 4).as("mean_logprob"),
+        col("n_trigrams"))
+  }
+  private val trigramBackoffSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS ts
+      |  FROM documents),
+      |f AS (SELECT * FROM d WHERE source IN ('src0','src1','src2','src3','src4')),
+      |tri AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, count(*) AS c3 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ts) - 1),
+      |      i -> struct_pack(w1 := ts[i], w2 := ts[i+1], w3 := ts[i+2]))) AS p
+      |    FROM f) u GROUP BY 1, 2, 3),
+      |big AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ts)),
+      |      i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
+      |    FROM f) u GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT t AS w, count(*) AS cu
+      |  FROM (SELECT unnest(ts) AS t FROM f) u GROUP BY t),
+      |tot AS (SELECT count(*) AS n FROM (SELECT unnest(ts) AS t FROM f) u),
+      |dtri AS (
+      |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, count(*) AS n3 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+      |      i -> struct_pack(w1 := ts[i], w2 := ts[i+1], w3 := ts[i+2]))) AS p
+      |    FROM d) u GROUP BY 1, 2, 3, 4),
+      |sc AS (
+      |  SELECT doc_id, n3,
+      |    CASE WHEN tri.c3 IS NOT NULL
+      |           THEN ln(CAST(tri.c3 AS DOUBLE) / b12.c12)
+      |         WHEN b23.c12 IS NOT NULL
+      |           THEN ln(CAST(b23.c12 AS DOUBLE) / u2.cu) + ln(0.4)
+      |         ELSE ln(CAST(coalesce(u3.cu, 1) AS DOUBLE) / tot.n) + 2 * ln(0.4)
+      |    END AS s
+      |  FROM dtri
+      |  LEFT JOIN tri ON tri.w1 = dtri.w1 AND tri.w2 = dtri.w2 AND tri.w3 = dtri.w3
+      |  LEFT JOIN big b12 ON b12.w1 = dtri.w1 AND b12.w2 = dtri.w2
+      |  LEFT JOIN big b23 ON b23.w1 = dtri.w2 AND b23.w2 = dtri.w3
+      |  LEFT JOIN uni u2 ON u2.w = dtri.w2
+      |  LEFT JOIN uni u3 ON u3.w = dtri.w3, tot)
+      |SELECT doc_id, round(sum(n3 * s) / sum(n3), 4) AS mean_logprob,
+      |  CAST(sum(n3) AS BIGINT) AS n_trigrams
+      |FROM sc GROUP BY doc_id""".stripMargin
+
+  // CCNet-style head/middle/tail perplexity partition (ops.Binning
+  // .labeledPartition over ops.TextRank.bigramLogProb): per-language
+  // WEIGHTED shares 20/30/50, boundaries located on the ROUNDED score
+  // (the same 4-digit rounding the text_bigram_lm oracle proves
+  // hash-stable, so a 1-ulp cross-engine drift cannot reorder the
+  // boundary rank walk).
+  private val ccnetBuckets: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val scored = graft.ops.TextRank.bigramLogProb(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("mean_logprob"), 4).as("lm"))
+    val withLang = docs.select(col("doc_id"), col("lang")).join(scored, Seq("doc_id"))
+    graft.ops.Binning.labeledPartition(withLang, "lang", "lm", Seq("doc_id"),
+        Seq(("tail", 2), ("middle", 3), ("head", 5)))
+      .select(col("doc_id"), col("lang"), col("lm"), col("bucket"))
+  }
+  private val ccnetBucketsSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |    i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
+      |  FROM d),
+      |bigrams AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+      |docbi AS (
+      |  SELECT doc_id, w1, w2, count(*) AS n FROM bigrams GROUP BY doc_id, w1, w2),
+      |uni AS (
+      |  SELECT t AS w1, count(*) AS c1 FROM (SELECT unnest(ts) AS t FROM d) u
+      |  GROUP BY t),
+      |v AS (SELECT count(*) AS vs FROM uni),
+      |bi AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM docbi GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(sum(n * ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vs))) / sum(n), 4) AS lm
+      |  FROM docbi JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+      |  GROUP BY doc_id),
+      |wl AS (
+      |  SELECT s.doc_id, documents.lang, s.lm
+      |  FROM scored s JOIN documents ON documents.doc_id = s.doc_id),
+      |ranked AS (
+      |  SELECT lang, lm, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY lm, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM wl),
+      |bounds AS (
+      |  SELECT lang,
+      |    max(CASE WHEN r = CAST(ceil(n * 0.2) AS BIGINT) THEN lm END) AS q1,
+      |    max(CASE WHEN r = CAST(ceil(n * 0.5) AS BIGINT) THEN lm END) AS q2
+      |  FROM ranked GROUP BY lang)
+      |SELECT w.doc_id, w.lang, w.lm,
+      |  CASE (CASE WHEN w.lm > b.q1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN w.lm > b.q2 THEN 1 ELSE 0 END)
+      |    WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END AS bucket
+      |FROM wl w JOIN bounds b USING (lang)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("text_ngram_topk", ngramTopk, Some(ngramTopkSql)),
     Entry("text_vocab", vocab, Some(vocabSql)),
@@ -778,5 +891,7 @@ object TextOps {
     Entry("text_bpe", bpe, None),
     Entry("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Entry("text_entropy", entropy, Some(entropySql)),
+    Entry("text_trigram_backoff", trigramBackoff, Some(trigramBackoffSql)),
+    Entry("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
   )
 }

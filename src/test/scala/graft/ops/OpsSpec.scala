@@ -821,4 +821,69 @@ class OpsSpec extends SparkSpec {
     // every query returns at most k rows, all from probed cells
     ivf.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 5) }
   }
+
+  test("trigram stupid backoff: every branch of the chain, hand-computed") {
+    // fit corpus (one doc): tokens a b c a b d
+    //   trigrams: (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+    //   bigrams:  ab=2, bc=1, ca=1, bd=1;  unigrams: a=2 b=2 c=1 d=1; N=6
+    val fit = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // seen trigram:        ln(c3/c12) = ln(1/2)
+      (2L, "c a b"), // seen trigram:        ln(1/1) = 0
+      (3L, "x b c"), // backoff to bigram:   ln(c23/c2) + lnA = ln(1/2) + lnA
+      (4L, "a b x"), // OOV next token:      ln(1/6) + 2 lnA (floor 1)
+      (5L, "b d a"), // backoff to unigram:  (b,d,a) unseen, (d,a) unseen,
+                     //                      a seen: ln(2/6) + 2 lnA
+      (6L, "a b")    // < 3 tokens: absent from output
+    ).toDF("doc_id", "text")
+    val out = TextRank.trigramStupidBackoff(fit, docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val lnA = math.log(0.4)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(close(out(1L)._1, math.log(0.5)) && out(1L)._2 == 1L)
+    assert(close(out(2L)._1, 0.0))
+    assert(close(out(3L)._1, math.log(0.5) + lnA))
+    assert(close(out(4L)._1, math.log(1.0 / 6) + 2 * lnA))
+    assert(close(out(5L)._1, math.log(2.0 / 6) + 2 * lnA))
+  }
+
+  test("trigram stupid backoff never backs off when scored on its own fit") {
+    val docs = Seq((1L, "a b c d"), (2L, "b c d a")).toDF("doc_id", "text")
+    val out = TextRank.trigramStupidBackoff(docs, docs, "doc_id", "text")
+    // every trigram is its own evidence: scores are pure ln(c3/c12),
+    // all > 2*lnA + anything the backoff chain could produce here
+    assert(out.count() == 2)
+    assert(out.agg(min(col("mean_logprob"))).as[Double].first() > math.log(0.4))
+  }
+
+  test("labeledPartition: weighted shares, boundary ties to the lower bucket") {
+    // one group, 10 rows valued 1..10, weights 2/3/5 → boundaries at
+    // the 2nd and 5th values: tail={1,2}, middle={3,4,5}, head={6..10}
+    val df = (1 to 10).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "id", "v")
+    val out = Binning.labeledPartition(df, "grp", "v", Seq("id"),
+        Seq(("tail", 2), ("middle", 3), ("head", 5)))
+      .select("v", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 2L).forall(out(_) == "tail"))
+    assert((3L to 5L).forall(out(_) == "middle"))
+    assert((6L to 10L).forall(out(_) == "head"))
+
+    // all-equal values: everything ties onto every boundary → one bucket
+    val flat = (1 to 8).map(i => ("g", i.toLong, 7L)).toDF("grp", "id", "v")
+    val fout = Binning.labeledPartition(flat, "grp", "v", Seq("id"),
+        Seq(("lo", 1), ("hi", 1)))
+      .select("bucket").as[String].collect()
+    assert(fout.forall(_ == "lo"))
+
+    // null value → null label; per-group boundaries are independent
+    val mixed = Seq(("a", 1L, Some(1L)), ("a", 2L, Some(2L)),
+      ("a", 3L, None), ("b", 4L, Some(100L)), ("b", 5L, Some(200L)))
+      .toDF("grp", "id", "v")
+    val mout = Binning.labeledPartition(mixed, "grp", "v", Seq("id"),
+        Seq(("lo", 1), ("hi", 1)))
+      .select("id", "bucket").as[(Long, Option[String])].collect().toMap
+    assert(mout(1L).contains("lo") && mout(2L).contains("hi"))
+    assert(mout(3L).isEmpty)
+    assert(mout(4L).contains("lo") && mout(5L).contains("hi"))
+  }
 }
