@@ -132,36 +132,76 @@ object Binning {
       parts: Seq[(String, Int)],
       labelCol: String = "bucket",
       maxDriverGroups: Int = 4096): DataFrame = {
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = partitionBounds(input, groupCol, valueCol, ties, parts,
+      maxDriverGroups)
+    // As with [[quantileBins]], the cache stays pinned through the
+    // caller's assignment pass and is reclaimed by the context cleaner
+    // once the plan is garbage-collected.
+    assignLabels(input, bounds, groupCol, valueCol, parts, labelCol)
+  }
+
+  /** The fit half of [[labeledPartition]]: one MATERIALIZED row per
+    * group carrying the (parts.size - 1) boundary values (columns
+    * `__lp0`, `__lp1`, …). Persist it as a table and feed fresh data —
+    * batch or a stream — through [[assignLabels]]: the CCNet
+    * deployment shape, where cuts are fit on a reference crawl and new
+    * documents are labeled on ingest without refitting.
+    */
+  def partitionBounds(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      parts: Seq[(String, Int)],
+      maxDriverGroups: Int = 4096): DataFrame = {
     require(parts.size > 1, "need at least 2 parts")
     require(parts.map(_._1).distinct.size == parts.size, "labels must be distinct")
     require(parts.forall(_._2 > 0), "part weights must be positive")
-    require(!df.columns.contains(labelCol),
-      s"label column '$labelCol' already exists on the input")
-    val tot = parts.map(_._2.toLong).sum.toDouble
-    val qs = parts.init.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
-      .zipWithIndex.map { case (cum, i) => s"__lp$i" -> (cum / tot) }
+    val qs = boundaryFracs(parts)
     require(!df.columns.exists(qs.map(_._1).toSet),
       "reserved column name collision (__lp<i>)")
-    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val boundsPlan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs,
+    val boundsPlan = Percentiles.exactDiscrete(df, groupCol, valueCol, ties, qs,
       maxDriverGroups = maxDriverGroups)
-    val bounds = df.sparkSession.createDataFrame(
+    df.sparkSession.createDataFrame(
       java.util.Arrays.asList(boundsPlan.collect(): _*), boundsPlan.schema)
-    // label = the first part whose boundary the value does not exceed;
-    // structurally the same count-of-boundaries-below as quantileBins,
-    // mapped through the label list.
+  }
+
+  /** The assignment half of [[labeledPartition]]: label = the first
+    * part whose boundary the value does not exceed — structurally the
+    * same count-of-boundaries-below as [[quantileBins]], mapped
+    * through the label list. A broadcast join plus a row-local
+    * codegen'd expression: stateless, so it runs unchanged over a
+    * streaming DataFrame (stream-static join against the fitted
+    * bounds). Null values and null-boundary groups get a null label;
+    * rows whose group is absent from `bounds` too (left join).
+    */
+  def assignLabels(
+      df: DataFrame,
+      bounds: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      parts: Seq[(String, Int)],
+      labelCol: String = "bucket"): DataFrame = {
+    require(!df.columns.contains(labelCol),
+      s"label column '$labelCol' already exists on the input")
+    val qs = boundaryFracs(parts)
+    require(qs.map(_._1).forall(bounds.columns.contains),
+      s"bounds is missing boundary columns; expected ${qs.map(_._1).mkString(", ")}")
     val idx = qs.map { case (q, _) =>
       when(col(valueCol) > col(q), 1).otherwise(0)
     }.reduce(_ + _)
     val labels = array(parts.map(p => lit(p._1)): _*)
-    val out = input.join(broadcast(bounds), Seq(groupCol), "left")
+    df.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(labelCol,
         when(col(valueCol).isNull || col(qs.head._1).isNull, lit(null).cast("string"))
           .otherwise(element_at(labels, idx + 1)))
       .drop(qs.map(_._1): _*)
-    // As with [[quantileBins]], the cache stays pinned through the
-    // caller's assignment pass and is reclaimed by the context cleaner
-    // once the plan is garbage-collected.
-    out
+  }
+
+  private def boundaryFracs(parts: Seq[(String, Int)]): Seq[(String, Double)] = {
+    val tot = parts.map(_._2.toLong).sum.toDouble
+    parts.init.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+      .zipWithIndex.map { case (cum, i) => s"__lp$i" -> (cum / tot) }
   }
 }

@@ -93,6 +93,64 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dupes"))
 
+  /** A chosen LSH banding: `bands × rowsPerBand` hashes, with the
+    * S-curve diagnostics at the target threshold. `estFalsePos` /
+    * `estFalseNeg` are the collision-probability mass on the wrong
+    * side of the threshold (∫₀ᵗ p(s) ds and ∫ₜ¹ (1−p(s)) ds for
+    * p(s) = 1 − (1 − sʳ)ᵇ), assuming similarity uniform on [0,1] —
+    * a shape diagnostic, not a corpus estimate.
+    */
+  final case class BandPlan(bands: Int, rowsPerBand: Int,
+      estFalsePos: Double, estFalseNeg: Double) {
+    def numHashes: Int = bands * rowsPerBand
+    /** The similarity at which a pair has a 50% candidate chance —
+      * the classic (1/b)^(1/r) approximation's exact counterpart. */
+    def impliedThreshold: Double =
+      math.pow(1 - math.pow(0.5, 1.0 / bands), 1.0 / rowsPerBand)
+  }
+
+  /** Pick (bands, rowsPerBand) for [[minhashLshPairs]] given a target
+    * Jaccard `threshold` and a hash budget: enumerate every banding
+    * with `bands × rows <= maxHashes` and keep the one minimizing
+    * `estFalsePos + fnWeight · estFalseNeg` (midpoint-rule integrals
+    * of the S-curve). `fnWeight > 1` buys recall: dedup pipelines
+    * usually prefer verifying extra candidates (the verify join
+    * discards false positives exactly) over silently missing
+    * near-duplicates, which nothing downstream can recover.
+    *
+    * Driver-side arithmetic over ≤ maxHashes² candidates — no Spark
+    * plan involved; call once and pass the result's `bands` /
+    * `numHashes` to the corpus-scale ops.
+    */
+  def planBands(threshold: Double, maxHashes: Int,
+      fnWeight: Double = 1.0): BandPlan = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(maxHashes >= 2, "need at least 2 hashes")
+    require(fnWeight > 0, "fnWeight must be positive")
+    val steps = 1000
+    def errors(b: Int, r: Int): (Double, Double) = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1 - math.pow(1 - math.pow(s, r), b)
+        if (s < threshold) fp += p else fn += 1 - p
+        i += 1
+      }
+      (fp / steps, fn / steps)
+    }
+    val candidates = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+      if b * r >= 2
+    } yield {
+      val (fp, fn) = errors(b, r)
+      (fp + fnWeight * fn, BandPlan(b, r, fp, fn))
+    }
+    // deterministic tie-break: fewest hashes, then most bands
+    candidates.minBy { case (cost, p) => (cost, p.numHashes, -p.bands) }._2
+  }
+
   /** MinHash signatures for a whole corpus from shingle rows (id, g):
     * `numHashes` seeded min-hash aggregates per document — fully
     * codegen'd with map-side partial aggregation; the shuffle carries

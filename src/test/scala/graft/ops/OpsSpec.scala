@@ -886,4 +886,26 @@ class OpsSpec extends SparkSpec {
     assert(mout(3L).isEmpty)
     assert(mout(4L).contains("lo") && mout(5L).contains("hi"))
   }
+
+  test("planBands: classic bandings, budget respected, knobs move the right way") {
+    // the textbook t=0.5 / 32-hash answer is 8 bands × 4 rows
+    val classic = Dedup.planBands(0.5, 32)
+    assert(classic.bands == 8 && classic.rowsPerBand == 4)
+    // implied threshold tracks the target across the range
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val p = Dedup.planBands(t, 128)
+      assert(p.numHashes <= 128)
+      assert(math.abs(p.impliedThreshold - t) < 0.15,
+        s"t=$t implied=${p.impliedThreshold}")
+    }
+    // a bigger hash budget buys a sharper curve (total error shrinks)
+    val small = Dedup.planBands(0.7, 32)
+    val large = Dedup.planBands(0.7, 256)
+    assert(large.estFalsePos + large.estFalseNeg <
+      small.estFalsePos + small.estFalseNeg)
+    // weighting false negatives buys recall: implied threshold drops
+    val recall = Dedup.planBands(0.7, 32, fnWeight = 4.0)
+    assert(recall.impliedThreshold < small.impliedThreshold)
+    assert(recall.estFalseNeg < small.estFalseNeg)
+  }
 }

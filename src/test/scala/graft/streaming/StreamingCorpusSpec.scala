@@ -301,4 +301,50 @@ class StreamingCorpusSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().sorted.toSeq
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming CCNet labeling: boundaries fit offline label a stream " +
+      "identically to the batch assignment") {
+    // the CCNet deployment shape: head/middle/tail cuts are fit once on
+    // a reference corpus (Binning.partitionBounds — batch), then fresh
+    // documents are labeled ON INGEST via the stateless assignLabels
+    // (stream-static broadcast join + row-local expression).
+    val ref = (1 to 12).map(i => ("en", i.toLong, i.toDouble)) ++
+      (1 to 6).map(i => ("de", 100L + i, i * 10.0))
+    val refDf = ref.toDF("lang", "doc_id", "lm")
+    val parts = Seq(("tail", 1), ("middle", 1), ("head", 2))
+    val bounds = graft.ops.Binning.partitionBounds(
+      refDf, "lang", "lm", Seq("doc_id"), parts)
+
+    val fresh = Seq(
+      ("en", 201L, 2.0),   // <= q1=3 → tail
+      ("en", 202L, 6.0),   // <= q2=6 → middle
+      ("en", 203L, 6.5),   // > q2 → head
+      ("de", 204L, 25.0),  // de cuts are 20/30 → middle
+      ("fr", 205L, 1.0),   // group absent from bounds → null label
+      ("en", 206L, 100.0)) // far past every cut → head
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Binning.assignLabels(df, bounds, "lang", "lm", parts)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = shape(mem.toDF().toDF("lang", "doc_id", "lm"))
+      .writeStream.format("memory").queryName("ccnet_stream")
+      .outputMode("append").start()
+    mem.addData(fresh.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(fresh.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ccnet_stream")
+      .select("doc_id", "bucket").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    val batch = shape(fresh.toDF("lang", "doc_id", "lm"))
+      .select("doc_id", "bucket").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      201L -> Some("tail"), 202L -> Some("middle"), 203L -> Some("head"),
+      204L -> Some("middle"), 205L -> None, 206L -> Some("head")))
+  }
 }
