@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Skew-resilient equi-join via key salting.
@@ -74,15 +74,39 @@ object SkewJoin {
       hotKeys: Int = 64, joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
     require(hotKeys > 0, "hotKeys must be positive")
-    val allowed = Set("inner", "left", "leftouter", "leftsemi")
-    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
-      s"hotKeyJoin supports inner/left/left_semi join types, got '$joinType'")
-    val hotRows = left
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    splitJoin(left, right, keys, reconHotKeys(left, keys, hotKeys), joinType)
+  }
+
+  /** The recon half of [[hotKeyJoin]]: the `hotKeys` most frequent key
+    * tuples of `df` (ties to the least tuple), as literal rows for
+    * [[splitJoin]]. Exposed so a multi-join pipeline can recon every
+    * key projection off ONE cached frame instead of paying a
+    * re-evaluation per chained hotKeyJoin, and so a streaming caller
+    * can split on keys recon'd from a prior batch.
+    */
+  def reconHotKeys(df: DataFrame, keys: Seq[String], hotKeys: Int): Array[Row] = {
+    require(keys.nonEmpty, "need at least one join key")
+    require(hotKeys > 0, "hotKeys must be positive")
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, struct(keys.map(col): _*))
       .limit(hotKeys)
       .select(keys.map(col): _*)
       .collect()
+  }
+
+  /** The split half of [[hotKeyJoin]] with the hot tuples already in
+    * hand: hot rows join via a broadcast of the right side's hot
+    * slice, cold rows take the ordinary shuffle join. Identical result
+    * to `left.join(right, keys, joinType)` for ANY `hotRows` — the
+    * tuple list only steers routing, so an imperfect (stale, sampled,
+    * projected) recon degrades performance, never correctness.
+    */
+  def splitJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      hotRows: Array[Row], joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    val allowed = Set("inner", "left", "leftouter", "leftsemi")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"hotKeyJoin supports inner/left/left_semi join types, got '$joinType'")
     if (hotRows.isEmpty) return left.join(right, keys, joinType)
     // literal predicate: OR over hot tuples of AND over key equalities —
     // codegen'd map-side filter, no extra shuffle on either side. For

@@ -283,11 +283,20 @@ object TextRank {
     * trigram/bigram count tables are data-derived and join by their
     * gram keys (never broadcast); the two unigram lookups and N ride
     * one broadcast each. Docs with fewer than 3 tokens produce no
-    * trigram and are absent from the output. The aggregate-fed join
-    * skew note on [[bigramLogProb]] applies here unchanged.
+    * trigram and are absent from the output.
+    *
+    * The aggregate-fed join skew note on [[bigramLogProb]] applies to
+    * all THREE count joins (trigram, context bigram, backoff bigram) —
+    * AQE cannot split any of them. `hotKeys > 0` routes each through
+    * [[SkewJoin.splitJoin]]: the doc-trigram frame is persisted once,
+    * ONE recon aggregate per key projection finds the hot tuples
+    * (stopword runs like "of the x"), and each join broadcasts its hot
+    * slice while the tail shuffles — no chained re-evaluation, no
+    * partition holds a dominant gram. The cache is reclaimed by the
+    * context cleaner with the plan, as in `Binning`.
     */
   def trigramStupidBackoff(fit: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.4): DataFrame = {
+      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     def toks(df: DataFrame, cols: Column*): DataFrame =
       df.select(cols :+
@@ -314,17 +323,29 @@ object TextRank {
     val total = ft.agg(count(lit(1)).as("__n"))
 
     val st = grams(toks(docs, col(idCol)), col(idCol))
-    val docTri = st.filter(col("__t3").isNotNull)
+    val docTriRaw = st.filter(col("__t3").isNotNull)
       .groupBy(col(idCol), col("__t").as("__w1"), col("__t2").as("__w2"),
         col("__t3").as("__w3"))
       .agg(count(lit(1)).as("__n3"))
+    val docTri =
+      if (hotKeys > 0)
+        docTriRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docTriRaw
+    // one recon per key projection, all off the same cached frame;
+    // splitJoin is result-identical for any hot list, so projecting
+    // hot TUPLES per join (not one shared list) costs nothing extra
+    // beyond the three cheap aggregates.
+    def cj(l: DataFrame, r: DataFrame, ks: Seq[String]): DataFrame =
+      if (hotKeys > 0)
+        SkewJoin.splitJoin(l, r, ks, SkewJoin.reconHotKeys(docTri, ks, hotKeys), "left")
+      else l.join(r, ks, "left")
 
     val lnA = math.log(alpha)
-    val scored = docTri
-      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
-      .join(big, Seq("__w1", "__w2"), "left")
-      .join(big.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
-        col("__c12").as("__c23")), Seq("__w2", "__w3"), "left")
+    val scored = cj(cj(cj(docTri,
+        tri, Seq("__w1", "__w2", "__w3")),
+        big, Seq("__w1", "__w2")),
+        big.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
+          col("__c12").as("__c23")), Seq("__w2", "__w3"))
       .join(broadcast(uni.select(col("__w").as("__w2"), col("__cu").as("__c2"))),
         Seq("__w2"), "left")
       .join(broadcast(uni.select(col("__w").as("__w3"), col("__cu").as("__c3u"))),

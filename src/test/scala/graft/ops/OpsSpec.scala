@@ -848,6 +848,25 @@ class OpsSpec extends SparkSpec {
     assert(close(out(5L)._1, math.log(2.0 / 6) + 2 * lnA))
   }
 
+  test("trigram backoff hot-key path scores identically to the plain joins") {
+    val fit = (0 until 30).map { i =>
+      (1000L + i, ("of the end " * (i % 3 + 1)) + s"fitword$i common run")
+    }.toDF("doc_id", "text")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, ("of the end " * (i % 5 + 1)) + s"unique$i tail$i")
+    }.toDF("doc_id", "text")
+    def shape(hk: Int) =
+      TextRank.trigramStupidBackoff(fit, docs, "doc_id", "text", hotKeys = hk)
+        .select(col("doc_id"), round(col("mean_logprob"), 9).as("p"), col("n_trigrams"))
+    val plain = shape(0)
+    val hot = shape(4)
+    assert(hot.except(plain).isEmpty && plain.except(hot).isEmpty)
+    assert(plain.count() == 40)
+    // the hot route must actually produce broadcast joins
+    val planStr = shape(4).queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr.take(800))
+  }
+
   test("trigram stupid backoff never backs off when scored on its own fit") {
     val docs = Seq((1L, "a b c d"), (2L, "b c d a")).toDF("doc_id", "text")
     val out = TextRank.trigramStupidBackoff(docs, docs, "doc_id", "text")

@@ -547,6 +547,50 @@ class VolumeStressSpec extends SparkSpec {
     }
   }
 
+  test("trigram backoff under ONE dominant trigram: hot route keeps every " +
+      "count join off the straggler task — same scores") {
+    // 120k score docs all containing "of the end" once (fit corpus
+    // supplies the counts): the three aggregate-fed count joins each
+    // hold 120k rows of ONE gram key, and per the bigram test above
+    // AQE cannot split any of them. The hotKeys route must bound the
+    // max task while changing nothing.
+    val fit = spark.range(0, 2000).select(col("id"),
+      concat(lit("of the end tail"), pmod(col("id"), lit(97))).as("text"))
+    val docs = spark.range(0, 120000).select(col("id"),
+      concat(lit("of the end tail"), pmod(col("id"), lit(997))).as("text"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // the count tables must not auto-broadcast at this tiny scale or
+      // there is no shuffle join left to measure
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(hk: Int): (Map[Long, Long], Long) = {
+        var rows: Map[Long, Long] = null
+        val mx = maxTaskShuffleRead {
+          rows = TextRank.trigramStupidBackoff(fit, docs, "id", "text", hotKeys = hk)
+            .select(col("id"), (col("mean_logprob") * 10000).cast("long"))
+            .as[(Long, Long)].collect().toMap
+        }
+        (rows, mx)
+      }
+      val (plainRows, plainMax) = run(0)
+      val (hotRows, hotMax) = run(8)
+      assert(plainRows.size == 120000 && hotRows == plainRows,
+        "hot routing must not change a single score")
+      // plain: one task swallows the 120k-row hot key; hot: bounded
+      assert(plainMax >= 120000L, s"expected the plain straggler, max=$plainMax")
+      assert(hotMax < 60000L,
+        s"hot route must spread the dominant gram, max=$hotMax")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))
