@@ -84,13 +84,54 @@ class NewPlanSpec extends SparkSpec {
       // The (w1, w2) scoring join must consume the per-doc aggregate —
       // a HashAggregate keyed by (id, __w1, __w2) — not raw occurrence
       // rows: that collapse is what bounds a hot stopword transition at
-      // 100 TB (AQE skew-split then covers the residual join skew).
+      // 100 TB (the residual join skew is NOT AQE-coverable — see the
+      // VolumeStressSpec proof — and routes through hotKeys instead).
       val aggKeyed = plan.split("\n").exists(l =>
         l.contains("HashAggregate") && l.contains("__w1") && l.contains("__w2")
           && l.contains("keys=") && l.contains("id"))
       assert(aggKeyed, s"expected a (id, __w1, __w2)-keyed aggregate below the join:\n$plan")
       // unigram vocabulary rides a broadcast, never the big shuffle
       assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+
+  test("trigram backoff plan: doc-collapsed counts feed the joins; unigrams broadcast") {
+    withoutAqe {
+      val fit = (0 until 30).map(i => (100L + i, s"the quick fox $i jumps")).toDF("id", "text")
+      val docs = (0 until 50).map(i => (i.toLong, s"the quick fox $i runs")).toDF("id", "text")
+      val plan = graft.ops.TextRank.trigramStupidBackoff(fit, docs, "id", "text")
+        .queryExecution.executedPlan.toString
+      // same collapse discipline as the bigram LM, one order up: the
+      // count joins consume a (id, __w1, __w2, __w3)-keyed aggregate
+      val aggKeyed = plan.split("\n").exists(l =>
+        l.contains("HashAggregate") && l.contains("__w3") && l.contains("keys=")
+          && l.contains("id"))
+      assert(aggKeyed, s"expected a (id, __w1..__w3)-keyed aggregate below the joins:\n$plan")
+      // both unigram lookups and N ride broadcasts
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("ccnet assignment plan: a broadcast join plus row-local labeling, " +
+      "no shuffle over the scored corpus") {
+    withoutAqe {
+      val ref = (1 to 40).map(i => (s"l${i % 2}", i.toLong, i.toDouble))
+        .toDF("lang", "doc_id", "lm")
+      val parts = Seq(("tail", 1), ("middle", 1), ("head", 2))
+      val bounds = graft.ops.Binning.partitionBounds(ref, "lang", "lm",
+        Seq("doc_id"), parts)
+      val fresh = (50 to 90).map(i => (s"l${i % 2}", i.toLong, i.toDouble))
+        .toDF("lang", "doc_id", "lm")
+      val labeled = graft.ops.Binning.assignLabels(fresh, bounds, "lang", "lm", parts)
+      val plan = labeled.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+      // the corpus side must not shuffle: labeling is ingest-shaped
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"assignment must not exchange the scored corpus:\n${plan.toString}")
     }
   }
 
