@@ -296,23 +296,41 @@ object TextRank {
     * context cleaner with the plan, as in `Binning`.
     */
   def trigramStupidBackoff(fit: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0): DataFrame = {
-    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    def toks(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+
-        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__t")): _*)
-        .filter(col("__t") =!= "")
-    def grams(df: DataFrame, cols: Column*): DataFrame = {
-      val w = Window.partitionBy(cols: _*).orderBy(col("__pos"))
-      df.withColumn("__t2", lead(col("__t"), 1).over(w))
-        .withColumn("__t3", lead(col("__t"), 2).over(w))
-    }
-    // fit side: one tokenize + one window pass feeds all three count
-    // tables (unigram counts come straight off the token stream).
-    // Adjacency is PER DOCUMENT — the window partitions by the fit
-    // corpus's own id, so grams never span document boundaries and the
-    // window pass scales with documents, not corpus size.
-    val ft = grams(toks(fit, col(idCol)), col(idCol))
+      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0): DataFrame =
+    scoreTrigrams(trigramCounts(fit, idCol, textCol), docs, idCol, textCol,
+      alpha, hotKeys)
+
+  /** The count tables behind [[trigramStupidBackoff]] — the reference
+    * LM as data. Fit once on the reference corpus, persist as tables,
+    * and score fresh data (batch via [[scoreTrigrams]], a stream via
+    * [[scoreTrigramsStream]]) without refitting: with
+    * [[Binning.partitionBounds]]/`assignLabels` this completes the
+    * CCNet on-ingest pipeline (score → bucket) against offline
+    * artifacts.
+    */
+  final case class TrigramCounts(tri: DataFrame, big: DataFrame,
+      uni: DataFrame, total: DataFrame)
+
+  private def tokStream(df: DataFrame, textCol: String, cols: Column*): DataFrame =
+    df.select(cols :+
+      posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__t")): _*)
+      .filter(col("__t") =!= "")
+
+  private def leadGrams(df: DataFrame, cols: Column*): DataFrame = {
+    val w = Window.partitionBy(cols: _*).orderBy(col("__pos"))
+    df.withColumn("__t2", lead(col("__t"), 1).over(w))
+      .withColumn("__t3", lead(col("__t"), 2).over(w))
+  }
+
+  /** Fit [[TrigramCounts]] on a corpus: one tokenize + one window pass
+    * feeds all three count tables (unigram counts come straight off
+    * the token stream). Adjacency is PER DOCUMENT — the window
+    * partitions by the fit corpus's own id, so grams never span
+    * document boundaries and the window pass scales with documents,
+    * not corpus size.
+    */
+  def trigramCounts(fit: DataFrame, idCol: String, textCol: String): TrigramCounts = {
+    val ft = leadGrams(tokStream(fit, textCol, col(idCol)), col(idCol))
     val tri = ft.filter(col("__t3").isNotNull)
       .groupBy(col("__t").as("__w1"), col("__t2").as("__w2"), col("__t3").as("__w3"))
       .agg(count(lit(1)).as("__c3"))
@@ -321,8 +339,19 @@ object TextRank {
       .agg(count(lit(1)).as("__c12"))
     val uni = ft.groupBy(col("__t").as("__w")).agg(count(lit(1)).as("__cu"))
     val total = ft.agg(count(lit(1)).as("__n"))
+    TrigramCounts(tri, big, uni, total)
+  }
 
-    val st = grams(toks(docs, col(idCol)), col(idCol))
+  /** Score a batch corpus against fitted [[TrigramCounts]] — the
+    * execution half of [[trigramStupidBackoff]] (see there for the
+    * scoring algebra and the skew notes).
+    */
+  def scoreTrigrams(counts: TrigramCounts, docs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val TrigramCounts(tri, big, uni, total) = counts
+
+    val st = leadGrams(tokStream(docs, textCol, col(idCol)), col(idCol))
     val docTriRaw = st.filter(col("__t3").isNotNull)
       .groupBy(col(idCol), col("__t").as("__w1"), col("__t2").as("__w2"),
         col("__t3").as("__w3"))
@@ -362,5 +391,62 @@ object TextRank {
     scored.groupBy(col(idCol))
       .agg((sum(col("__n3") * col("__s")) / sum(col("__n3"))).as("mean_logprob"),
         sum(col("__n3")).as("n_trigrams"))
+  }
+
+  /** [[scoreTrigrams]] for a STREAMING corpus against static fitted
+    * counts — the on-ingest half of the CCNet pipeline. Two batch
+    * constructs are illegal on a stream and are traded away:
+    *
+    *  - gram adjacency comes from a row-local array transform instead
+    *    of the posexplode+lead window (windows don't stream; the
+    *    array form is the measured-slower-but-legal twin);
+    *  - the scoring joins carry per-OCCURRENCE rows, not the
+    *    doc-collapsed (doc, trigram, n) aggregate — a pre-join
+    *    aggregate would make the per-doc mean a SECOND streaming
+    *    aggregation, which Structured Streaming rejects without
+    *    event-time watermarks. Occurrence rows are bounded by document
+    *    length, and the per-occurrence mean equals the n-weighted mean
+    *    exactly, so scores are identical to the batch path.
+    *
+    * All five count joins are stream-static (counts are batch tables);
+    * the single streaming aggregate is the per-doc mean. Run with
+    * complete/update output mode.
+    */
+  def scoreTrigramsStream(counts: TrigramCounts, docs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val TrigramCounts(tri, big, uni, total) = counts
+    val ts = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val grams = docs.select(col(idCol),
+        explode(when(size(ts) >= 3,
+            transform(sequence(lit(0), size(ts) - 3),
+              i => struct(element_at(ts, i + 1).as("__w1"),
+                element_at(ts, i + 2).as("__w2"),
+                element_at(ts, i + 3).as("__w3"))))
+          .otherwise(array().cast("array<struct<__w1:string,__w2:string,__w3:string>>")))
+          .as("__g"))
+      .select(col(idCol), col("__g.__w1"), col("__g.__w2"), col("__g.__w3"))
+    val lnA = math.log(alpha)
+    grams
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(big, Seq("__w1", "__w2"), "left")
+      .join(big.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
+        col("__c12").as("__c23")), Seq("__w2", "__w3"), "left")
+      .join(broadcast(uni.select(col("__w").as("__w2"), col("__cu").as("__c2"))),
+        Seq("__w2"), "left")
+      .join(broadcast(uni.select(col("__w").as("__w3"), col("__cu").as("__c3u"))),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__s",
+        when(col("__c3").isNotNull,
+          log(col("__c3").cast("double") / col("__c12")))
+        .when(col("__c23").isNotNull,
+          log(col("__c23").cast("double") / col("__c2")) + lit(lnA))
+        .otherwise(
+          log(coalesce(col("__c3u"), lit(1L)).cast("double") / col("__n"))
+            + lit(2 * lnA)))
+      .groupBy(col(idCol))
+      .agg((sum(col("__s")) / count(lit(1))).as("mean_logprob"),
+        count(lit(1)).as("n_trigrams"))
   }
 }

@@ -302,6 +302,39 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming trigram LM: micro-batches score against static fitted " +
+      "counts exactly like the batch scorer") {
+    // the score half of CCNet-on-ingest: counts fit offline (batch),
+    // fresh docs scored on arrival through five stream-static joins
+    // and ONE streaming aggregate. The per-occurrence mean must equal
+    // the batch path's n-weighted mean on every doc, including docs
+    // that exercise the whole backoff chain.
+    val fit = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val counts = graft.ops.TextRank.trigramCounts(fit, "doc_id", "text")
+    val batch1 = Seq((1L, "a b c"), (2L, "x b c"))
+    val batch2 = Seq((3L, "a b x q"), (4L, "c a b c a b"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.TextRank.scoreTrigramsStream(
+        counts, mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("trigram_stream")
+      .outputMode("complete").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), round(col("mean_logprob"), 9).as("p"), col("n_trigrams"))
+        .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val streamed = canon(spark.table("trigram_stream"))
+    val batch = canon(graft.ops.TextRank.scoreTrigrams(
+      counts, (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(streamed == batch && streamed.map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("streaming CCNet labeling: boundaries fit offline label a stream " +
       "identically to the batch assignment") {
     // the CCNet deployment shape: head/middle/tail cuts are fit once on
