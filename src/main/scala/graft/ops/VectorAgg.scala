@@ -67,4 +67,53 @@ object VectorAgg {
       .agg(MeanVec.toColumn.name("centroid"))
       .toDF(groupCol, "centroid")
   }
+
+  /** Deterministic ±1 sign for projection cell (k, d): parity of the
+    * LAST hex digit of md5("<tag>:k:d") — a hex-string operation with
+    * no endianness or width ambiguity, so any engine reproduces it
+    * (`('0x' || substr(md5(s), 32, 1))::INT % 2` in DuckDB).
+    */
+  private[ops] def projSign(tag: String, k: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$k:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(31).asDigit % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Random SIGNED projection (Achlioptas 2003 / the
+    * Johnson–Lindenstrauss database-friendly form): reduce `vecCol`
+    * from `inDims` to `outDims` with out[k] = Σ_d ±v[d] / √outDims,
+    * signs drawn from the engine-portable md5 parity above. The
+    * standard pre-LSH/pre-IVF step at 100 TB: banding 4096-dim
+    * embeddings directly is 64× the shuffle weight of banding their
+    * 64-dim projections, and pairwise distances survive within the JL
+    * bound.
+    *
+    * The projection matrix is baked into the PLAN as sign literals:
+    * each output dim is one fixed codegen'd expression tree over the
+    * input array — row-local, shuffle-free, no matrix table, no join.
+    * That costs plan size O(inDims × outDims); for very wide pairs
+    * (≳10⁵ cells) codegen falls back to interpreted evaluation —
+    * still correct, but consider projecting in two hops (e.g.
+    * 4096→256→64, each hop well inside codegen limits) — JL composes.
+    *
+    * Output: (idCol, out_dim ∈ [0, outDims), value) rows. Vectors not
+    * exactly `inDims` wide yield null values (ANSI-safe guard), never
+    * a silent misprojection.
+    */
+  def signedProject(df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int, tag: String = "rp"): DataFrame = {
+    require(inDims > 0 && outDims > 0, "dims must be positive")
+    require(outDims <= inDims, "projection must reduce dimensionality")
+    val norm = math.sqrt(outDims.toDouble)
+    val vec = col(vecCol)
+    val exprs = (0 until outDims).map { k =>
+      val signed = (0 until inDims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(projSign(tag, k, d))
+      }.reduce(_ + _)
+      when(size(vec) === inDims, signed / lit(norm))
+    }
+    df.select(col(idCol),
+      posexplode(array(exprs: _*)).as(Seq("out_dim", "value")))
+  }
 }

@@ -375,7 +375,27 @@ object SimilarityOps {
       |FROM u GROUP BY doc_id
       |ORDER BY rrf_nano DESC, doc_id LIMIT 15""".stripMargin
 
+  // Random signed projection (ops.VectorAgg.signedProject): 64 → 8
+  // dims, ±1 signs from the md5-parity cell rule replayed verbatim in
+  // the oracle; row-local plan-baked matrix, no shuffle. Rounded to 6
+  // digits (the sum is a fixed left-fold expression tree both
+  // engines).
+  private val randomProject: Q = (s, dir) =>
+    graft.ops.VectorAgg.signedProject(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", inDims = 64, outDims = 8)
+      .select(col("vec_id"), col("out_dim"), round(col("value"), 6).as("value"))
+  private val randomProjectSql =
+    """SELECT vec_id, k AS out_dim,
+      |  round(list_sum(list_transform(range(1, 65),
+      |      d -> embedding[d] *
+      |        (CASE WHEN ('0x' || substr(md5('rp:' || k || ':' || (d - 1)), 32, 1))::INT
+      |                   % 2 = 0
+      |              THEN 1.0 ELSE -1.0 END)))
+      |    / sqrt(8), 6) AS value
+      |FROM (SELECT vec_id, embedding, unnest(range(0, 8)) AS k FROM embeddings) t""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("ann_random_project", randomProject, Some(randomProjectSql)),
     Entry("emb_centroid", centroid, Some(centroidSql)),
     Entry("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Entry("dedup_semantic", semantic, Some(semanticSql)),

@@ -906,6 +906,37 @@ class OpsSpec extends SparkSpec {
     assert(mout(4L).contains("lo") && mout(5L).contains("hi"))
   }
 
+  test("signedProject: md5-parity signs, width guard, linearity") {
+    // hand-check against projSign directly (inDims=2, outDims=1, norm=1)
+    val s0 = VectorAgg.projSign("rp", 0, 0)
+    val s1 = VectorAgg.projSign("rp", 0, 1)
+    val one = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = VectorAgg.signedProject(one, "vec_id", "embedding", 2, 1)
+      .select("value").as[Double].first()
+    assert(math.abs(out - (s0 * 1.0 + s1 * 2.0)) < 1e-12)
+
+    // a vector of the wrong width yields null values, never a misprojection
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val badOut = VectorAgg.signedProject(bad, "vec_id", "embedding", 2, 1)
+      .select("value").as[Option[Double]].collect()
+    assert(badOut.toSeq == Seq(None))
+
+    // linearity on integer-valued vectors (exact in doubles)
+    val a = Seq(3.0f, -1.0f, 4.0f, 1.0f)
+    val b = Seq(2.0f, 7.0f, -5.0f, 3.0f)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val df = Seq((1L, a), (2L, b), (3L, ab)).toDF("vec_id", "embedding")
+    val proj = VectorAgg.signedProject(df, "vec_id", "embedding", 4, 2)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(proj(3L).zip(proj(1L).zip(proj(2L))).forall {
+      case (sum, (x, y)) => math.abs(sum - (x + y)) < 1e-12
+    })
+    // and the signs are genuinely mixed across the 8 cells (not all +1)
+    val signs = for (k <- 0 until 2; d <- 0 until 4) yield VectorAgg.projSign("rp", k, d)
+    assert(signs.toSet == Set(1.0, -1.0))
+  }
+
   test("planBands: classic bandings, budget respected, knobs move the right way") {
     // the textbook t=0.5 / 32-hash answer is 8 bands × 4 rows
     val classic = Dedup.planBands(0.5, 32)
