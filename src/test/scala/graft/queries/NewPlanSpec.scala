@@ -135,6 +135,20 @@ class NewPlanSpec extends SparkSpec {
     }
   }
 
+  test("signed projection plan: zero exchanges, matrix baked as literals") {
+    withoutAqe {
+      val proj = graft.ops.VectorAgg.signedProject(vecs(100), "vec_id", "embedding",
+        inDims = 8, outDims = 4)
+      val plan = proj.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"projection must be row-local:\n${plan.toString}")
+      // the sign matrix lives in the expression tree, not a join input
+      assert(!plan.toString.contains("Join"), plan.toString)
+    }
+  }
+
   test("skew-salted join plan: salt widens the shuffle key; replicas broadcast") {
     withoutAqe {
       val left = spark.range(0, 1000).select(lit(1L).as("k"), col("id").as("v"))
