@@ -35,7 +35,16 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→LTZ cast reads the SESSION zone; in any zone but UTC
+        // every instant would silently shift by the local offset, so
+        // fail loudly instead (the nanos-long path above is
+        // zone-independent and never needed this guard)
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; loading it requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz') so naive timestamps keep their instants")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     } else df
   }

@@ -132,9 +132,12 @@ object Binning {
       parts: Seq[(String, Int)],
       labelCol: String = "bucket",
       maxDriverGroups: Int = 4096): DataFrame = {
+    // validate BEFORE the persist + multi-pass boundary job — a label
+    // collision must fail instantly, not after the driver collect
+    require(!df.columns.contains(labelCol),
+      s"label column '$labelCol' already exists on the input")
     val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = partitionBounds(input, groupCol, valueCol, ties, parts,
-      maxDriverGroups)
+    val bounds = boundsOf(input, groupCol, valueCol, ties, parts, maxDriverGroups)
     // As with [[quantileBins]], the cache stays pinned through the
     // caller's assignment pass and is reclaimed by the context cleaner
     // once the plan is garbage-collected.
@@ -147,6 +150,12 @@ object Binning {
     * batch or a stream — through [[assignLabels]]: the CCNet
     * deployment shape, where cuts are fit on a reference crawl and new
     * documents are labeled on ingest without refitting.
+    *
+    * Boundary location is multi-pass, so `df` is cached for the
+    * duration of this call and released before returning (the bounds
+    * are collected eagerly, so nothing returned depends on the cache).
+    * Pass an UNPERSISTED frame — a caller-managed cache on the same
+    * plan would be dropped by the internal release.
     */
   def partitionBounds(
       df: DataFrame,
@@ -155,6 +164,18 @@ object Binning {
       ties: Seq[String],
       parts: Seq[(String, Int)],
       maxDriverGroups: Int = 4096): DataFrame = {
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try boundsOf(input, groupCol, valueCol, ties, parts, maxDriverGroups)
+    finally { input.unpersist(); () }
+  }
+
+  private def boundsOf(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      parts: Seq[(String, Int)],
+      maxDriverGroups: Int): DataFrame = {
     require(parts.size > 1, "need at least 2 parts")
     require(parts.map(_._1).distinct.size == parts.size, "labels must be distinct")
     require(parts.forall(_._2 > 0), "part weights must be positive")

@@ -74,7 +74,16 @@ object SkewJoin {
       hotKeys: Int = 64, joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
     require(hotKeys > 0, "hotKeys must be positive")
+    // validate BEFORE the recon collect — an unsupported joinType must
+    // fail instantly, not after a corpus-sized aggregation job
+    requireSupportedJoinType(joinType)
     splitJoin(left, right, keys, reconHotKeys(left, keys, hotKeys), joinType)
+  }
+
+  private def requireSupportedJoinType(joinType: String): Unit = {
+    val allowed = Set("inner", "left", "leftouter", "leftsemi")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"hotKeyJoin supports inner/left/left_semi join types, got '$joinType'")
   }
 
   /** The recon half of [[hotKeyJoin]]: the `hotKeys` most frequent key
@@ -104,9 +113,7 @@ object SkewJoin {
   def splitJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       hotRows: Array[Row], joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
-    val allowed = Set("inner", "left", "leftouter", "leftsemi")
-    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
-      s"hotKeyJoin supports inner/left/left_semi join types, got '$joinType'")
+    requireSupportedJoinType(joinType)
     if (hotRows.isEmpty) return left.join(right, keys, joinType)
     // literal predicate: OR over hot tuples of AND over key equalities —
     // codegen'd map-side filter, no extra shuffle on either side. For

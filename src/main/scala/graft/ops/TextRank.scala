@@ -330,7 +330,18 @@ object TextRank {
     * not corpus size.
     */
   def trigramCounts(fit: DataFrame, idCol: String, textCol: String): TrigramCounts = {
+    // The occurrence stream is persisted so the four count tables share
+    // ONE tokenize + window pass — without it each table's first
+    // materialization re-runs the most expensive stage (up to 4× in a
+    // single scoring query; exchange reuse does not cover differently
+    // keyed aggregates). The cache is occurrence-scale: MEMORY_AND_DISK
+    // spills rather than evicts, and the context cleaner reclaims it
+    // with the plan. Fitting a reference corpus too large even to
+    // spill? Materialize the count tables to parquet once and reload —
+    // the artifact pattern (cf. minhashArtifact), which is the CCNet
+    // deployment shape anyway.
     val ft = leadGrams(tokStream(fit, textCol, col(idCol)), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tri = ft.filter(col("__t3").isNotNull)
       .groupBy(col("__t").as("__w1"), col("__t2").as("__w2"), col("__t3").as("__w3"))
       .agg(count(lit(1)).as("__c3"))
@@ -369,8 +380,24 @@ object TextRank {
         SkewJoin.splitJoin(l, r, ks, SkewJoin.reconHotKeys(docTri, ks, hotKeys), "left")
       else l.join(r, ks, "left")
 
+    backoffScored(docTri, counts, alpha, cj)
+      .groupBy(col(idCol))
+      .agg((sum(col("__n3") * col("__s")) / sum(col("__n3"))).as("mean_logprob"),
+        sum(col("__n3")).as("n_trigrams"))
+  }
+
+  /** The shared backoff chain: count joins + the `__s` score column
+    * over a (…, __w1, __w2, __w3) gram frame. ONE definition feeds
+    * both [[scoreTrigrams]] (doc-collapsed grams, optionally hot-key
+    * routed) and [[scoreTrigramsStream]] (occurrence grams, plain
+    * joins) so the scoring algebra can never drift between the twins.
+    */
+  private def backoffScored(grams: DataFrame, counts: TrigramCounts,
+      alpha: Double,
+      countJoin: (DataFrame, DataFrame, Seq[String]) => DataFrame): DataFrame = {
+    val TrigramCounts(tri, big, uni, total) = counts
     val lnA = math.log(alpha)
-    val scored = cj(cj(cj(docTri,
+    countJoin(countJoin(countJoin(grams,
         tri, Seq("__w1", "__w2", "__w3")),
         big, Seq("__w1", "__w2")),
         big.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
@@ -388,9 +415,6 @@ object TextRank {
         .otherwise(
           log(coalesce(col("__c3u"), lit(1L)).cast("double") / col("__n"))
             + lit(2 * lnA)))
-    scored.groupBy(col(idCol))
-      .agg((sum(col("__n3") * col("__s")) / sum(col("__n3"))).as("mean_logprob"),
-        sum(col("__n3")).as("n_trigrams"))
   }
 
   /** [[scoreTrigrams]] for a STREAMING corpus against static fitted
@@ -415,7 +439,6 @@ object TextRank {
   def scoreTrigramsStream(counts: TrigramCounts, docs: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val TrigramCounts(tri, big, uni, total) = counts
     val ts = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
     val grams = docs.select(col(idCol),
         explode(when(size(ts) >= 3,
@@ -426,25 +449,7 @@ object TextRank {
           .otherwise(array().cast("array<struct<__w1:string,__w2:string,__w3:string>>")))
           .as("__g"))
       .select(col(idCol), col("__g.__w1"), col("__g.__w2"), col("__g.__w3"))
-    val lnA = math.log(alpha)
-    grams
-      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
-      .join(big, Seq("__w1", "__w2"), "left")
-      .join(big.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
-        col("__c12").as("__c23")), Seq("__w2", "__w3"), "left")
-      .join(broadcast(uni.select(col("__w").as("__w2"), col("__cu").as("__c2"))),
-        Seq("__w2"), "left")
-      .join(broadcast(uni.select(col("__w").as("__w3"), col("__cu").as("__c3u"))),
-        Seq("__w3"), "left")
-      .crossJoin(broadcast(total))
-      .withColumn("__s",
-        when(col("__c3").isNotNull,
-          log(col("__c3").cast("double") / col("__c12")))
-        .when(col("__c23").isNotNull,
-          log(col("__c23").cast("double") / col("__c2")) + lit(lnA))
-        .otherwise(
-          log(coalesce(col("__c3u"), lit(1L)).cast("double") / col("__n"))
-            + lit(2 * lnA)))
+    backoffScored(grams, counts, alpha, (l, r, ks) => l.join(r, ks, "left"))
       .groupBy(col(idCol))
       .agg((sum(col("__s")) / count(lit(1))).as("mean_logprob"),
         count(lit(1)).as("n_trigrams"))

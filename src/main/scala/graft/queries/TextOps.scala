@@ -815,7 +815,13 @@ object TextOps {
     val docs = Tables.load(s, dir, "documents")
     val scored = graft.ops.TextRank.bigramLogProb(docs, "doc_id", "text")
       .select(col("doc_id"), round(col("mean_logprob"), 4).as("lm"))
-    val withLang = docs.select(col("doc_id"), col("lang")).join(scored, Seq("doc_id"))
+    // null-lang rows are EXCLUDED on both sides: labeledPartition
+    // would keep them with a null bucket (left join), but the oracle's
+    // USING (lang) join drops them — filter here so the gate cannot
+    // diverge if a future testdata generation introduces null langs.
+    val withLang = docs.select(col("doc_id"), col("lang"))
+      .filter(col("lang").isNotNull)
+      .join(scored, Seq("doc_id"))
     graft.ops.Binning.labeledPartition(withLang, "lang", "lm", Seq("doc_id"),
         Seq(("tail", 2), ("middle", 3), ("head", 5)))
       .select(col("doc_id"), col("lang"), col("lm"), col("bucket"))

@@ -862,9 +862,21 @@ class OpsSpec extends SparkSpec {
     val hot = shape(4)
     assert(hot.except(plain).isEmpty && plain.except(hot).isEmpty)
     assert(plain.count() == 40)
-    // the hot route must actually produce broadcast joins
-    val planStr = shape(4).queryExecution.executedPlan.toString
-    assert(planStr.contains("BroadcastHashJoin"), planStr.take(800))
+    // The hot route must broadcast the TRIGRAM count join specifically —
+    // a BroadcastHashJoin keyed by all three gram columns. The uni
+    // broadcasts and auto-broadcast tiny-table joins would satisfy a
+    // bare contains("BroadcastHashJoin") even with routing broken, so
+    // disable auto-broadcast for the plan read.
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val planStr = shape(4).queryExecution.executedPlan.toString
+      val triBroadcast = planStr.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("__w1")
+          && l.contains("__w2") && l.contains("__w3"))
+      assert(triBroadcast,
+        s"expected the hot trigram slice on a 3-key broadcast join:\n${planStr.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
   }
 
   test("trigram stupid backoff never backs off when scored on its own fit") {
