@@ -435,9 +435,18 @@ object TextRank {
     * All five count joins are stream-static (counts are batch tables);
     * the single streaming aggregate is the per-doc mean. Run with
     * complete/update output mode.
+    *
+    * `hotKeys > 0` applies the prior-batch recon pattern
+    * [[SkewJoin.splitJoin]] documents: a stream cannot be recon'd (no
+    * collect), but the FIT corpus's own count tables are batch frames
+    * and stopword grams are hot in any natural-language corpus — so
+    * the top-`hotKeys` grams BY FIT COUNT route each count join's hot
+    * slice over a broadcast while the tail shuffles. An imperfect
+    * proxy for the stream's true hot keys, and exactly as safe:
+    * splitJoin's routing never changes a row.
     */
   def scoreTrigramsStream(counts: TrigramCounts, docs: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.4): DataFrame = {
+      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val ts = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
     val grams = docs.select(col(idCol),
@@ -449,7 +458,26 @@ object TextRank {
           .otherwise(array().cast("array<struct<__w1:string,__w2:string,__w3:string>>")))
           .as("__g"))
       .select(col(idCol), col("__g.__w1"), col("__g.__w2"), col("__g.__w3"))
-    backoffScored(grams, counts, alpha, (l, r, ks) => l.join(r, ks, "left"))
+    val cj: (DataFrame, DataFrame, Seq[String]) => DataFrame =
+      if (hotKeys == 0) (l, r, ks) => l.join(r, ks, "left")
+      else {
+        // recon off the BATCH count tables (ordered by fit frequency),
+        // once at plan time — the stream side is never collected
+        def hotByCount(df: DataFrame, countCol: String, ks: Seq[String]) =
+          df.orderBy(col(countCol).desc, struct(ks.map(col): _*))
+            .limit(hotKeys).select(ks.map(col): _*).collect()
+        val hot3 = hotByCount(counts.tri, "__c3", Seq("__w1", "__w2", "__w3"))
+        val hot12 = hotByCount(counts.big, "__c12", Seq("__w1", "__w2"))
+        val hot23 = hotByCount(
+          counts.big.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
+            col("__c12").as("__c23")), "__c23", Seq("__w2", "__w3"))
+        val byKeys = Map(
+          Seq("__w1", "__w2", "__w3") -> hot3,
+          Seq("__w1", "__w2") -> hot12,
+          Seq("__w2", "__w3") -> hot23)
+        (l, r, ks) => SkewJoin.splitJoin(l, r, ks, byKeys(ks), "left")
+      }
+    backoffScored(grams, counts, alpha, cj)
       .groupBy(col(idCol))
       .agg((sum(col("__s")) / count(lit(1))).as("mean_logprob"),
         count(lit(1)).as("n_trigrams"))

@@ -333,6 +333,18 @@ class StreamingCorpusSpec extends SparkSpec {
     val batch = canon(graft.ops.TextRank.scoreTrigrams(
       counts, (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text"))
     assert(streamed == batch && streamed.map(_._1) == Seq(1L, 2L, 3L, 4L))
+
+    // prior-batch hot-key routing (recon'd from the fit counts, the
+    // only collectable side) must be invisible in the streamed scores
+    val memHot = MemoryStream[(Long, String)]
+    val qHot = graft.ops.TextRank.scoreTrigramsStream(
+        counts, memHot.toDF().toDF("doc_id", "text"), "doc_id", "text", hotKeys = 2)
+      .writeStream.format("memory").queryName("trigram_stream_hot")
+      .outputMode("complete").start()
+    memHot.addData(batch1 ++ batch2: _*)
+    qHot.processAllAvailable()
+    qHot.stop()
+    assert(canon(spark.table("trigram_stream_hot")) == batch)
   }
 
   test("streaming CCNet labeling: boundaries fit offline label a stream " +
