@@ -353,6 +353,24 @@ object TextRank {
     TrigramCounts(tri, big, uni, total)
   }
 
+  /** Merge two fitted [[TrigramCounts]] — count tables are mergeable
+    * state (a document lives in exactly one fit batch, so per-batch
+    * counts SUM to the union corpus's counts). This is the periodic
+    * refit path for a long-lived ingest pipeline: fit each new batch
+    * alone, merge into the serving artifact, never re-tokenize the
+    * history. The invariant `merge(fit(A), fit(B)) == fit(A ∪ B)` is
+    * spec-pinned exactly.
+    */
+  def mergeTrigramCounts(a: TrigramCounts, b: TrigramCounts): TrigramCounts = {
+    def merged(x: DataFrame, y: DataFrame, keys: Seq[String], cnt: String) =
+      x.unionByName(y).groupBy(keys.map(col): _*).agg(sum(cnt).as(cnt))
+    TrigramCounts(
+      merged(a.tri, b.tri, Seq("__w1", "__w2", "__w3"), "__c3"),
+      merged(a.big, b.big, Seq("__w1", "__w2"), "__c12"),
+      merged(a.uni, b.uni, Seq("__w"), "__cu"),
+      a.total.unionByName(b.total).agg(sum("__n").as("__n")))
+  }
+
   /** Score a batch corpus against fitted [[TrigramCounts]] — the
     * execution half of [[trigramStupidBackoff]] (see there for the
     * scoring algebra and the skew notes).

@@ -879,6 +879,25 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
   }
 
+  test("merged trigram counts equal counts fit on the union corpus") {
+    val fitA = Seq((1L, "a b c a b d"), (2L, "c a b e")).toDF("doc_id", "text")
+    val fitB = Seq((3L, "a b c c a"), (4L, "e f g")).toDF("doc_id", "text")
+    val merged = TextRank.mergeTrigramCounts(
+      TextRank.trigramCounts(fitA, "doc_id", "text"),
+      TextRank.trigramCounts(fitB, "doc_id", "text"))
+    val whole = TextRank.trigramCounts(fitA.unionByName(fitB), "doc_id", "text")
+    def same(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.except(y).isEmpty && y.except(x).isEmpty
+    assert(same(merged.tri, whole.tri))
+    assert(same(merged.big, whole.big))
+    assert(same(merged.uni, whole.uni))
+    assert(same(merged.total, whole.total))
+    // and scoring through the merged artifact is scoring through the union
+    val docs = Seq((9L, "a b c"), (10L, "x b c")).toDF("doc_id", "text")
+    assert(same(TextRank.scoreTrigrams(merged, docs, "doc_id", "text"),
+      TextRank.scoreTrigrams(whole, docs, "doc_id", "text")))
+  }
+
   test("trigram stupid backoff never backs off when scored on its own fit") {
     val docs = Seq((1L, "a b c d"), (2L, "b c d a")).toDF("doc_id", "text")
     val out = TextRank.trigramStupidBackoff(docs, docs, "doc_id", "text")
