@@ -868,7 +868,90 @@ object TextOps {
       |    WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END AS bucket
       |FROM wl w JOIN bounds b USING (lang)""".stripMargin
 
+  // The COMPOSED CCNet path in one query: trigram backoff LM fit on
+  // the src0–src4 reference slice → per-language weighted
+  // head/middle/tail cuts on the rounded score. Both stages are
+  // individually oracle-proven (text_trigram_backoff,
+  // text_ccnet_buckets); the composition chains their CTEs so the
+  // end-to-end hash must match too.
+  private val ccnetPipeline: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val scored = graft.ops.TextRank.trigramStupidBackoff(
+        docs.filter(col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        docs, idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), round(col("mean_logprob"), 4).as("lm"))
+    val withLang = docs.select(col("doc_id"), col("lang"))
+      .filter(col("lang").isNotNull)
+      .join(scored, Seq("doc_id"))
+    graft.ops.Binning.labeledPartition(withLang, "lang", "lm", Seq("doc_id"),
+        Seq(("tail", 2), ("middle", 3), ("head", 5)))
+      .select(col("doc_id"), col("lang"), col("lm"), col("bucket"))
+  }
+  private val ccnetPipelineSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS ts
+      |  FROM documents),
+      |f AS (SELECT * FROM d WHERE source IN ('src0','src1','src2','src3','src4')),
+      |tri AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, count(*) AS c3 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ts) - 1),
+      |      i -> struct_pack(w1 := ts[i], w2 := ts[i+1], w3 := ts[i+2]))) AS p
+      |    FROM f) u GROUP BY 1, 2, 3),
+      |big AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ts)),
+      |      i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS p
+      |    FROM f) u GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT t AS w, count(*) AS cu
+      |  FROM (SELECT unnest(ts) AS t FROM f) u GROUP BY t),
+      |tot AS (SELECT count(*) AS n FROM (SELECT unnest(ts) AS t FROM f) u),
+      |dtri AS (
+      |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, count(*) AS n3 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+      |      i -> struct_pack(w1 := ts[i], w2 := ts[i+1], w3 := ts[i+2]))) AS p
+      |    FROM d) u GROUP BY 1, 2, 3, 4),
+      |sc AS (
+      |  SELECT doc_id, n3,
+      |    CASE WHEN tri.c3 IS NOT NULL
+      |           THEN ln(CAST(tri.c3 AS DOUBLE) / b12.c12)
+      |         WHEN b23.c12 IS NOT NULL
+      |           THEN ln(CAST(b23.c12 AS DOUBLE) / u2.cu) + ln(0.4)
+      |         ELSE ln(CAST(coalesce(u3.cu, 1) AS DOUBLE) / tot.n) + 2 * ln(0.4)
+      |    END AS s
+      |  FROM dtri
+      |  LEFT JOIN tri ON tri.w1 = dtri.w1 AND tri.w2 = dtri.w2 AND tri.w3 = dtri.w3
+      |  LEFT JOIN big b12 ON b12.w1 = dtri.w1 AND b12.w2 = dtri.w2
+      |  LEFT JOIN big b23 ON b23.w1 = dtri.w2 AND b23.w2 = dtri.w3
+      |  LEFT JOIN uni u2 ON u2.w = dtri.w2
+      |  LEFT JOIN uni u3 ON u3.w = dtri.w3, tot),
+      |scored AS (
+      |  SELECT doc_id, round(sum(n3 * s) / sum(n3), 4) AS lm
+      |  FROM sc GROUP BY doc_id),
+      |wl AS (
+      |  SELECT s.doc_id, documents.lang, s.lm
+      |  FROM scored s JOIN documents ON documents.doc_id = s.doc_id
+      |  WHERE documents.lang IS NOT NULL),
+      |ranked AS (
+      |  SELECT lang, lm, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY lm, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM wl),
+      |bounds AS (
+      |  SELECT lang,
+      |    max(CASE WHEN r = CAST(ceil(n * 0.2) AS BIGINT) THEN lm END) AS q1,
+      |    max(CASE WHEN r = CAST(ceil(n * 0.5) AS BIGINT) THEN lm END) AS q2
+      |  FROM ranked GROUP BY lang)
+      |SELECT w.doc_id, w.lang, w.lm,
+      |  CASE (CASE WHEN w.lm > b.q1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN w.lm > b.q2 THEN 1 ELSE 0 END)
+      |    WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END AS bucket
+      |FROM wl w JOIN bounds b USING (lang)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("pipeline_ccnet", ccnetPipeline, Some(ccnetPipelineSql)),
     Entry("text_ngram_topk", ngramTopk, Some(ngramTopkSql)),
     Entry("text_vocab", vocab, Some(vocabSql)),
     Entry("text_encode", encode, Some(encodeSql)),
