@@ -295,9 +295,12 @@ object Dedup {
     // aggregate partial-combines the hot gram inside every map task
     // (shuffle carries one row per task × gram), the cap is applied to
     // the tiny one-row-per-gram result, and only THEN does anything
-    // fan back out — the join below is AQE-skew-splittable, unlike a
-    // window, so even the capped-off hot gram's probe rows can't pin
-    // one reducer.
+    // fan back out. NOTE the cap itself is the skew mitigation for the
+    // join below — AQE cannot split a join whose build side is this
+    // in-pipeline aggregate (OptimizeSkewedJoin needs plain shuffle
+    // stages under BOTH sorts; executable proof in VolumeStressSpec's
+    // bigram case) — so residual per-gram fan-out is bounded by
+    // maxGramDocs, not by a reactive re-plan.
     val gramDf = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
       // unique per call: a fixed name would bar two prefix joins from
       // composing in one query plan (duplicate CollectMetrics)

@@ -59,11 +59,17 @@ object SkewJoin {
     * data-derived but stable within a job (stopword bigrams, null-ish
     * sentinel ids): one cheap TakeOrderedAndProject recon pass over the
     * left keys, then two joins neither of which holds a straggler
-    * partition. AQE's skew split covers the same ground reactively;
-    * this form is deterministic and works with AQE disabled or the
-    * exchange pinned. BATCH-ONLY: the recon pass collects, which a
-    * streaming left side cannot do — a streaming caller must split on
-    * hot keys recon'd from a prior batch.
+    * partition. When both join inputs are plain shuffles AQE's skew
+    * split covers the same ground reactively; this form is
+    * deterministic, works with AQE disabled or the exchange pinned,
+    * and — unlike AQE — also covers joins whose build side is an
+    * in-pipeline AGGREGATE (`OptimizeSkewedJoin` only matches sorts
+    * directly over shuffle stages; see the bigram/trigram LM scorers,
+    * whose count joins are exactly that shape). BATCH-ONLY: the recon
+    * pass collects, which a streaming left side cannot do — a
+    * streaming caller must split on hot keys recon'd from a prior
+    * batch ([[splitJoin]]; `TextRank.scoreTrigramsStream` shows the
+    * pattern).
     *
     * Null key tuples never match in an equi-join; they ride the cold
     * path (preserving their left-outer behavior). Inner/left only —

@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
   *     shuffle never carries raw n-gram text and equality is exact
   *     (full 128-bit digest, both engines compute the same md5);
   *  3. gram-keyed semi-join marking duplicated gram STARTS (hash
-  *     column only crosses the wire; hot boilerplate grams are
-  *     AQE-skew-split join keys, not agg hot spots);
+  *     column only crosses the wire; the dup-gram list is the tiny
+  *     post-threshold aggregate, so the semi-join's skew exposure is
+  *     bounded by that list — AQE cannot skew-split a join against an
+  *     in-pipeline aggregate, see VolumeStressSpec's proof);
   *  4. doc-keyed: coverage window (`rows between n-1 preceding and
   *     current`) + one groupBy rebuilding the text.
   * Driver holds nothing; every intermediate is corpus-distributed.
