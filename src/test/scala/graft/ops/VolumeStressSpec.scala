@@ -591,6 +591,39 @@ class VolumeStressSpec extends SparkSpec {
     }
   }
 
+  test("labeledPartition at 1M rows in ONE group: exact weighted shares, " +
+      "no task ever holds the group") {
+    // the worst case for any window/ntile formulation — a single
+    // corpus-sized group would serialize into one sort task. The
+    // histogram-located boundary path must keep every task
+    // bucket-sized while the shares stay exact.
+    val df = spark.range(0, 1000000)
+      .select(lit("g").as("grp"), col("id"), col("id").as("v"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      var shares: Map[String, Long] = null
+      val maxTask = maxTaskShuffleRead {
+        shares = Binning.labeledPartition(df, "grp", "v", Seq("id"),
+            Seq(("tail", 1), ("middle", 1), ("head", 2)))
+          .groupBy("bucket").count()
+          .as[(String, Long)].collect().toMap
+      }
+      // boundaries: the 250000th and 500000th values (249999, 499999)
+      assert(shares == Map("tail" -> 250000L, "middle" -> 250000L, "head" -> 500000L),
+        s"got $shares")
+      // the boundary location ranks only located-bucket slices
+      // (~1M/1024 rows each), never the whole group in one task
+      assert(maxTask < 100000L,
+        s"histogram path must keep tasks bucket-sized, max read $maxTask")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("corpus mixing at 1M docs lands within 1% of the target composition") {
     val docs = spark.range(0, 1000000)
       .select(col("id"), concat(lit("src"), pmod(col("id"), lit(4))).as("src"))
