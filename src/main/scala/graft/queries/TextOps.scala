@@ -577,6 +577,14 @@ object TextOps {
       |       (CASE WHEN d.n_chars > b.q3 THEN 1 ELSE 0 END) AS BIGINT) AS bin
       |FROM documents d JOIN bounds b USING (source)""".stripMargin
 
+  // DEFLATE compression ratio (ops.QualityModel.compressionRatio):
+  // codec-based repetition signal. No oracle engine exposes a codec,
+  // so this is the harness's second rows-only row (with text_bpe);
+  // determinism and the signal's direction are spec-pinned.
+  private val compressionRatio: Q = (s, dir) =>
+    graft.ops.QualityModel.compressionRatio(
+      Tables.load(s, dir, "documents"), "doc_id", "text")
+
   // BPE tokenizer training + encode (ops.Bpe): the word table is the
   // only corpus-sized pass; the merge loop runs on that bounded
   // artifact. Iterative training is not SQL-expressible → rows-only
@@ -978,6 +986,7 @@ object TextOps {
     Entry("text_shuffle", shuffleQ, Some(shuffleSql)),
     Entry("text_quality_bins", qualityBins, Some(qualityBinsSql)),
     Entry("text_bpe", bpe, None),
+    Entry("text_compression_ratio", compressionRatio, None),
     Entry("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Entry("text_entropy", entropy, Some(entropySql)),
     Entry("text_trigram_backoff", trigramBackoff, Some(trigramBackoffSql)),

@@ -937,6 +937,31 @@ class OpsSpec extends SparkSpec {
     assert(mout(4L).contains("lo") && mout(5L).contains("hi"))
   }
 
+  test("compressionRatio: the codec signal orders template < prose < noise") {
+    val rng = new scala.util.Random(42)
+    val noise = (0 until 2000).map(_ => (rng.nextInt(26) + 'a').toChar).mkString
+    val docs = Seq(
+      (1L, "the cat sat on the mat " * 80),        // template: crushes
+      (2L, (0 until 40).map(i => s"Sentence $i of the corpus describes " +
+        s"a slightly different meadow with ${i * 7 % 13} oak trees and " +
+        s"a ${if (i % 2 == 0) "narrow" else "winding"} stream.").mkString(" ")),
+      (3L, noise),                                  // near-incompressible
+      (4L, null.asInstanceOf[String]),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = QualityModel.compressionRatio(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._4.get < 0.1, s"template must crush: ${out(1L)}")
+    assert(out(3L)._4.get > 0.5, s"noise must resist: ${out(3L)}")
+    assert(out(1L)._4.get < out(2L)._4.get && out(2L)._4.get < out(3L)._4.get)
+    assert(out(4L) == ((4L, 0L, 0L, None)) && out(5L) == ((5L, 0L, 0L, None)))
+    // deterministic: fixed codec parameters, identical reruns
+    val again = QualityModel.compressionRatio(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("signedProject: md5-parity signs, width guard, linearity") {
     // hand-check against projSign directly (inDims=2, outDims=1, norm=1)
     val s0 = VectorAgg.projSign("rp", 0, 0)
