@@ -347,6 +347,30 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(canon(spark.table("trigram_stream_hot")) == batch)
   }
 
+  test("streaming compression ratio equals the batch codec signal") {
+    // mapPartitions with a per-partition Deflater is stateless row
+    // compute — legal on a stream and bit-identical to the batch run
+    val rows = Seq((1L, "aaa " * 200), (2L, "mixed entropy text right here"),
+      (3L, null.asInstanceOf[String]), (4L, ""))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.QualityModel.compressionRatio(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("deflate_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val streamed = canon(spark.table("deflate_stream"))
+    val batch = canon(graft.ops.QualityModel.compressionRatio(
+      rows.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(streamed == batch && streamed.size == 4)
+  }
+
   test("streaming CCNet labeling: boundaries fit offline label a stream " +
       "identically to the batch assignment") {
     // the CCNet deployment shape: head/middle/tail cuts are fit once on
