@@ -467,4 +467,29 @@ object Similarity {
 
     topK(scored, k)
   }
+
+  /** Recall@k of an approximate neighbor result against the exact one —
+    * the acceptance metric every ANN deployment tracks (FAISS-style):
+    * per query, the fraction of the EXACT top-k the approximate index
+    * retrieved. Feed it two (query, neighbor) sets, e.g. [[lshTopK]]
+    * vs [[bruteForceTopK]] on a held-out query sample.
+    *
+    * Queries the approximate side missed entirely still appear (recall
+    * 0), via the left join from the exact side. Both inputs are top-k
+    * RESULT sets — queries × k rows by construction — so every join
+    * here is broadcast-sized regardless of corpus scale; run it on a
+    * sampled query set, not the full corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      queryCol: String, neighborCol: String): DataFrame = {
+    val hit = approx.select(col(queryCol), col(neighborCol)).distinct()
+      .withColumn("__hit", lit(1L))
+    exact.select(col(queryCol), col(neighborCol))
+      .join(hit, Seq(queryCol, neighborCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
 }

@@ -394,7 +394,64 @@ object SimilarityOps {
       |    / sqrt(8), 6) AS value
       |FROM (SELECT vec_id, embedding, unnest(range(0, 8)) AS k FROM embeddings) t""".stripMargin
 
+  // Recall@5 of the LSH index against brute force (ops.Similarity
+  // .recallAtK) — both sides are the already-oracle-proven queries, so
+  // the metric composes their CTEs and must hash-match end to end.
+  private val recallEval: Q = (s, dir) => {
+    val exact = brute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = lsh(s, dir).select(col("query_id"), col("neighbor_id"))
+    Similarity.recallAtK(approx, exact, "query_id", "neighbor_id")
+  }
+  private val recallEvalSql =
+    """WITH bq AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 3),
+      |bscored AS (
+      |  SELECT bq.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), bq.qv) AS cs
+      |  FROM embeddings e CROSS JOIN bq
+      |  WHERE e.vec_id <> bq.query_id),
+      |btop AS (
+      |  SELECT query_id, neighbor_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY cs DESC, neighbor_id) AS rn
+      |        FROM bscored) t
+      |  WHERE rn <= 5),
+      |le AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |lb AS (
+      |  SELECT vec_id, t,
+      |    (CASE WHEN v[t*4+1] > 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN v[t*4+2] > 0 THEN 2 ELSE 0 END
+      |   + CASE WHEN v[t*4+3] > 0 THEN 4 ELSE 0 END
+      |   + CASE WHEN v[t*4+4] > 0 THEN 8 ELSE 0 END) AS bk
+      |  FROM le CROSS JOIN (SELECT unnest(range(0, 4)) AS t) ts),
+      |lq AS (SELECT vec_id AS query_id, t, bk FROM lb WHERE vec_id < 3),
+      |lcand AS (
+      |  SELECT DISTINCT lq.query_id, c.vec_id AS neighbor_id
+      |  FROM lb c JOIN lq ON c.t = lq.t AND c.bk = lq.bk
+      |  WHERE c.vec_id <> lq.query_id),
+      |lscored AS (
+      |  SELECT lcand.query_id, lcand.neighbor_id,
+      |    list_cosine_similarity(ce.v, qe.v) AS cs
+      |  FROM lcand
+      |  JOIN le ce ON ce.vec_id = lcand.neighbor_id
+      |  JOIN le qe ON qe.vec_id = lcand.query_id),
+      |ltop AS (
+      |  SELECT query_id, neighbor_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY cs DESC, neighbor_id) AS rn
+      |        FROM lscored) t
+      |  WHERE rn <= 5)
+      |SELECT b.query_id, count(*) AS n_exact,
+      |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hit,
+      |  round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |          AS DOUBLE) / count(*), 4) AS recall
+      |FROM btop b LEFT JOIN ltop l USING (query_id, neighbor_id)
+      |GROUP BY b.query_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
+    Entry("ann_recall_eval", recallEval, Some(recallEvalSql)),
     Entry("ann_random_project", randomProject, Some(randomProjectSql)),
     Entry("emb_centroid", centroid, Some(centroidSql)),
     Entry("ann_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

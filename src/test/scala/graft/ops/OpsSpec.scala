@@ -937,6 +937,17 @@ class OpsSpec extends SparkSpec {
     assert(mout(4L).contains("lo") && mout(5L).contains("hi"))
   }
 
+  test("recallAtK: hand-computed hits, missed queries surface as recall 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (1L, 10L))
+      .toDF("query_id", "neighbor_id") // dup hit counted once; 99 is noise
+    val out = Similarity.recallAtK(approx, exact, "query_id", "neighbor_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, 0.6667)))
+    assert(out(2L) == ((2L, 2L, 0L, 0.0)), "missed query must appear with recall 0")
+  }
+
   test("compressionRatio: the codec signal orders template < prose < noise") {
     val rng = new scala.util.Random(42)
     val noise = (0 until 2000).map(_ => (rng.nextInt(26) + 'a').toChar).mkString
