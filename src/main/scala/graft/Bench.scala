@@ -49,7 +49,16 @@ object Bench {
     // "failed"/"value" (the total) go LAST on the line: the driver
     // archives only the final 2000 chars of stdout, so trailing keys
     // survive truncation even when the per-query map outgrows it.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}""")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}"""
+    println(line)
+    // The stdout tail loses the head of the per-query map once it
+    // outgrows 2000 chars, so the COMPLETE line is also written to a
+    // committed repo file — the durable evidence the truncated
+    // artifact can't carry.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // read-only CWD: stdout still has the line
     spark.stop()
   }
 }

@@ -66,6 +66,22 @@ object Transpose {
         // No header column: synthesize field names from row position.
         return transposeHeaderless(df)
       }
+    // Documented divergence #3, made LOUD: the reference emits
+    // duplicate columns when the field column repeats a name
+    // (`data_source.rs:37-77`); Spark's pivot would silently collapse
+    // them into one column under `first` — silent data loss. The
+    // check is one small aggregate job on a clinical-sized table (the
+    // default pivot runs a distinct-values job of the same shape
+    // anyway).
+    val dupFields = df.groupBy(col(fieldCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col(fieldCol))
+      .limit(5).collect().map(_.get(0)).mkString(", ")
+    require(dupFields.isEmpty, {
+      s"transpose: duplicate field name(s) [$dupFields] in first column " +
+        s"'$fieldCol' — the reference emits duplicate output columns here " +
+        "(data_source.rs:37-77), which Spark cannot represent; a pivot " +
+        "would silently collapse them. Deduplicate the field column first."
+    })
     val long = df.unpivot(
       Array(col(fieldCol)), valueCols.map(col), "__src_col", "__value")
     val wide = long.groupBy(col("__src_col"))

@@ -137,7 +137,13 @@ object Binning {
     require(!df.columns.contains(labelCol),
       s"label column '$labelCol' already exists on the input")
     val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = boundsOf(input, groupCol, valueCol, ties, parts, maxDriverGroups)
+    // A validation failure inside boundsOf must not leave the cache
+    // pinned with no handle returned to the caller (partitionBounds
+    // guards the same call with try/finally; here the cache outlives
+    // the call on SUCCESS, so only the failure path unpersists).
+    val bounds =
+      try boundsOf(input, groupCol, valueCol, ties, parts, maxDriverGroups)
+      catch { case e: Throwable => input.unpersist(); throw e }
     // As with [[quantileBins]], the cache stays pinned through the
     // caller's assignment pass and is reclaimed by the context cleaner
     // once the plan is garbage-collected.
@@ -213,9 +219,13 @@ object Binning {
       when(col(valueCol) > col(q), 1).otherwise(0)
     }.reduce(_ + _)
     val labels = array(parts.map(p => lit(p._1)): _*)
+    // ANY null boundary nulls the label — bounds may be user-persisted
+    // or hand-merged, where a row can be partially null; counting only
+    // the non-null boundaries would silently assign a lower bucket.
+    val anyBoundNull = qs.map(q => col(q._1).isNull).reduce(_ || _)
     df.join(broadcast(bounds), Seq(groupCol), "left")
       .withColumn(labelCol,
-        when(col(valueCol).isNull || col(qs.head._1).isNull, lit(null).cast("string"))
+        when(col(valueCol).isNull || anyBoundNull, lit(null).cast("string"))
           .otherwise(element_at(labels, idx + 1)))
       .drop(qs.map(_._1): _*)
   }

@@ -104,6 +104,13 @@ object QualityModel {
   def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The typed decode below needs a primitive long id — reject
+    // string/UUID/float ids up front (same loud stance as the dedup
+    // ops) instead of a silent cast-to-null that dies mid-job with an
+    // opaque null-value decode error.
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"compressionRatio: id column '$idCol' must be an integral type, got ${idType.simpleString}")
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { rows =>

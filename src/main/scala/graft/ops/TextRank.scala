@@ -282,8 +282,11 @@ object TextRank {
     * collapses to (doc, trigram, n) before anything shuffles; the
     * trigram/bigram count tables are data-derived and join by their
     * gram keys (never broadcast); the two unigram lookups and N ride
-    * one broadcast each. Docs with fewer than 3 tokens produce no
-    * trigram and are absent from the output.
+    * one broadcast each — `maxVocab` caps BOTH top-K by count with the
+    * OOV count floor of 1 (the [[bigramLogProb]] contract) for fit
+    * vocabularies too large to broadcast; default uncapped. Docs with
+    * fewer than 3 tokens produce no trigram and are absent from the
+    * output.
     *
     * The aggregate-fed join skew note on [[bigramLogProb]] applies to
     * all THREE count joins (trigram, context bigram, backoff bigram) —
@@ -296,9 +299,10 @@ object TextRank {
     * context cleaner with the plan, as in `Binning`.
     */
   def trigramStupidBackoff(fit: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0): DataFrame =
+      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0,
+      maxVocab: Int = Int.MaxValue): DataFrame =
     scoreTrigrams(trigramCounts(fit, idCol, textCol), docs, idCol, textCol,
-      alpha, hotKeys)
+      alpha, hotKeys, maxVocab)
 
   /** The count tables behind [[trigramStupidBackoff]] — the reference
     * LM as data. Fit once on the reference corpus, persist as tables,
@@ -376,7 +380,8 @@ object TextRank {
     * scoring algebra and the skew notes).
     */
   def scoreTrigrams(counts: TrigramCounts, docs: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0): DataFrame = {
+      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val TrigramCounts(tri, big, uni, total) = counts
 
@@ -398,7 +403,7 @@ object TextRank {
         SkewJoin.splitJoin(l, r, ks, SkewJoin.reconHotKeys(docTri, ks, hotKeys), "left")
       else l.join(r, ks, "left")
 
-    backoffScored(docTri, counts, alpha, cj)
+    backoffScored(docTri, counts, alpha, cj, maxVocab)
       .groupBy(col(idCol))
       .agg((sum(col("__n3") * col("__s")) / sum(col("__n3"))).as("mean_logprob"),
         sum(col("__n3")).as("n_trigrams"))
@@ -412,8 +417,19 @@ object TextRank {
     */
   private def backoffScored(grams: DataFrame, counts: TrigramCounts,
       alpha: Double,
-      countJoin: (DataFrame, DataFrame, Seq[String]) => DataFrame): DataFrame = {
-    val TrigramCounts(tri, big, uni, total) = counts
+      countJoin: (DataFrame, DataFrame, Seq[String]) => DataFrame,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
+    val TrigramCounts(tri, big, uni0, total) = counts
+    // The unigram table rides TWO broadcasts (w2 denominator, w3
+    // numerator); a web-scale fit vocabulary would OOM them. maxVocab
+    // keeps the top-K terms by count (ties to the lexicographically
+    // least — TakeOrderedAndProject, K rows driver-side) and every
+    // capped-out term scores with the OOV count floor of 1, exactly
+    // the [[unigramLogProb]]/[[bigramLogProb]] degradation contract:
+    // the rare tail's scores soften, the broadcast stays bounded.
+    val uni =
+      if (maxVocab == Int.MaxValue) uni0
+      else uni0.orderBy(col("__cu").desc, col("__w")).limit(maxVocab)
     val lnA = math.log(alpha)
     countJoin(countJoin(countJoin(grams,
         tri, Seq("__w1", "__w2", "__w3")),
@@ -425,11 +441,14 @@ object TextRank {
       .join(broadcast(uni.select(col("__w").as("__w3"), col("__cu").as("__c3u"))),
         Seq("__w3"), "left")
       .crossJoin(broadcast(total))
+      // __c2 can only be null when w2 was capped out of the broadcast
+      // (a seen bigram implies a seen unigram) — same floor of 1.
       .withColumn("__s",
         when(col("__c3").isNotNull,
           log(col("__c3").cast("double") / col("__c12")))
         .when(col("__c23").isNotNull,
-          log(col("__c23").cast("double") / col("__c2")) + lit(lnA))
+          log(col("__c23").cast("double") / coalesce(col("__c2"), lit(1L)))
+            + lit(lnA))
         .otherwise(
           log(coalesce(col("__c3u"), lit(1L)).cast("double") / col("__n"))
             + lit(2 * lnA)))
@@ -464,7 +483,8 @@ object TextRank {
     * splitJoin's routing never changes a row.
     */
   def scoreTrigramsStream(counts: TrigramCounts, docs: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0): DataFrame = {
+      textCol: String, alpha: Double = 0.4, hotKeys: Int = 0,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val ts = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
     val grams = docs.select(col(idCol),
@@ -495,7 +515,7 @@ object TextRank {
           Seq("__w2", "__w3") -> hot23)
         (l, r, ks) => SkewJoin.splitJoin(l, r, ks, byKeys(ks), "left")
       }
-    backoffScored(grams, counts, alpha, cj)
+    backoffScored(grams, counts, alpha, cj, maxVocab)
       .groupBy(col(idCol))
       .agg((sum(col("__s")) / count(lit(1))).as("mean_logprob"),
         count(lit(1)).as("n_trigrams"))

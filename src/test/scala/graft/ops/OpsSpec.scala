@@ -973,6 +973,70 @@ class OpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("compressionRatio rejects a non-integral id column loudly") {
+    val docs = Seq(("u-1", "text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.compressionRatio(docs, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("assignLabels: a partially-null bounds row nulls the label") {
+    // hand-merged bounds: group "a" fully fit, group "b" has __lp0 set
+    // but __lp1 null — counting only the non-null boundary would
+    // silently assign a LOWER bucket; the contract is a null label
+    val parts = Seq(("lo", 1), ("mid", 1), ("hi", 1))
+    val bounds = Seq(("a", Some(10L), Some(20L)), ("b", Some(10L), None))
+      .toDF("grp", "__lp0", "__lp1")
+    val df = Seq(("a", 1L, 25L), ("b", 2L, 25L), ("b", 3L, 5L))
+      .toDF("grp", "id", "v")
+    val out = Binning.assignLabels(df, bounds, "grp", "v", parts)
+      .select("id", "bucket").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("hi"))
+    assert(out(2L).isEmpty, "partial-null bounds must null the label, not downgrade")
+    assert(out(3L).isEmpty)
+  }
+
+  test("labeledPartition unpersists its cache when validation fails") {
+    val df = Seq(("g", 1L, 1L)).toDF("grp", "id", "v")
+    intercept[IllegalArgumentException] {
+      Binning.labeledPartition(df, "grp", "v", Seq("id"),
+        Seq(("dup", 1), ("dup", 1))) // duplicate labels → boundsOf requires
+    }
+    // the persist registers in the CacheManager immediately (no job
+    // needs to run); a failed call must deregister it — no handle was
+    // returned, so nothing else ever could
+    assert(spark.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isEmpty,
+      "a failed call must not leave the input cache pinned")
+  }
+
+  test("trigram maxVocab caps the unigram broadcasts with the OOV floor") {
+    // fit corpus: "the" dominates; "zebra" (count 2) is tail — capped
+    // out of top-3 by the lexicographic tie-break vs cat/dog
+    val fit = Seq((1L, "the cat the dog the cow zebra yak the cat the dog zebra"))
+      .toDF("doc_id", "text")
+    // score docs that force the bigram-backoff branch (c23 seen, c3 not)
+    // and the unigram branch for a capped-out tail word
+    val docs = Seq((10L, "cat the dog x"), (11L, "x y zebra")).toDF("doc_id", "text")
+    val exact = TextRank.trigramStupidBackoff(fit, docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    val capped = TextRank.trigramStupidBackoff(fit, docs, "doc_id", "text",
+        maxVocab = 3) // keeps the 3 most frequent terms only
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    // every score stays finite — a capped-out w2 denominator floors to
+    // 1 instead of nulling the score row
+    assert(capped.values.forall(v => !v.isNaN && !v.isInfinite))
+    assert(exact.keySet == capped.keySet)
+    // doc 10 touches only in-vocab words (+ x, OOV under BOTH): identical
+    assert(capped(10L) == exact(10L))
+    // doc 11 backs off to zebra's unigram count — 2 uncapped, floor 1
+    // capped, so the capped score is strictly more negative: the tail
+    // DEGRADES, it is never dropped
+    assert(capped(11L) < exact(11L))
+  }
+
   test("signedProject: md5-parity signs, width guard, linearity") {
     // hand-check against projSign directly (inDims=2, outDims=1, norm=1)
     val s0 = VectorAgg.projSign("rp", 0, 0)
