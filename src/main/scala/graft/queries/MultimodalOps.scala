@@ -178,11 +178,112 @@ object MultimodalOps {
       |    AS n_samples
       |FROM documents""".stripMargin
 
+  // MP4 sample-table frame index over SYNTHESIZED minimal MP4s:
+  // ftyp + mdat (variable frame count/sizes from doc attributes) +
+  // moov/trak/mdia(hdlr=vide)/minf/stbl with genuine stsz (per-sample
+  // sizes), stsc (TWO chunk runs when nFrames > 2), and stco — or co64
+  // on every 5th doc, so both offset widths parse. Every 7th doc gets
+  // a NON-MP4 payload instead, exercising the fixed-stride fallback.
+  // The oracle derives (frame_idx, byte_start, size, bytes)
+  // independently from the same attribute math — any byte-layout error
+  // in builder OR parser breaks the hash.
+  private def he64(n: Column) = lpad(conv(n.cast("string"), 10, 16), 16, "0")
+
+  private val mp4: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+    val n = (lit(2) + pmod(col("doc_id"), lit(3))).cast("int") // 2..4 frames
+    def sz(i: Int): Column = (lit(6) + pmod(col("doc_id") + i, lit(4))).cast("int")
+    def frameHex(i: Int): Column =
+      expr(s"substring(md5(concat(text, 'f$i')), 1, " +
+        s"CAST((6 + (doc_id + $i) % 4) * 2 AS INT))")
+    val total = sz(0) + sz(1) +
+      when(n >= 3, sz(2)).otherwise(lit(0)) +
+      when(n >= 4, sz(3)).otherwise(lit(0))
+    val mdatHex = concat(frameHex(0), frameHex(1),
+      when(n >= 3, frameHex(2)).otherwise(lit("")),
+      when(n >= 4, frameHex(3)).otherwise(lit("")))
+    // chunking: chunk 1 = first 2 samples, chunk 2 = the rest (n > 2)
+    val chunks = when(n > 2, lit(2)).otherwise(lit(1))
+    val runs = chunks // one stsc run per chunk here
+    val useCo64 = pmod(col("doc_id"), lit(5)) === 0
+    val stszSize = lit(20) + n * 4
+    val stscSize = lit(16) + runs * 12
+    val stcoSize = lit(16) + when(useCo64, chunks * 8).otherwise(chunks * 4)
+    val stblSize = lit(8) + stszSize + stscSize + stcoSize
+    val minfSize = lit(8) + stblSize
+    val mdiaSize = lit(8) + lit(33) + minfSize
+    val trakSize = lit(8) + mdiaSize
+    val moovSize = lit(8) + trakSize
+    val stszHex = concat(he32(stszSize), lit("7374737A" + "00000000" + "00000000"),
+      he32(n), he32(sz(0)), he32(sz(1)),
+      when(n >= 3, he32(sz(2))).otherwise(lit("")),
+      when(n >= 4, he32(sz(3))).otherwise(lit("")))
+    val stscHex = concat(he32(stscSize), lit("73747363" + "00000000"), he32(runs),
+      he32(lit(1)), he32(least(n, lit(2))), he32(lit(1)),
+      when(n > 2, concat(he32(lit(2)), he32(n - 2), he32(lit(1)))).otherwise(lit("")))
+    val chunk2Off = lit(24) + sz(0) + sz(1)
+    val stcoHex = when(useCo64,
+        concat(he32(stcoSize), lit("636F3634" + "00000000"), he32(chunks),
+          he64(lit(24)),
+          when(chunks === 2, he64(chunk2Off)).otherwise(lit(""))))
+      .otherwise(
+        concat(he32(stcoSize), lit("7374636F" + "00000000"), he32(chunks),
+          he32(lit(24)),
+          when(chunks === 2, he32(chunk2Off)).otherwise(lit(""))))
+    val hdlrHex = lit("00000021" + "68646C72" + "00000000" + "00000000" +
+      "76696465" + "00" * 12 + "00") // 33 bytes, handler 'vide'
+    val moovHex = concat(he32(moovSize), lit("6D6F6F76"),
+      he32(trakSize), lit("7472616B"),
+      he32(mdiaSize), lit("6D646961"), hdlrHex,
+      he32(minfSize), lit("6D696E66"),
+      he32(stblSize), lit("7374626C"), stszHex, stscHex, stcoHex)
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"),
+      he32(lit(8) + total), lit("6D646174"), mdatHex,
+      moovHex)
+    // every 7th doc: a bare 16-byte payload → the stride fallback path
+    val payloadHex = when(pmod(col("doc_id"), lit(7)) === 3, md5(col("text")))
+      .otherwise(mp4Hex)
+    Multimodal.frameSampleMp4(
+        docs.select(col("doc_id"), unhex(payloadHex).as("payload")),
+        "doc_id", "payload", every = 1, fallbackFrameBytes = 8)
+      .select(col("doc_id"), col("frame_idx"), col("byte_start"),
+        col("frame_size"), lower(hex(col("frame"))).as("frame_hex"),
+        col("source"))
+  }
+
+  private val mp4Sql =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, CASE WHEN doc_id % 7 = 3 THEN 2
+      |                         ELSE 2 + doc_id % 3 END)) AS fi
+      |  FROM documents WHERE text IS NOT NULL),
+      |s AS (
+      |  SELECT doc_id, text, CAST(fi AS INTEGER) AS frame_idx,
+      |    doc_id % 7 = 3 AS stride,
+      |    CAST(CASE WHEN doc_id % 7 = 3 THEN 8
+      |              ELSE 6 + (doc_id + fi) % 4 END AS BIGINT) AS frame_size
+      |  FROM f)
+      |SELECT doc_id, frame_idx,
+      |  CAST(CASE WHEN stride THEN frame_idx * 8
+      |       ELSE 24 + COALESCE(SUM(frame_size) OVER (
+      |         PARTITION BY doc_id ORDER BY frame_idx
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |       END AS BIGINT) AS byte_start,
+      |  frame_size,
+      |  CASE WHEN stride
+      |    THEN substr(md5(text), frame_idx * 16 + 1, 16)
+      |    ELSE substr(md5(text || 'f' || frame_idx), 1,
+      |      CAST(frame_size * 2 AS INTEGER)) END AS frame_hex,
+      |  CASE WHEN stride THEN 'stride' ELSE 'mp4' END AS source
+      |FROM s""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("mm_binary_meta", meta, Some(metaSql)),
     Entry("mm_decode", decode, Some(decodeSql)),
     Entry("mm_resize_plan", resize, Some(resizeSql)),
     Entry("mm_frame_sample", frames, Some(framesSql)),
     Entry("mm_audio_meta", audio, Some(audioSql)),
+    Entry("mm_mp4_index", mp4, Some(mp4Sql)),
   )
 }
