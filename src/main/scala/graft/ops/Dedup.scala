@@ -558,6 +558,18 @@ object Dedup {
     * never ride any shuffle.
     */
   def keepBestOfCluster(corpus: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    corpus.join(clusterLosers(corpus, idCol, scoreCol, pairs, idA, idB),
+      corpus(idCol) === col("__dup_id"), "left_anti")
+
+  /** The loser list behind [[keepBestOfCluster]] — every cluster member
+    * EXCEPT each cluster's best — factored out as a buildable ARTIFACT
+    * so batch removal and streaming ingest share one definition (the
+    * [[minhashArtifact]] pattern): persist this once offline, then any
+    * batch OR stream filters against it via
+    * [[keepBestOfClusterStream]]. One column, `__dup_id`.
+    */
+  def clusterLosers(corpus: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     val comp = connectedComponents(pairs, idA, idB)
     val members = corpus
@@ -565,11 +577,25 @@ object Dedup {
       .join(comp, Seq("id"))
     val byComp = Window.partitionBy(col("component"))
       .orderBy(col("__score").desc_nulls_last, col("id"))
-    val losers = members
+    members
       .withColumn("__rk", row_number().over(byComp))
       .filter(col("__rk") =!= 1)
       .select(col("id").as("__dup_id"))
-    corpus.join(losers, corpus(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  /** [[keepBestOfCluster]] for a STREAMING corpus against a static
+    * [[clusterLosers]] artifact — the on-ingest half of the
+    * representative-selection pipeline (the artifact is fit offline
+    * from the pair graph + corpus scores; each arriving document
+    * passes unless the artifact names it a loser). A stream-static
+    * LEFT ANTI join: stateless on the stream side, the artifact rides
+    * a broadcast when small. Identical to the batch op by
+    * construction — both consume the same loser list.
+    */
+  def keepBestOfClusterStream(docs: DataFrame, idCol: String,
+      losers: DataFrame): DataFrame = {
+    require(!losers.isStreaming, "the losers artifact must be static")
+    docs.join(losers, docs(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** Benchmark decontamination (the eval-leakage guard every training
@@ -660,6 +686,49 @@ object Dedup {
     df.select(col(idCol).as("id")).distinct()
       .join(reassembled, Seq("id"), "left")
       .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** [[paragraphDedup]] for a STREAMING corpus: of all arrivals of an
+    * identical paragraph within the watermark horizon, only the FIRST
+    * survives (arrival order replaces the batch op's global
+    * (id, position) order — the streaming-ingest semantics, exactly
+    * [[graft.streaming.EventStreams.dedupDocuments]]'s first-wins rule
+    * at paragraph grain); each document reassembles from its surviving
+    * paragraphs in original position order and emits when the
+    * watermark closes its event-time window.
+    *
+    * Two stateful operators chain here (paragraph-fingerprint dedup →
+    * per-document windowed reassembly) — legal in append mode since
+    * Spark supports multiple stateful operators with watermark
+    * propagation. State is bounded on both: one fingerprint per
+    * distinct paragraph within the horizon, one open group per
+    * (window, doc).
+    *
+    * A per-document SENTINEL row (null paragraph, unique fingerprint)
+    * rides through the dedup so a document whose every real paragraph
+    * was removed still emits, with empty text — the batch op's
+    * contract. `concat_ws` skips the sentinel's null.
+    */
+  def paragraphDedupStream(docs: DataFrame, idCol: String, tsCol: String,
+      textCol: String, sep: String = "\n\n", watermark: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame = {
+    val paras = docs.select(col(idCol).as("id"), col(tsCol).as("__ts"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val sentinels = docs.select(col(idCol).as("id"), col(tsCol).as("__ts"),
+      lit(-1).as("pos"), lit(null).cast("string").as("para"))
+    // sentinel fingerprints ("__doc__<id>") can never collide with a
+    // real paragraph's 32-hex md5
+    paras.unionByName(sentinels)
+      .withColumn("__fp",
+        coalesce(md5(col("para")), concat(lit("__doc__"), col("id"))))
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .groupBy(window(col("__ts"), windowLen), col("id"))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para"))).as("text"))
+      .select(col("id"), col("text"))
   }
 
   /** 64-bit SimHash over the token multiset, appended as column `out`.

@@ -416,4 +416,73 @@ class StreamingCorpusSpec extends SparkSpec {
       201L -> Some("tail"), 202L -> Some("middle"), 203L -> Some("head"),
       204L -> Some("middle"), 205L -> None, 206L -> Some("head")))
   }
+
+  test("streaming paragraph dedup equals the batch run (first-wins across " +
+      "micro-batches, empty docs still emit)") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2025-01-01 10:00:00")
+    val docs = Seq(
+      (1L, t0, "alpha\n\nbeta\n\ngamma"),
+      (2L, t0, "beta\n\ndelta"),       // beta seen in doc 1 → "delta"
+      (3L, t0, "alpha\n\ngamma"))      // everything seen → "" (sentinel)
+    // arrival order matches (id, pos) order — micro-batch boundaries
+    // between docs pin the cross-doc first-wins exactly like batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.ops.Dedup.paragraphDedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text")
+      .writeStream.format("memory").queryName("para_dedup_stream")
+      .outputMode("append").start()
+    mem.addData(docs(0))
+    q.processAllAvailable()
+    mem.addData(docs(1), docs(2))
+    q.processAllAvailable()
+    // a far-future flush doc advances the watermark past the 10:00
+    // window so the three documents emit
+    mem.addData((99L, Timestamp.valueOf("2025-01-01 13:00:00"), "flush"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("para_dedup_stream")
+      .filter(col("id") =!= 99).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = graft.ops.Dedup.paragraphDedup(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (1L, "alpha\n\nbeta\n\ngamma"), (2L, "delta"), (3L, "")))
+  }
+
+  test("streaming keep-best-of-cluster filters against the offline losers " +
+      "artifact identically to batch") {
+    // clusters {1,2,3} (2 has the best score) and {5,6} (tie → smaller
+    // id 5 wins); 4 is in no pair and passes untouched
+    val corpus = Seq((1L, 5.0, "a"), (2L, 9.0, "b"), (3L, 1.0, "c"),
+      (4L, 0.0, "d"), (5L, 7.0, "e"), (6L, 7.0, "f"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val corpusDf = corpus.toDF("doc_id", "score", "text")
+    // the artifact is fit OFFLINE (batch), exactly once
+    val losers = graft.ops.Dedup.clusterLosers(
+      corpusDf, "doc_id", "score", pairs).cache()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, String)]
+    val q = graft.ops.Dedup.keepBestOfClusterStream(
+        mem.toDF().toDF("doc_id", "score", "text"), "doc_id", losers)
+      .writeStream.format("memory").queryName("keepbest_stream")
+      .outputMode("append").start()
+    mem.addData(corpus.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("keepbest_stream")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val batch = graft.ops.Dedup.keepBestOfCluster(
+        corpusDf, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(2L, 4L, 5L))
+  }
 }
