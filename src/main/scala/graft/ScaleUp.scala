@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an sf1-equivalent dataset by replicating the sf0.1 tables
+  * REPLICAS× with consistent key offsets, so the full query registry and
+  * bench can be rehearsed at 10× the usual bench scale (VERDICT r7 item 1).
+  *
+  * Design goals, in order:
+  *
+  *  1. **Join integrity.** Every foreign key is offset by the same
+  *     per-replica stride as its referenced primary key, so the join
+  *     fan-outs (orders→customer, lineitem→orders/part/supplier) are
+  *     EXACTLY those of the base data — scaled 10× in cardinality, not
+  *     distorted. Fixed-size dims (region, nation) are NOT replicated,
+  *     mirroring TPC-H where their cardinality is scale-invariant.
+  *  2. **Workload honesty for the corpus ops.** Documents get a short
+  *     per-replica suffix token so replicas are near-identical but not
+  *     byte-equal: exact dedup keeps real work (hash-groupBy over 10×
+  *     rows with ~no collapse), while MinHash/SimHash/Jaccard see dense
+  *     near-dup clusters of ~10 — a deliberate stress of the banded-LSH
+  *     caps and the prefix-filter verify pass. Embeddings get a tiny
+  *     per-replica epsilon so ANN top-k has no artificial ties.
+  *  3. **Temporal density, not temporal stretch.** Events keep their
+  *     timestamps and gain 10× distinct users — the realistic shape of
+  *     a service growing 10× (same retention window, more traffic), and
+  *     the harder case for sessionize/window state.
+  *
+  * Determinism: offsets derive from max(key)+1 of the base data; the
+  * only value perturbations are pure functions of (replica, id).
+  *
+  * Usage: SPARK_GRAFT_SRC_DIR (default /root/testdata/sf0.1) →
+  * SPARK_GRAFT_OUT_DIR (default data/sf1), SPARK_GRAFT_REPLICAS (10).
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "data/sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, replicas)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
+    def base(name: String): DataFrame = Tables.load(spark, src, name)
+
+    // max(key)+1 strides, computed once per table (driver-side scalars —
+    // bounded by the table count, not the data).
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+
+    val custStride = stride(base("customer"), "c_custkey")
+    val suppStride = stride(base("supplier"), "s_suppkey")
+    val partStride = stride(base("part"), "p_partkey")
+    val orderStride = stride(base("orders"), "o_orderkey")
+    val eventStride = stride(base("events"), "event_id")
+    val userStride = base("events").agg(max(col("user_id"))).head.getLong(0) + 1L
+    val docStride = stride(base("documents"), "doc_id")
+    val vecStride = stride(base("embeddings"), "vec_id")
+
+    /** Cross-join the table with replica ids 0..replicas-1 (a broadcast
+      * of a `replicas`-row frame — the scan stays the outer side), then
+      * shift each listed key column by replica*itsStride. */
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val reps = spark.range(replicas).withColumnRenamed("id", "__replica")
+      val crossed = df.crossJoin(broadcast(reps))
+      shifts.foldLeft(crossed) { case (acc, (c, s)) =>
+        acc.withColumn(c, col(c) + col("__replica") * lit(s))
+      }
+    }
+
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.drop("__replica").repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // Scale-invariant dims: copy through unchanged.
+    write(base("region"), "region", 1)
+    write(base("nation"), "nation", 1)
+
+    write(replicate(base("customer"), "c_custkey" -> custStride), "customer", 8)
+    write(replicate(base("supplier"), "s_suppkey" -> suppStride), "supplier", 4)
+    write(replicate(base("part"), "p_partkey" -> partStride), "part", 8)
+    write(replicate(base("orders"),
+      "o_orderkey" -> orderStride, "o_custkey" -> custStride), "orders", 16)
+    write(replicate(base("lineitem"),
+      "l_orderkey" -> orderStride, "l_partkey" -> partStride,
+      "l_suppkey" -> suppStride), "lineitem", 32)
+    write(replicate(base("events"),
+      "event_id" -> eventStride, "user_id" -> userStride), "events", 16)
+
+    // Documents: near-identical replicas — replica 0 keeps the original
+    // text byte-for-byte; replicas 1+ append a short suffix token so no
+    // two replicas are byte-equal but all are high-Jaccard near-dups.
+    val docs = replicate(base("documents"), "doc_id" -> docStride)
+      .withColumn("text",
+        when(col("__replica") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("__replica"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs, "documents", 8)
+
+    // Embeddings: per-replica epsilon on every component (1e-4 * replica)
+    // keeps cosine neighborhoods intact while breaking exact ties.
+    val embs = replicate(base("embeddings"), "vec_id" -> vecStride)
+      .withColumn("embedding",
+        transform(col("embedding"),
+          x => (x + col("__replica").cast("float") * lit(1e-4f)).cast("float")))
+    write(embs, "embeddings", 8)
+  }
+}

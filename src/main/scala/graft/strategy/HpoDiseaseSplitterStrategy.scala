@@ -2,6 +2,7 @@ package graft.strategy
 
 import graft.model._
 import graft.ontology.BiDictLibrary
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** T7 — split an `HpoOrDisease` column into `<col>_hpo` and
@@ -9,6 +10,13 @@ import org.apache.spark.sql.functions._
   * unknown non-null values error; the source column is dropped
   * (reference
   * `phenoxtract/src/transform/strategies/hpo_disease_splitter.rs:51-150`).
+  *
+  * The membership test is a BROADCAST HASH JOIN against a driver-built
+  * terms frame, not a UDF: the dictionary keys (CURIE ids verbatim,
+  * labels/synonyms lowercased — mirroring `BiDict.resolve`) become a
+  * `(key, isCurieKey, class)` dimension that Catalyst broadcasts, so
+  * the classification stays inside whole-stage codegen and the planner
+  * can see and reorder it like any other join.
   */
 final case class HpoDiseaseSplitterStrategy(
     library: BiDictLibrary,
@@ -19,21 +27,52 @@ final case class HpoDiseaseSplitterStrategy(
   override def isValid(tables: Seq[Cdf]): Boolean =
     tables.exists(_.columnsOfKind(ContextKind.KHpoOrDisease).nonEmpty)
 
+  /** Keys a value can resolve through for one resource id, tagged with
+    * whether they match via the CURIE path (post-trim verbatim) or the
+    * label/synonym path (post-trim lowercase). Driver-side: the dicts
+    * are in-memory Maps already.
+    */
+  private def keysOf(resourceId: String): Set[(String, Boolean)] = {
+    val ds = library.dicts.filter(_.resource.id == resourceId)
+    val curies = ds.flatMap(_.idToLabel.keys).map(k => (k, true))
+    val labels = ds.flatMap(d => d.labelToId.keys ++ d.synonymToId.keys)
+      .map(k => (k, false))
+    (curies ++ labels).toSet
+  }
+
+  /** Normalized lookup key + CURIE flag mirroring `BiDict.resolve`:
+    * CURIEs consult only the id map, everything else only the
+    * label/synonym maps, so the flag participates in the join equality.
+    */
+  private def lookupKey(c: Column): (Column, Column) = {
+    val v = trim(c.cast("string"))
+    val isCurie = v.rlike("^[A-Za-z][A-Za-z0-9_.]*:\\S+$")
+    (when(isCurie, v).otherwise(lower(v)), isCurie)
+  }
+
   protected def internalTransform(tables: Seq[Cdf]): Seq[Cdf] = {
     val spark = tables.head.df.sparkSession
-    val bc = spark.sparkContext.broadcast(library)
-    val classify = udf { (v: String) =>
-      if (v == null) null
-      else if (bc.value.memberOf(hpoResourceId, v)) "hpo"
-      else if (bc.value.memberOf(diseaseResourceId, v)) "disease"
-      else "unknown"
-    }
+    import spark.implicits._
 
+    // HPO wins ties exactly as the reference's check order does (HPO
+    // membership is tested first), so shared keys classify as "hpo".
+    val hpoKeys = keysOf(hpoResourceId)
+    val diseaseKeys = keysOf(diseaseResourceId) -- hpoKeys
+    val terms = broadcast(
+      (hpoKeys.toSeq.map { case (k, cu) => (k, cu, "hpo") } ++
+        diseaseKeys.toSeq.map { case (k, cu) => (k, cu, "disease") })
+        .toDF("t_key", "t_curie", "t_cls"))
+
+    // Accumulate-then-fail over unknown values: anti-join shape (left
+    // join + null filter) per column, capped at 50 distinct offenders.
     val bad = tables.flatMap { cdf =>
       cdf.columnsOfKind(ContextKind.KHpoOrDisease).flatMap { c =>
-        cdf.df.select(col(c).cast("string").as("v"))
-          .filter(col("v").isNotNull && classify(col("v")) === "unknown")
-          .distinct().limit(50)
+        val (k, cu) = lookupKey(col(c))
+        cdf.df.select(col(c).cast("string").as("v"), k.as("__gk"), cu.as("__gc"))
+          .filter($"v".isNotNull)
+          .join(terms, $"__gk" === $"t_key" && $"__gc" === $"t_curie", "left")
+          .filter($"t_cls".isNull)
+          .select("v").distinct().limit(50)
           .collect().map(_.getString(0))
       }
     }.distinct
@@ -47,11 +86,12 @@ final case class HpoDiseaseSplitterStrategy(
         var df = cdf.df
         var ctx = cdf.context
         targets.foreach { case (c, sc) =>
-          val cls = classify(col(c).cast("string"))
-          df = df
-            .withColumn(s"${c}_hpo", when(cls === "hpo", col(c)))
-            .withColumn(s"${c}_disease", when(cls === "disease", col(c)))
-            .drop(c)
+          val (k, cu) = lookupKey(col(c))
+          df = df.withColumn("__gk", k).withColumn("__gc", cu)
+            .join(terms, col("__gk") === col("t_key") && col("__gc") === col("t_curie"), "left")
+            .withColumn(s"${c}_hpo", when(col("t_cls") === "hpo", col(c)))
+            .withColumn(s"${c}_disease", when(col("t_cls") === "disease", col(c)))
+            .drop(c, "__gk", "__gc", "t_key", "t_curie", "t_cls")
           ctx = ctx.copy(seriesContexts =
             ctx.seriesContexts.filterNot(_ == sc) ++ Seq(
               sc.copy(identifier = Identifier.Single(s"${c}_hpo"),
