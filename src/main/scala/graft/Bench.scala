@@ -55,8 +55,9 @@ object Bench {
     // outgrows 2000 chars, so the COMPLETE line is also written to a
     // committed repo file — the durable evidence the truncated
     // artifact can't carry.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only CWD: stdout still has the line
     spark.stop()

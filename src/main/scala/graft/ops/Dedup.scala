@@ -373,6 +373,106 @@ object Dedup {
       () => { sh.unpersist(); prefixes.unpersist(); () })
   }
 
+  /** EXACT n-gram Jaccard similarity join for the LOW-threshold regime:
+    * enumerate gram co-occurrences once and COUNT them — the
+    * enumeration IS the verification. Same results as
+    * [[ngramJaccardPairs]] / [[ngramJaccardPrefixPairs]] (recall 1.0),
+    * different cost model:
+    *
+    *  - prefix filtering keeps `|S| − floor(t·|S|) + 1` grams per
+    *    document — at t=0.3 that is ~73% of every document, so the
+    *    candidate join prunes almost nothing, and the verify pass then
+    *    RE-joins every candidate against all its grams: candidates ×
+    *    avg|S| rows. Measured at the sf1 rehearsal (50k short docs in
+    *    dense near-dup clusters, t=0.3): 622 s and a disk-filling
+    *    shuffle spill — the verify re-join is the whole bill.
+    *  - this path pays the co-occurrence enumeration exactly once:
+    *    Σ_g (df_g choose 2) join rows flow straight into one
+    *    map-side-combinable count per (id_a, id_b). No second pass, no
+    *    re-join. Same sf1 workload: the full 138 M-row enumeration is
+    *    one shuffle of two-long-key rows.
+    *
+    * Cost is output-sensitive (pairs sharing ≥1 gram), NOT quadratic in
+    * documents — but it IS quadratic in per-gram document frequency, so
+    * the same `maxGramDocs` mega-bucket guard applies (broadcast
+    * anti-join BEFORE the g-shuffle, same shape and observation as the
+    * prefix path). Cap semantics differ by construction: here a dropped
+    * gram is excluded from `n_common` (denominators stay true — sizes
+    * are computed pre-cap), so a pair whose similarity rides ONLY on
+    * over-cap boilerplate grams falls below threshold — the same
+    * division of labor ([[SpanDedup]] owns boilerplate) as the prefix
+    * path's recall bound, stated for counting instead of candidates.
+    *
+    * Use [[ngramJaccardJoin]] to pick the regime by threshold.
+    */
+  def ngramJaccardCountPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxGramDocs: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(maxGramDocs > 0, "maxGramDocs must be positive")
+    val eps = 1e-9 // same one-ulp slack as the prefix path: only ADMITS
+    val sh = shingleRows(df, idCol, textCol, n)
+    // True set size rides every gram row via an id-window (partitions
+    // are bounded by a document's gram count — never a hot-gram funnel)
+    // so the size filter applies INSIDE the g-join and the count needs
+    // no post-hoc size joins over the (much larger) pair table.
+    val sized = sh.withColumn("n_sh",
+      count(lit(1)).over(Window.partitionBy(col("id"))))
+    val kept =
+      if (maxGramDocs == Int.MaxValue) sized
+      else {
+        // Pigeonhole-bounded hot list (≤ |sh| / maxGramDocs grams), same
+        // broadcast anti-join as the prefix path: over-cap occurrence
+        // rows never ride the g-exchange.
+        val gramDf = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+          .observe(s"jaccard_count_grams_${ObsId.next()}",
+            sum(when(col("__df") > maxGramDocs, 1L).otherwise(0L))
+              .as("dropped_grams"),
+            max(col("__df")).as("max_gram_docs"))
+        sized.join(
+          broadcast(gramDf.filter(col("__df") > maxGramDocs).select(col("g"))),
+          Seq("g"), "left_anti")
+      }
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+          col("y.n_sh") * lit(threshold) <= col("x.n_sh") + lit(eps) &&
+          col("x.n_sh") * lit(threshold) <= col("y.n_sh") + lit(eps))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Threshold at and above which [[ngramJaccardJoin]] routes to the
+    * prefix path. Rationale: prefix length is `|S|(1−t)+1`, so the
+    * candidate join shrinks ~(1−t)² vs full enumeration while the
+    * verify re-join adds candidates × avg|S| rows — the trade pays only
+    * once prefixes are small. At t=0.6 the prefix is ~40% of each
+    * document (candidate volume ~16% of full) and minOverlap
+    * t/(1+t)·(|S|+|T|) starts rejecting most spurious candidates
+    * before verification. Below it, counting co-occurrences once is
+    * strictly less work (measured: 622 s prefix vs one-pass count on
+    * the sf1 rehearsal at t=0.3).
+    */
+  val JaccardPrefixRegimeThreshold = 0.6
+
+  /** EXACT n-gram Jaccard join with the regime picked by threshold:
+    * [[ngramJaccardPrefixPairs]] (PPJoin) when `threshold ≥`
+    * [[JaccardPrefixRegimeThreshold]], [[ngramJaccardCountPairs]]
+    * (one-pass co-occurrence counting) below. Both are recall 1.0 with
+    * identical output columns, so the choice is pure cost.
+    */
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxGramDocs: Int = Int.MaxValue): DataFrame =
+    if (threshold >= JaccardPrefixRegimeThreshold)
+      ngramJaccardPrefixPairs(df, idCol, textCol, n, threshold, maxGramDocs)
+    else ngramJaccardCountPairs(df, idCol, textCol, n, threshold, maxGramDocs)
+
   /** Exact Jaccard for given (id_a, id_b) pairs from shingle rows:
     * |intersection| via a g-equi-join restricted to the pairs,
     * |union| = n_a + n_b − |intersection|. Codegen'd joins/aggregates

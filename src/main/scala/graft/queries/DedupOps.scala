@@ -63,12 +63,47 @@ object DedupOps {
 
   // Prefix-filtered EXACT Jaccard join (PPJoin family) over the whole
   // corpus — recall 1.0, so the oracle is the PLAIN quadratic join: the
-  // prefix+size filters must be invisible in the result.
+  // prefix+size filters must be invisible in the result. t=0.8 is the
+  // prefix regime (prefix ≈ 20% of each doc's grams, minOverlap
+  // rejects most candidates pre-verify); the low-threshold regime is
+  // dedup_jaccard_grams below. Every near-dup pair in this corpus has
+  // jaccard ≥ 0.8, so the two entries return the same rows at the
+  // gate SFs — by different plans.
   private val jaccardPrefix: Q = (s, dir) =>
     Dedup.ngramJaccardPrefixPairs(
-      Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
+      Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   private val jaccardPrefixSql =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+      |  FROM docs WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |counts AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+      |common AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+      |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN counts a ON id_a = a.doc_id
+      |JOIN counts b ON id_b = b.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.8""".stripMargin
+
+  // One-pass co-occurrence-counting EXACT Jaccard — the LOW-threshold
+  // regime (t=0.3: a prefix would keep ~73% of every doc and the
+  // verify re-join would dwarf it — the sf1 rehearsal measured that at
+  // 622 s / disk-filling spill; this plan enumerates each shared gram
+  // exactly once). Oracle is the identical quadratic join.
+  private val jaccardGrams: Q = (s, dir) =>
+    Dedup.ngramJaccardCountPairs(
+      Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  private val jaccardGramsSql =
     """WITH docs AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       |  FROM documents WHERE trim(text) <> ''),
@@ -561,6 +596,7 @@ object DedupOps {
     Entry("dedup_decontaminate", decontaminate, Some(decontaminateSql)),
     Entry("dedup_contamination_score", contamination, Some(contaminationSql)),
     Entry("dedup_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
+    Entry("dedup_jaccard_grams", jaccardGrams, Some(jaccardGramsSql)),
     Entry("dedup_leakage_split", leakageSplit, Some(leakageSplitSql)),
     Entry("dedup_keep_best", keepBest, Some(keepBestSql)),
   )

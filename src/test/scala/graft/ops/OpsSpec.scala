@@ -651,6 +651,56 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("count-based jaccard join equals the quadratic join exactly") {
+    // Same corpus as the prefix test: near-dup families + singletons +
+    // a shared boilerplate tail. The count path must be result-invisible
+    // too — enumeration-as-verification, recall 1.0.
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon doc$i common tail boilerplate")
+    } ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta common tail boilerplate"),
+      (101L, "totally different words here nothing shared at all"),
+      (102L, "totally different words here nothing shared at most"))).toDF("doc_id", "text")
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = t)
+      val cnt = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text", n = 3, threshold = t)
+      assert(cnt.count() == exact.count(), s"count at t=$t")
+      assert(cnt.except(exact).isEmpty && exact.except(cnt).isEmpty, s"rows at t=$t")
+    }
+  }
+
+  test("jaccard regime dispatcher: count plan below 0.6, prefix plan at and above") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    // The prefix path is recognizable by its rarity-rank window
+    // (row_number over __df); the count path has no window over grams.
+    def plan(t: Double): String =
+      Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 2, threshold = t)
+        .queryExecution.optimizedPlan.toString
+    assert(!plan(0.3).contains("row_number"))
+    assert(plan(0.8).contains("row_number"))
+    // and both regimes agree on the answer
+    val lo = Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 2, threshold = 0.3)
+    val hi = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
+    assert(lo.except(hi).isEmpty && hi.except(lo).isEmpty)
+  }
+
+  test("count-based jaccard: over-cap grams are excluded from the common count") {
+    // Two docs share ONLY the boilerplate gram "x y" which also appears
+    // in 8 other docs; with the cap below its df the pair must vanish,
+    // and denominators must stay TRUE set sizes (pre-cap).
+    val docs = (Seq(
+      (1L, "x y p q r"), (2L, "x y s t u")) ++
+      (10 until 18).map(i => (i.toLong, s"x y only$i here now"))).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    val capped = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.1, maxGramDocs = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((1L, 2L))) // similarity rode only the hot gram
+  }
+
   test("leakage-safe split keeps every near-dup component in one split") {
     val docs = (0 until 400).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     // chain components: (0,1,2), (3,4,5), ... via pair rows
