@@ -33,7 +33,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sfdir: str, outdir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written scale
+        # rehearsal data (ScaleUp) ships part-file directories
+        path = Path(f"{sfdir}/{t}.parquet")
+        src = f"{path}/*.parquet" if path.is_dir() else str(path)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
     ok = bad = 0
     for name, sql in sorted(oracle.items()):

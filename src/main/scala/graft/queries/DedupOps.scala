@@ -20,26 +20,33 @@ object DedupOps {
     """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dupes
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  // Exact pairwise word-3-gram Jaccard on a bounded subset (quadratic by
-  // construction — the LSH query below is the scale path). The raw src0
+  // Exact word-3-gram Jaccard on the src0 subset at a LOW threshold —
+  // runs through the one-pass co-occurrence count path (the truly
+  // quadratic `ngramJaccardPairs` stays a spec-pinned oracle twin: at
+  // the sf1 rehearsal its all-pairs crossJoin was the registry's only
+  // super-linear query, 54× at 10× data, by construction). The raw src0
   // subset yields no natural pairs at gate scale, so the query UNIONs in
   // re-keyed NEAR-duplicates (every 5th doc with a marker suffix —
   // Jaccard ≈ 0.9, not 1.0) identically on both sides: a gate that
-  // can't tell a correct plan from `LIMIT 0` is not a gate.
+  // can't tell a correct plan from `LIMIT 0` is not a gate. The re-key
+  // shift (10M) clears every driver/rehearsal doc_id range — a shift
+  // that collides with a real id would silently MERGE two documents'
+  // gram sets (and differently in Spark, which dedupes (id, gram)
+  // globally, than in the per-row oracle SQL).
   private val jaccard: Q = (s, dir) => {
     val src0 = Tables.load(s, dir, "documents").filter(col("source") === "src0")
     val seeded = src0.unionByName(
       src0.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .withColumn("doc_id", col("doc_id") + lit(10000L))
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
         .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
-    Dedup.ngramJaccardPairs(seeded, "doc_id", "text", n = 3, threshold = 0.05)
+    Dedup.ngramJaccardCountPairs(seeded, "doc_id", "text", n = 3, threshold = 0.05)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
   private val jaccardSql =
     """WITH raw AS (
       |  SELECT doc_id, text FROM documents WHERE source = 'src0'
       |  UNION ALL
-      |  SELECT doc_id + 10000, text || ' graft dup marker' FROM documents
+      |  SELECT doc_id + 10000000, text || ' graft dup marker' FROM documents
       |  WHERE source = 'src0' AND doc_id % 5 = 0),
       |docs AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
