@@ -684,6 +684,27 @@ class OpsSpec extends SparkSpec {
     assert(lo.except(hi).isEmpty && hi.except(lo).isEmpty)
   }
 
+  test("count-based jaccard: the shingle pipeline runs ONCE in the shuffle-join " +
+      "regime (AQE reuses the gram exchange for the self-join's other side)") {
+    // The self-join's two inputs are the same scan→explode→distinct→
+    // size-window pipeline; at corpus scale recomputing it would double
+    // the whole pre-join cost. AQE's runtime stage cache must serve the
+    // second gram exchange from the first (only the FINAL adaptive plan
+    // shows this — the initial plan always prints two subtrees).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = (0 until 100)
+        .map(i => (i.toLong, s"w$i x$i y z common tail")).toDF("doc_id", "text")
+      val df = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text", 3, 0.3)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.next().contains("isFinalPlan=true"))
+      assert("(?i)reused".r.findAllIn(plan).nonEmpty,
+        "expected a ReusedQueryStage/ReusedExchange for the self-join side")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("count-based jaccard: over-cap grams are excluded from the common count") {
     // Two docs share ONLY the boilerplate gram "x y" which also appears
     // in 8 other docs; with the cap below its df the pair must vanish,

@@ -370,6 +370,46 @@ class VolumeStressSpec extends SparkSpec {
     }
   }
 
+  test("count-path jaccard cap at 50k docs: boilerplate grams are dropped " +
+      "before any shuffle; the twin pair surfaces through its rare gram") {
+    // Every doc shares the same 4 hot boilerplate grams. UNCAPPED, the
+    // co-occurrence enumeration would be 4 × C(50k, 2) ≈ 5B join rows —
+    // the count path's mega-bucket regime. With the cap, the hot grams
+    // are anti-joined out pre-shuffle, so only the planted twin's
+    // unique first gram ("u7 all rights" — docs 7 and 100007) pairs
+    // up. Count-path cap SEMANTICS (unlike the prefix path, which
+    // re-verifies with full gram sets): dropped grams leave n_common,
+    // denominators stay true pre-cap sizes, so the twin scores
+    // 1/(5+5−1) ≈ 0.111 — the threshold must sit below that, and
+    // boilerplate-only pairs (0 counted common grams) can never
+    // appear at any positive threshold.
+    val docs = spark.range(0, 50000).select(col("id"),
+      concat(lit("u"), col("id"),
+        lit(" all rights reserved legal terms apply")).as("text"))
+      .union(Seq((100007L, "u7 all rights reserved legal terms apply"))
+        .toDF("id", "text"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      var out: Array[(Long, Long)] = null
+      val pairs = Dedup.ngramJaccardCountPairs(
+        docs, "id", "text", n = 3, threshold = 0.1, maxGramDocs = 1000)
+      val maxTask = maxTaskShuffleRead {
+        out = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      }
+      assert(out.toSeq == Seq((7L, 100007L)), out.take(5).mkString(", "))
+      // ~100k kept gram rows over 32 partitions ≈ 3k/task; a hot gram
+      // riding the g-exchange would put 50k+ rows in one task.
+      assert(maxTask <= 50000L,
+        s"hot-gram rows must not funnel into one task, max task read $maxTask")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("winnowing pairs at 200k docs: a corpus-wide boilerplate fingerprint " +
       "is capped without pinning one task; the planted twin still surfaces") {
     // Every doc ends with the SAME 7-token boilerplate run (>= n+w-1,
