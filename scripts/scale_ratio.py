@@ -37,10 +37,21 @@ def main(base_path: str, scaled_path: str, scale: float = 10.0) -> None:
         t1s = f"{t1:.2f}" if t1 is not None else "-"
         rs = f"{ratio:.1f}x" if ratio != float("inf") else "inf"
         print(f"{name:38s} {t0s:>7s} {t1s:>8s} {rs:>7s}  {flag}")
-    tot0 = sum(v for v in base.values() if v)
-    tot1 = sum(v for v in big.values() if v)
-    print(f"\ntotal: base {tot0:.1f}s -> scaled {tot1:.1f}s "
-          f"({tot1 / tot0:.1f}x at {scale:.0f}x data)")
+    # Totals over the INTERSECTION of queries timed on both sides —
+    # summing each side's own successes would compare mismatched query
+    # sets whenever either run has failures.
+    both = [n for n in big if big[n] is not None and base.get(n) is not None]
+    skipped = [n for n in set(base) | set(big) if n not in both]
+    tot0 = sum(base[n] for n in both)
+    tot1 = sum(big[n] for n in both)
+    if skipped:
+        print(f"\n(totals cover {len(both)} queries timed in BOTH runs; "
+              f"excluded: {', '.join(sorted(skipped))})")
+    if tot0 > 0:
+        print(f"\ntotal: base {tot0:.1f}s -> scaled {tot1:.1f}s "
+              f"({tot1 / tot0:.1f}x at {scale:.0f}x data)")
+    else:
+        print("\ntotal: no query timed in both runs — no ratio")
 
 
 if __name__ == "__main__":

@@ -67,7 +67,6 @@ object ScaleUp {
     val eventStride = stride(base("events"), "event_id")
     val userStride = base("events").agg(max(col("user_id"))).head.getLong(0) + 1L
     val docStride = stride(base("documents"), "doc_id")
-    val vecStride = stride(base("embeddings"), "vec_id")
 
     /** Cross-join the table with replica ids 0..replicas-1 (a broadcast
       * of a `replicas`-row frame — the scan stays the outer side), then
@@ -111,7 +110,13 @@ object ScaleUp {
 
     // Embeddings: per-replica epsilon on every component (1e-4 * replica)
     // keeps cosine neighborhoods intact while breaking exact ties.
-    val embs = replicate(base("embeddings"), "vec_id" -> vecStride)
+    // vec_id shifts by the DOCUMENT stride, not max(vec_id)+1: vec_id
+    // is a foreign key into documents (the base data embeds a PREFIX
+    // of the doc ids — only ~2k of 5k docs at sf0.1), and goal #1 says
+    // FKs shift with their referenced PKs. A vec-own stride would
+    // re-point replica r's vectors at replica 0's unrelated documents,
+    // silently distorting every filtered/hybrid ANN rehearsal.
+    val embs = replicate(base("embeddings"), "vec_id" -> docStride)
       .withColumn("embedding",
         transform(col("embedding"),
           x => (x + col("__replica").cast("float") * lit(1e-4f)).cast("float")))

@@ -24,7 +24,7 @@ final case class BiDict(
   def containsId(id: String): Boolean = idToLabel.contains(id.trim)
 
   def idForLabel(value: String): Option[String] = {
-    val k = value.trim.toLowerCase
+    val k = BiDict.norm(value)
     labelToId.get(k).orElse(synonymToId.get(k))
   }
 
@@ -43,15 +43,24 @@ final case class BiDict(
 
 object BiDict {
   private val CurieRe = "^[A-Za-z][A-Za-z0-9_.]*:\\S+$".r
+
+  /** Label/synonym lookup normalization: Java trim + ROOT-locale
+    * lowercase. Locale.ROOT (not the JVM default) so a host running
+    * under tr_TR cannot store "I" as dotless "\u0131" while Spark's
+    * locale-independent `lower` (the broadcast-join strategies' side
+    * of this contract) produces "i" — the two sides must agree
+    * byte-for-byte on every key.
+    */
+  def norm(s: String): String = s.trim.toLowerCase(java.util.Locale.ROOT)
   def isCurie(s: String): Boolean = CurieRe.findFirstIn(s.trim).isDefined
 
   /** Build from (id, canonicalLabel, synonyms) triples. */
   def fromEntries(resource: Resource,
       entries: Seq[(String, String, Seq[String])]): BiDict = {
     val idToLabel = entries.map { case (id, label, _) => id -> label }.toMap
-    val labelToId = entries.map { case (id, label, _) => label.trim.toLowerCase -> id }.toMap
+    val labelToId = entries.map { case (id, label, _) => norm(label) -> id }.toMap
     val synonymToId = entries.flatMap { case (id, _, syns) =>
-      syns.map(s => s.trim.toLowerCase -> id)
+      syns.map(s => norm(s) -> id)
     }.toMap
     BiDict(resource, labelToId, synonymToId, idToLabel)
   }

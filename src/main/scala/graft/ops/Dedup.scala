@@ -791,11 +791,22 @@ object Dedup {
   /** [[paragraphDedup]] for a STREAMING corpus: of all arrivals of an
     * identical paragraph within the watermark horizon, only the FIRST
     * survives (arrival order replaces the batch op's global
-    * (id, position) order — the streaming-ingest semantics, exactly
+    * (id, position) order — the streaming-ingest semantics,
     * [[graft.streaming.EventStreams.dedupDocuments]]'s first-wins rule
     * at paragraph grain); each document reassembles from its surviving
     * paragraphs in original position order and emits when the
     * watermark closes its event-time window.
+    *
+    * Determinism boundary — stated, not papered over: "first" is
+    * well-defined ACROSS micro-batches (earlier batches always win —
+    * the state store holds their fingerprints), but WITHIN one
+    * micro-batch Spark's `dropDuplicatesWithinWatermark` keeps
+    * whichever same-fingerprint row its shuffle delivers first, so a
+    * paragraph duplicated at two positions in a single batch keeps an
+    * unspecified occurrence (the batch op deterministically keeps the
+    * smallest (id, position)). Feeders that need bit-stable output
+    * must not co-batch duplicate paragraphs; the streaming==batch twin
+    * spec separates them by batch for exactly this reason.
     *
     * Two stateful operators chain here (paragraph-fingerprint dedup →
     * per-document windowed reassembly) — legal in append mode since

@@ -80,9 +80,14 @@ object DedupOps {
     Dedup.ngramJaccardPrefixPairs(
       Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  private val jaccardPrefixSql =
-    """WITH docs AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  /** Quadratic-join word-3-gram Jaccard oracle over the full documents
+    * table, parameterized ONLY by threshold — the one shared shape both
+    * regime gates replay (a one-sided edit to tokenization/shingling/
+    * the formula can no longer desynchronize them).
+    */
+  private def quadraticJaccardSql(threshold: Double): String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
@@ -99,7 +104,9 @@ object DedupOps {
       |FROM common
       |JOIN counts a ON id_a = a.doc_id
       |JOIN counts b ON id_b = b.doc_id
-      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.8""".stripMargin
+      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= $threshold""".stripMargin
+
+  private val jaccardPrefixSql = quadraticJaccardSql(0.8)
 
   // One-pass co-occurrence-counting EXACT Jaccard — the LOW-threshold
   // regime (t=0.3: a prefix would keep ~73% of every doc and the
@@ -110,26 +117,7 @@ object DedupOps {
     Dedup.ngramJaccardCountPairs(
       Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  private val jaccardGramsSql =
-    """WITH docs AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-      |  FROM documents WHERE trim(text) <> ''),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
-      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-      |  FROM docs WHERE len(toks) >= 3),
-      |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-      |counts AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
-      |common AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
-      |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |  round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 4) AS jaccard
-      |FROM common
-      |JOIN counts a ON id_a = a.doc_id
-      |JOIN counts b ON id_b = b.doc_id
-      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.3""".stripMargin
+  private val jaccardGramsSql = quadraticJaccardSql(0.3)
 
   // Leakage-safe 80/20 split: split key is the connected component of
   // the exact-duplicate graph (min doc_id per text group), so duplicate

@@ -43,9 +43,17 @@ final case class HpoDiseaseSplitterStrategy(
   /** Normalized lookup key + CURIE flag mirroring `BiDict.resolve`:
     * CURIEs consult only the id map, everything else only the
     * label/synonym maps, so the flag participates in the join equality.
+    *
+    * Trim is JAVA trim (all chars ≤ U+0020 — the rule `BiDict` keys
+    * were built with), NOT Spark's `trim`, which strips only the space
+    * character: a tab/CR-padded cell (routine in TSV-derived data)
+    * would otherwise miss the join and abort the pipeline as an
+    * unknown value. Lowercase is Spark's locale-independent `lower`,
+    * matched by `BiDict.norm`'s Locale.ROOT on the driver side.
     */
   private def lookupKey(c: Column): (Column, Column) = {
-    val v = trim(c.cast("string"))
+    val v = regexp_replace(c.cast("string"),
+      "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
     val isCurie = v.rlike("^[A-Za-z][A-Za-z0-9_.]*:\\S+$")
     (when(isCurie, v).otherwise(lower(v)), isCurie)
   }

@@ -678,9 +678,11 @@ class OpsSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
     assert(!plan(0.3).contains("row_number"))
     assert(plan(0.8).contains("row_number"))
-    // and both regimes agree on the answer
+    // and the two REGIMES agree on the answer at the same threshold
+    // (count via the dispatcher vs prefix called directly — not the
+    // count path against itself)
     val lo = Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 2, threshold = 0.3)
-    val hi = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
+    val hi = Dedup.ngramJaccardPrefixPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
     assert(lo.except(hi).isEmpty && hi.except(lo).isEmpty)
   }
 

@@ -138,5 +138,18 @@ class StrategySpec extends SparkSpec {
       HpoDiseaseSplitterStrategy(lib).transform(Seq(cdf("t", bad,
         SeriesContext(Identifier.Single("x"), dataContext = Context.HpoOrDisease))))
     }
+
+    // Tab/CR/newline padding (routine in TSV-derived cells) must
+    // classify exactly like the driver-side BiDict.resolve, whose Java
+    // trim strips ALL chars <= U+0020 — Spark's `trim` (space only)
+    // would wrongly report these as unknown and abort the pipeline.
+    val padded = Seq(("P1", "HP:0001945\t"), ("P2", "Fever\n"),
+      ("P3", "\r\nEbola ")).toDF("subject_id", "x")
+    val outP = HpoDiseaseSplitterStrategy(lib).transform(Seq(cdf("t", padded,
+      SeriesContext(Identifier.Single("x"), dataContext = Context.HpoOrDisease)))).head
+    val rowsP = outP.df.orderBy("subject_id").select("x_hpo", "x_disease").collect()
+    assert(Option(rowsP(0).getString(0)) == Some("HP:0001945\t"))
+    assert(Option(rowsP(1).getString(0)) == Some("Fever\n"))
+    assert(Option(rowsP(2).getString(1)) == Some("\r\nEbola "))
   }
 }
