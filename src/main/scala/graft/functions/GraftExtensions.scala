@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rfc1123)
     ext.injectFunction(GraftExtensions.calendarAgeIso)
     ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.lowerRoot)
   }
 }
 
@@ -69,9 +70,19 @@ object GraftExtensions {
       NfcNormalize(children.head)
     })
 
+  private[functions] val lowerRoot
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lower_root"),
+    new ExpressionInfo(classOf[LowerRoot].getName, "lower_root"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "lower_root takes exactly one argument")
+      LowerRoot(children.head)
+    })
+
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(isoDurationSeconds, vecDot, rfc1123, calendarAgeIso, nfcNormalize).foreach {
+    Seq(isoDurationSeconds, vecDot, rfc1123, calendarAgeIso, nfcNormalize,
+        lowerRoot).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -107,5 +118,11 @@ object GraftExtensions {
   def nfc_normalize(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
+  }
+
+  /** Locale.ROOT lowercase (host-locale-independent, codegen'd). */
+  def lower_root(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(LowerRoot(GraftColumnBridge.expression(c)))
   }
 }

@@ -46,10 +46,12 @@ object BiDict {
 
   /** Label/synonym lookup normalization: Java trim + ROOT-locale
     * lowercase. Locale.ROOT (not the JVM default) so a host running
-    * under tr_TR cannot store "I" as dotless "\u0131" while Spark's
-    * locale-independent `lower` (the broadcast-join strategies' side
-    * of this contract) produces "i" — the two sides must agree
-    * byte-for-byte on every key.
+    * under tr_TR cannot store "I" as dotless "\u0131". The probe side
+    * of this contract (the broadcast-join strategies) lowers with the
+    * engine's `lower_root` expression — NOT Spark's builtin `lower`,
+    * whose non-ASCII slow path delegates to `String.toLowerCase()`
+    * under the JVM DEFAULT locale — so both sides agree byte-for-byte
+    * on every key on any host.
     */
   def norm(s: String): String = s.trim.toLowerCase(java.util.Locale.ROOT)
   def isCurie(s: String): Boolean = CurieRe.findFirstIn(s.trim).isDefined

@@ -463,8 +463,22 @@ object Dedup {
   /** EXACT n-gram Jaccard join with the regime picked by threshold:
     * [[ngramJaccardPrefixPairs]] (PPJoin) when `threshold ≥`
     * [[JaccardPrefixRegimeThreshold]], [[ngramJaccardCountPairs]]
-    * (one-pass co-occurrence counting) below. Both are recall 1.0 with
-    * identical output columns, so the choice is pure cost.
+    * (one-pass co-occurrence counting) below.
+    *
+    * At the default `maxGramDocs = Int.MaxValue` both regimes are
+    * recall 1.0 with identical output columns, so the choice is pure
+    * cost. WITH a cap the two regimes degrade differently and the
+    * output is NOT continuous across the regime boundary: the prefix
+    * path verifies surviving candidates against FULL gram sets (true
+    * Jaccard values; a pair is lost only when every shared prefix gram
+    * is over-cap), while the count path excludes over-cap grams from
+    * `n_common` (values for pairs sharing hot grams are depressed, and
+    * pairs riding only on boilerplate fall below threshold — see
+    * [[ngramJaccardCountPairs]]'s cap-semantics note). Callers tuning
+    * `threshold` across [[JaccardPrefixRegimeThreshold]] under a cap
+    * should expect both the pair set and the jaccard values to shift;
+    * pin the regime by calling the underlying method directly if that
+    * matters.
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,

@@ -48,14 +48,30 @@ final case class HpoDiseaseSplitterStrategy(
     * were built with), NOT Spark's `trim`, which strips only the space
     * character: a tab/CR-padded cell (routine in TSV-derived data)
     * would otherwise miss the join and abort the pipeline as an
-    * unknown value. Lowercase is Spark's locale-independent `lower`,
-    * matched by `BiDict.norm`'s Locale.ROOT on the driver side.
+    * unknown value. Lowercase is `lower_root` (`functions/LowerRoot`),
+    * NOT Spark's `lower`: Spark's slow path lowercases non-ASCII
+    * strings with the JVM DEFAULT locale, which on a tr/az/lt host
+    * diverges from the `Locale.ROOT` keys `BiDict.norm` builds on the
+    * driver ('I' → dotless 'ı'), silently missing the join and
+    * aborting on values the dictionary knows.
     */
   private def lookupKey(c: Column): (Column, Column) = {
     val v = regexp_replace(c.cast("string"),
       "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
     val isCurie = v.rlike("^[A-Za-z][A-Za-z0-9_.]*:\\S+$")
-    (when(isCurie, v).otherwise(lower(v)), isCurie)
+    (when(isCurie, v).otherwise(graft.functions.GraftExtensions.lower_root(v)),
+      isCurie)
+  }
+
+  /** A name not colliding with any column of the input tables, so the
+    * join's temp/terms columns can never shadow (and then drop) user
+    * data — a table legitimately containing a column named `__gk` or
+    * `t_cls` must pass through unharmed.
+    */
+  private def fresh(base: String, taken: Set[String]): String = {
+    var n = base
+    while (taken.contains(n)) n = n + "_"
+    n
   }
 
   protected def internalTransform(tables: Seq[Cdf]): Seq[Cdf] = {
@@ -66,13 +82,15 @@ final case class HpoDiseaseSplitterStrategy(
     // membership is tested first), so shared keys classify as "hpo".
     val hpoKeys = keysOf(hpoResourceId)
     val diseaseKeys = keysOf(diseaseResourceId) -- hpoKeys
-    val terms = broadcast(
-      (hpoKeys.toSeq.map { case (k, cu) => (k, cu, "hpo") } ++
-        diseaseKeys.toSeq.map { case (k, cu) => (k, cu, "disease") })
-        .toDF("t_key", "t_curie", "t_cls"))
+    val termRows =
+      hpoKeys.toSeq.map { case (k, cu) => (k, cu, "hpo") } ++
+        diseaseKeys.toSeq.map { case (k, cu) => (k, cu, "disease") }
+    val terms = broadcast(termRows.toDF("t_key", "t_curie", "t_cls"))
 
     // Accumulate-then-fail over unknown values: anti-join shape (left
     // join + null filter) per column, capped at 50 distinct offenders.
+    // The select projects exactly (v, __gk, __gc) — user columns are
+    // gone before the join, so no name in `terms` can collide here.
     val bad = tables.flatMap { cdf =>
       cdf.columnsOfKind(ContextKind.KHpoOrDisease).flatMap { c =>
         val (k, cu) = lookupKey(col(c))
@@ -95,11 +113,20 @@ final case class HpoDiseaseSplitterStrategy(
         var ctx = cdf.context
         targets.foreach { case (c, sc) =>
           val (k, cu) = lookupKey(col(c))
-          df = df.withColumn("__gk", k).withColumn("__gc", cu)
-            .join(terms, col("__gk") === col("t_key") && col("__gc") === col("t_curie"), "left")
-            .withColumn(s"${c}_hpo", when(col("t_cls") === "hpo", col(c)))
-            .withColumn(s"${c}_disease", when(col("t_cls") === "disease", col(c)))
-            .drop(c, "__gk", "__gc", "t_key", "t_curie", "t_cls")
+          // Temp + terms column names are made collision-free against
+          // the CURRENT frame, so a user column named __gk/t_cls/…
+          // survives the join and the drop untouched.
+          val taken = df.columns.toSet
+          val gk = fresh("__gk", taken)
+          val gc = fresh("__gc", taken)
+          val Seq(tk, tcu, tcl) =
+            Seq("t_key", "t_curie", "t_cls").map(fresh(_, taken + gk + gc))
+          val t = broadcast(terms.toDF(tk, tcu, tcl))
+          df = df.withColumn(gk, k).withColumn(gc, cu)
+            .join(t, col(gk) === col(tk) && col(gc) === col(tcu), "left")
+            .withColumn(s"${c}_hpo", when(col(tcl) === "hpo", col(c)))
+            .withColumn(s"${c}_disease", when(col(tcl) === "disease", col(c)))
+            .drop(c, gk, gc, tk, tcu, tcl)
           ctx = ctx.copy(seriesContexts =
             ctx.seriesContexts.filterNot(_ == sc) ++ Seq(
               sc.copy(identifier = Identifier.Single(s"${c}_hpo"),

@@ -40,6 +40,31 @@ class StrategySpec extends SparkSpec {
         SeriesContext(Identifier.Single("sex"), dataContext = Context.SubjectSex))))
     }
     assert(e.badValues.toSet == Set("martian", "blorb")) // ALL collected, one failure
+
+    // Tab/CR padding maps like the driver-side Java trim of the keys
+    // (Spark's space-only trim would abort these as unknown).
+    val padded = Seq(("P1", "\tMALE\r\n"), ("P2", " f ")).toDF("subject_id", "sex")
+    val outP = MappingStrategy.defaultSex.transform(Seq(cdf("t", padded,
+      SeriesContext(Identifier.Single("sex"), dataContext = Context.SubjectSex)))).head
+    assert(outP.df.orderBy("subject_id").collect().map(_.getString(1)).toSeq ==
+      Seq("MALE", "FEMALE"))
+
+    // Host-locale independence: under a Turkish default locale an
+    // ASCII synonym key containing 'I' must still map. Before the ROOT
+    // pin, the driver built the key with default-locale toLowerCase
+    // ("KADIN" -> dotless "kadın") while Spark's ASCII fast path
+    // produced "kadin" — a guaranteed miss and pipeline abort even
+    // within one JVM.
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val m = MappingStrategy("tr_probe", Map("KADIN" -> "FEMALE"),
+        ContextKind.KSubjectSex)
+      val outT = m.transform(Seq(cdf("t",
+        Seq(("P1", "kadin")).toDF("subject_id", "sex"),
+        SeriesContext(Identifier.Single("sex"), dataContext = Context.SubjectSex)))).head
+      assert(outT.df.head().getString(1) == "FEMALE")
+    } finally java.util.Locale.setDefault(prev)
   }
 
   // --- T3 age → ISO8601 ----------------------------------------------
@@ -151,5 +176,52 @@ class StrategySpec extends SparkSpec {
     assert(Option(rowsP(0).getString(0)) == Some("HP:0001945\t"))
     assert(Option(rowsP(1).getString(0)) == Some("Fever\n"))
     assert(Option(rowsP(2).getString(1)) == Some("\r\nEbola "))
+  }
+
+  test("T7: user columns named like the join's temp/terms columns survive") {
+    import graft.ontology._
+    val hp = BiDict.fromEntries(
+      Resource("hp", "HPO", "http://purl.obolibrary.org/obo/hp.owl", "v1", "HP", "http://purl.obolibrary.org/obo/HP_"),
+      Seq(("HP:0001945", "Fever", Seq())))
+    val mondo = BiDict.fromEntries(
+      Resource("mondo", "MONDO", "http://purl.obolibrary.org/obo/mondo.owl", "v1", "MONDO", "http://purl.obolibrary.org/obo/MONDO_"),
+      Seq(("MONDO:0005737", "Ebola", Seq())))
+    val lib = BiDictLibrary(Seq(hp, mondo))
+
+    // Columns named exactly like the implementation's former internal
+    // names: previously __gk/__gc were silently overwritten+dropped and
+    // t_cls made the class reference ambiguous. All must pass through.
+    val df = Seq(("P1", "Fever", "keepGk", "keepGc", "keepCls", "keepKey"))
+      .toDF("subject_id", "x", "__gk", "__gc", "t_cls", "t_key")
+    val out = HpoDiseaseSplitterStrategy(lib).transform(Seq(cdf("t", df,
+      SeriesContext(Identifier.Single("x"), dataContext = Context.HpoOrDisease)))).head
+    assert(Seq("__gk", "__gc", "t_cls", "t_key").forall(out.df.columns.contains))
+    val r = out.df.select("x_hpo", "__gk", "__gc", "t_cls", "t_key").head()
+    assert(r.getString(0) == "Fever")
+    assert(Seq(1, 2, 3, 4).map(r.getString) == Seq("keepGk", "keepGc", "keepCls", "keepKey"))
+  }
+
+  test("T7: classification is host-locale-independent (tr_TR lowercasing)") {
+    import graft.ontology._
+    // A label with a non-ASCII char AND an uppercase 'I': Spark's
+    // builtin `lower` would take its non-ASCII slow path and lowercase
+    // with the JVM default locale — under tr that maps 'I' to dotless
+    // 'ı', missing the ROOT-keyed dictionary and aborting on a value
+    // the dictionary knows. lower_root pins ROOT on the probe side.
+    val hp = BiDict.fromEntries(
+      Resource("hp", "HPO", "http://purl.obolibrary.org/obo/hp.owl", "v1", "HP", "http://purl.obolibrary.org/obo/HP_"),
+      Seq(("HP:0000554", "Behçet IRITIS", Seq())))
+    val lib = BiDictLibrary(Seq(hp,
+      BiDict.fromEntries(
+        Resource("mondo", "MONDO", "http://purl.obolibrary.org/obo/mondo.owl", "v1", "MONDO", "http://purl.obolibrary.org/obo/MONDO_"),
+        Seq())))
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val df = Seq(("P1", "BEHÇET IRITIS")).toDF("subject_id", "x")
+      val out = HpoDiseaseSplitterStrategy(lib).transform(Seq(cdf("t", df,
+        SeriesContext(Identifier.Single("x"), dataContext = Context.HpoOrDisease)))).head
+      assert(out.df.select("x_hpo").head().getString(0) == "BEHÇET IRITIS")
+    } finally java.util.Locale.setDefault(prev)
   }
 }
