@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 
 /** The C4 line-level cleaning battery (Raffel et al. 2020, §2.2 — the
   * other canonical web-corpus filter next to [[GopherRules]]): where
@@ -54,7 +55,7 @@ object C4Rules {
   }
 
   private def containsAny(c: Column, terms: Seq[String]): Column =
-    terms.map(t => contains(lower(c), lit(t))).reduceOption(_ || _)
+    terms.map(t => contains(lowerRoot(c), lit(t))).reduceOption(_ || _)
       .getOrElse(lit(false))
 
   /** All audit columns for a text column. Keys: n_lines (non-blank),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 
 /** End-to-end training-corpus preparation: the composed pipeline a
   * pretraining data team actually runs (the CCNet/Dolma/RefinedWeb
@@ -51,7 +52,7 @@ object CorpusPrep {
 
   /** Whitespace-normalized lowercase digest — the exact-dedup key. */
   def normFingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(regexp_replace(lowerRoot(trim(text)), "\\s+", " "))
 
   /** The composed pipeline. Returns the surviving `docs` rows with
     * `textCol` replaced by its redacted form (all other columns

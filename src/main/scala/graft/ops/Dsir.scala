@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
   * pick raw-corpus documents that look like a TARGET corpus by scoring
@@ -49,7 +50,7 @@ object Dsir {
     * text → empty array.
     */
   def featureTerms(text: Column): Column = {
-    val ts = coalesce(Dedup.tokens(lower(text)), array().cast("array<string>"))
+    val ts = coalesce(Dedup.tokens(lowerRoot(text)), array().cast("array<string>"))
     val bigrams = when(size(ts) >= 2,
       transform(sequence(lit(1), size(ts) - 1),
         i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
@@ -65,7 +66,7 @@ object Dsir {
     */
   def featureOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
-        posexplode(Dedup.tokens(lower(col(textCol)))).as(Seq("__pos", "__tok")))
+        posexplode(Dedup.tokens(lowerRoot(col(textCol)))).as(Seq("__pos", "__tok")))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
     val withNext = toks.withColumn("__next", lead(col("__tok"), 1).over(byDoc))

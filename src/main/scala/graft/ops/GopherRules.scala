@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 
 /** The Gopher document-quality rule battery (Rae et al. 2021, §A1.1 —
   * the composite filter nearly every later corpus pipeline inherits:
@@ -57,7 +58,7 @@ object GopherRules {
     val nWords = coalesce(size(ws).cast("long"), lit(0L))
     val charSum = coalesce(
       aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long")), lit(0L))
-    val lowered = transform(ws, w => lower(w))
+    val lowered = transform(ws, w => lowerRoot(w))
     val stopHits = Stopwords.map(sw =>
       when(array_contains(lowered, sw), 1L).otherwise(0L)).reduce(_ + _)
     val alphaWords = coalesce(

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 
 /** Okapi BM25 relevance scoring of a document corpus against a fixed
   * query-term set — the retrieval/quality-ranking primitive of a
@@ -53,7 +54,7 @@ object TextRank {
       s"query terms collide after name sanitization: ${queryTerms.mkString(", ")}")
 
     val toks = docs.select(col(idCol),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__term"))
+        explode(split(lowerRoot(col(textCol)), "[^a-z0-9]+")).as("__term"))
       .filter(col("__term") =!= "")
 
     val docTf = toks.groupBy(col(idCol)).agg(
@@ -121,7 +122,7 @@ object TextRank {
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = Int.MaxValue): DataFrame = {
     val toks = docs.select(col(idCol),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("__term"))
+        explode(split(lowerRoot(col(textCol)), "[^a-z0-9]+")).as("__term"))
       .filter(col("__term") =!= "")
     val vocabAll = toks.groupBy(col("__term")).agg(count(lit(1)).as("__cnt"))
     // top-K via sort+limit: TakeOrderedAndProject — per-partition heaps
@@ -181,7 +182,7 @@ object TextRank {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = Int.MaxValue, hotKeys: Int = 0): DataFrame = {
     val toks = docs.select(col(idCol),
-        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__term")))
+        posexplode(split(lowerRoot(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val occ = toks
@@ -317,7 +318,7 @@ object TextRank {
 
   private def tokStream(df: DataFrame, textCol: String, cols: Column*): DataFrame =
     df.select(cols :+
-      posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__t")): _*)
+      posexplode(split(lowerRoot(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__t")): _*)
       .filter(col("__t") =!= "")
 
   private def leadGrams(df: DataFrame, cols: Column*): DataFrame = {
@@ -486,7 +487,7 @@ object TextRank {
       textCol: String, alpha: Double = 0.4, hotKeys: Int = 0,
       maxVocab: Int = Int.MaxValue): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val ts = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val ts = filter(split(lowerRoot(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
     val grams = docs.select(col(idCol),
         explode(when(size(ts) >= 3,
             transform(sequence(lit(0), size(ts) - 3),

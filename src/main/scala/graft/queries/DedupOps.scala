@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{Dedup, Md5Family, Md5Mix32Family}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 
 /** Deduplication operator queries — ALL DuckDB-oracle-checked. The
   * sketch-based ops (MinHash-LSH, SimHash, incremental near-dup) run the
@@ -155,7 +156,7 @@ object DedupOps {
   // vs remove_neardups' keep-smallest-id.
   private val keepBest: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
-    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val norm = lowerRoot(regexp_replace(trim(col("text")), "\\s+", " "))
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
     val pairs = docs.filter(col("text").isNotNull)
       .withColumn("__fp", md5(norm))

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 
 /** Text-analysis operators for the training-data pipeline surface
   * (builder brief): token counting, quality scoring, language-ID
@@ -99,7 +100,7 @@ object TextOps {
   private val fingerprint: Q = (s, dir) =>
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        md5(regexp_replace(lowerRoot(trim(col("text"))), "\\s+", " ")).as("fp"))
   private val fingerprintSql =
     """SELECT doc_id,
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -225,7 +226,7 @@ object TextOps {
   private val normalize: Q = (s, dir) =>
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        md5(graft.functions.GraftExtensions.nfc_normalize(lower(trim(col("text")))))
+        md5(graft.functions.GraftExtensions.nfc_normalize(lowerRoot(trim(col("text")))))
           .as("canonical_fp"))
   private val normalizeSql =
     """SELECT doc_id, md5(nfc_normalize(lower(trim(text)))) AS canonical_fp
@@ -394,7 +395,7 @@ object TextOps {
   private val inverted: Q = (s, dir) => {
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(
-        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))).as("term"))
+        filter(split(lowerRoot(col("text")), "[^a-z0-9]+"), t => t =!= ""))).as("term"))
     val dfAgg = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val top = graft.ops.TopK.topKPerGroup(
       toks.withColumn("__ord", -col("doc_id").cast("double")),
