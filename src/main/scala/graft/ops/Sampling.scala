@@ -25,10 +25,16 @@ object Sampling {
   }
 
   /** The sampling predicate: md5 of the (stringified) key below the
-    * fraction's hex threshold.
+    * fraction's hex threshold. fraction 1.0 keeps ALL rows: the 8-hex
+    * cap "ffffffff" would drop digests with that prefix (one per ~4.3
+    * billion rows — invisible in tests, real loss at scale; the same
+    * escape [[stratifiedSample]] and [[hashSplit]] use).
     */
-  def samplePredicate(key: Column, fraction: Double): Column =
-    md5(key.cast("string")) < lit(hexThreshold(fraction))
+  def samplePredicate(key: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    if (fraction >= 1.0) lit(true)
+    else md5(key.cast("string")) < lit(hexThreshold(fraction))
+  }
 
   /** Keep ≈`fraction` of rows, keyed deterministically by `keyCol`. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =

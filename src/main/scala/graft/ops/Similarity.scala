@@ -46,17 +46,29 @@ object Similarity {
       .drop("__rn")
   }
 
-  /** Corpus side projected once: (neighbor_id, __v, __nv). */
+  /** Corpus side projected once: (neighbor_id, __v, __nv).
+    *
+    * Null and ZERO-NORM vectors are excluded here, at the single entry
+    * point every operator shares: cosine against a zero vector is 0/0 =
+    * NaN, and Spark orders NaN ABOVE every real double — one
+    * failed-embedding artifact row would otherwise claim rank 1 in
+    * every query's top-k and emit a false near-dup pair against every
+    * candidate (`NaN >= threshold` is true).
+    */
   private def corpusSide(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nv", norm(col("__v")))
+      .filter(col("__nv") > 0)
 
-  /** Query side projected once and broadcast: (query_id, __q, __nq). */
+  /** Query side projected once and broadcast: (query_id, __q, __nq).
+    * Null/zero-norm query vectors are excluded (see [[corpusSide]]).
+    */
   private def querySide(queries: DataFrame, qidCol: String, qvecCol: String): DataFrame =
     queries.select(col(qidCol).as("query_id"),
       col(qvecCol).cast("array<double>").as("__q"))
       .withColumn("__nq", norm(col("__q")))
+      .filter(col("__nq") > 0)
 
   private def scorePairs(joined: DataFrame): DataFrame =
     joined
@@ -202,6 +214,18 @@ object Similarity {
 
   // --- embedding near-dup ---------------------------------------------
 
+  /** ONE owner of the exact pair-scoring algebra: a frame carrying
+    * (idA, idB, __va, __na, __vb, __nb) → (idA, idB, cos_sim >=
+    * threshold). Every near-dup/semantic-dedup variant routes through
+    * here so a change to the cosine form or threshold inclusivity
+    * cannot drift between the paths.
+    */
+  private def thresholdedPairs(j: DataFrame, idA: String, idB: String,
+      threshold: Double): DataFrame =
+    j.select(col(idA), col(idB),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+
   /** Exact embedding near-dup pairs: all (id_a < id_b) with cosine >=
     * threshold. QUADRATIC — the oracle twin for bounded subsets, like
     * `Dedup.ngramJaccardPairs`; the scale path is
@@ -213,11 +237,9 @@ object Similarity {
       .select(col("neighbor_id").as("id_a"), col("__v").as("__va"), col("__nv").as("__na"))
     val b = corpusSide(corpus, idCol, vecCol)
       .select(col("neighbor_id").as("id_b"), col("__v").as("__vb"), col("__nv").as("__nb"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    thresholdedPairs(
+      a.crossJoin(b).filter(col("id_a") < col("id_b")),
+      "id_a", "id_b", threshold)
   }
 
   /** LSH-bucketed embedding near-dup (scale path): candidate pairs are
@@ -241,14 +263,26 @@ object Similarity {
     *       metric. The capped default is deliberate — it is the
     *       100 TB-safe posture — but existing callers should audit.
     */
+  /** Vector dimension sniffed from the first non-null vector; None when
+    * the frame has none (empty corpus / all-null batch — routine states
+    * in a scheduled pipeline, which must degrade to an empty result,
+    * not die in `first()` on an empty iterator).
+    */
+  private def dimOf(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("__d")).filter(col("__d") >= 0)
+      .limit(1).collect().headOption.map(_.getInt(0))
+
   def embeddingNearDupLsh(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 12, tables: Int = 6, seed: Int = 42,
-      maxBucket: Int = 4096): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = lshPlanes(dim, bits, tables, seed)
-    embeddingNearDupBucketed(corpus, idCol, vecCol, threshold,
-      planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)), maxBucket)
-  }
+      maxBucket: Int = 4096): DataFrame =
+    dimOf(corpus, vecCol) match {
+      case None => // no vectors at all → no pairs, correct schema
+        embeddingNearDupExact(corpus.limit(0), idCol, vecCol, threshold)
+      case Some(dim) =>
+        val planes = lshPlanes(dim, bits, tables, seed)
+        embeddingNearDupBucketed(corpus, idCol, vecCol, threshold,
+          planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)), maxBucket)
+    }
 
   /** [[embeddingNearDupLsh]] generalized over the bucket family: one
     * bucket column per hash table, produced by `buckets(t)(vec)`.
@@ -300,10 +334,8 @@ object Similarity {
       col("__v").as("__va"), col("__nv").as("__na"))
     val vb = base.select(col("neighbor_id").as("id_b"),
       col("__v").as("__vb"), col("__nv").as("__nb"))
-    pairs.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    thresholdedPairs(pairs.join(va, "id_a").join(vb, "id_b"),
+      "id_a", "id_b", threshold)
   }
 
   // --- semantic dedup --------------------------------------------------
@@ -318,9 +350,21 @@ object Similarity {
     */
   def signBitSketch(vec: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
-    (0 until bits).map(i =>
+    val bucket = (0 until bits).map(i =>
       when(element_at(vec, i + 1) > 0, lit(1 << (bits - 1 - i))).otherwise(lit(0)))
       .reduce(_ + _)
+    // A vector shorter than `bits` would silently zero-fill the high
+    // bits (element_at past the end is null → otherwise(0)), collapsing
+    // 2^bits intended clusters into 2^dim — clusters then overflow
+    // maxCluster and pass through unjudged. Fail the ROW, the same
+    // guard as coordinateSketches. A NULL vector gets a null sketch
+    // (such rows are unjudgeable and excluded by the norm filters
+    // downstream — they must not abort the job).
+    when(vec.isNull, lit(null).cast("int"))
+      .when(size(vec) >= bits, bucket)
+      .otherwise(raise_error(
+        concat(lit(s"signBitSketch needs dim >= $bits, got "),
+          size(vec).cast("string"))))
   }
 
   /** SemDeDup-style semantic deduplication: within each cluster, drop
@@ -348,10 +392,14 @@ object Similarity {
     val reserved = Seq("__c", "__csize", "__sd_dropid")
     require(!corpus.columns.exists(reserved.contains),
       s"corpus reserves column name(s) ${reserved.mkString(", ")}")
+    // Zero-norm/null vectors cannot be judged (cosine is NaN — see
+    // corpusSide) and are excluded from scoring: such rows pass
+    // through KEPT, like members of over-cap clusters.
     val e = corpus.withColumn("__c", clusterKey)
       .select(col(idCol).as("__id"), col("__c"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nv", norm(col("__v")))
+      .filter(col("__nv") > 0)
     val sizes = e.groupBy(col("__c")).agg(count(lit(1)).as("__csize"))
       .observe("semantic_dedup_clusters",
         sum(when(col("__csize") > maxCluster, 1L).otherwise(0L)).as("skipped_clusters"),
@@ -363,9 +411,9 @@ object Similarity {
       col("__v").as("__va"), col("__nv").as("__na"))
     val b = judged.select(col("__c"), col("__id").as("__idb"),
       col("__v").as("__vb"), col("__nv").as("__nb"))
-    val dropped = a.join(b, "__c")
-      .filter(col("__ida") < col("__idb"))
-      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
+    val dropped = thresholdedPairs(
+        a.join(b, "__c").filter(col("__ida") < col("__idb")),
+        "__ida", "__idb", threshold)
       .select(col("__idb").as("__sd_dropid"))
       .distinct()
     corpus.join(dropped, col(idCol) === col("__sd_dropid"), "left_anti")
@@ -412,10 +460,14 @@ object Similarity {
       // dim < tables·bits would silently read nulls past the end of
       // the vector → every row lands in bucket 0 → the per-table
       // equi-join degenerates to an all-pairs product. Fail the ROW
-      // instead (the dim is only known at bucketing time).
-      when(size(vec) >= (t + 1) * bits, bucket).otherwise(raise_error(
-        concat(lit(s"coordinateSketches table $t needs dim >= ${(t + 1) * bits}, got "),
-          size(vec).cast("string"))))
+      // instead (the dim is only known at bucketing time). NULL
+      // vectors get a null bucket (null join keys never match — the
+      // row simply produces no candidates) instead of aborting.
+      when(vec.isNull, lit(null).cast("long"))
+        .when(size(vec) >= (t + 1) * bits, bucket)
+        .otherwise(raise_error(
+          concat(lit(s"coordinateSketches table $t needs dim >= ${(t + 1) * bits}, got "),
+            size(vec).cast("string"))))
     }
   }
 
@@ -428,12 +480,16 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, bits: Int = 8, tables: Int = 4, seed: Int = 42): DataFrame = {
-    val dim = queries.select(size(col(qvecCol))).first().getInt(0)
-    val planes = lshPlanes(dim, bits, tables, seed)
-    bucketedTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
-      planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)))
-  }
+      k: Int, bits: Int = 8, tables: Int = 4, seed: Int = 42): DataFrame =
+    dimOf(queries, qvecCol) match {
+      case None => // empty/all-null query batch → empty result, correct schema
+        cosineScores(corpus.limit(0), idCol, vecCol,
+          queries.limit(0), qidCol, qvecCol)
+      case Some(dim) =>
+        val planes = lshPlanes(dim, bits, tables, seed)
+        bucketedTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
+          planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)))
+    }
 
   /** [[lshTopK]] generalized over the bucket family (one bucket column
     * per table — see [[embeddingNearDupBucketed]] for the choice).

@@ -63,6 +63,25 @@ object TemporalJoin {
       s"$what has unsupported time type $other; need numeric epoch, timestamp, date or string")
   }
 
+  private def timeClass(dt: DataType): String = dt match {
+    case _: NumericType => "numeric"
+    case TimestampType | DateType => "datetime"
+    case _ => "string"
+  }
+
+  /** All time columns that meet in one comparison/bin computation must
+    * be the same CLASS of time: mixed classes either die in analysis
+    * with an opaque type-mismatch or — worse — silently diverge
+    * (Spark's lenient comparison cast accepts ISO strings that strict
+    * `unix_timestamp` nulls, so a row can pass the residual predicate
+    * yet never land in a bin). Reject eagerly, like the as-of path.
+    */
+  private def requireSameTimeClass(cols: (DataType, String)*): Unit = {
+    val classes = cols.map { case (dt, w) => s"$w (${dt.simpleString}: ${timeClass(dt)})" }
+    require(cols.map(c => timeClass(c._1)).distinct.size == 1,
+      s"time columns must all be the same kind: ${classes.mkString(", ")}")
+  }
+
   private def requireCols(df: DataFrame, cols: Seq[String], side: String): Unit = {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"$side side is missing column(s): ${missing.mkString(", ")}")
@@ -176,7 +195,10 @@ object TemporalJoin {
     val bound = tolerance.map(t => lit(t.toDouble)).getOrElse(lit(Double.MaxValue))
     val bOk = col("__asof_bwd").isNotNull && bDist <= bound
     val fOk = col("__asof_fwd").isNotNull && fDist <= bound
-    val chosen = when(bOk && (!fOk || bDist <= fDist), col("__asof_bwd"))
+    // Null-time left rows are explicitly unmatched (the null distances
+    // would fall through anyway, but make the rule visible).
+    val chosen = when(col("__asof_ts").isNull, lit(null).cast(rowType))
+      .when(bOk && (!fOk || bDist <= fDist), col("__asof_bwd"))
       .when(fOk, col("__asof_fwd"))
       .otherwise(lit(null).cast(rowType))
 
@@ -253,6 +275,15 @@ object TemporalJoin {
     * inclusive match), left columns (nulled on right rows), and the
     * candidate right row as one `__asof_row` struct (nulled on left
     * rows).
+    *
+    * NULL-time rows: a right row with a null `rightTime` has no defined
+    * position on the time axis and is EXCLUDED here (it would otherwise
+    * sort first under asc-nulls-first and become a universal backward
+    * match that the tolerance filter cannot reject — null staleness
+    * distance falls through `when` to "keep"). A left row with a null
+    * `leftTime` passes through UNMATCHED (null payload, left-outer
+    * semantics) — enforced in [[asofFinish]] / [[asofNearest]]'s
+    * projection rather than by dropping the row.
     */
   private def asofUnion(
       left: DataFrame,
@@ -270,15 +301,9 @@ object TemporalJoin {
     // The two time columns union into ONE __asof_ts column; mixed type
     // classes (e.g. timestamp left + string right) would silently
     // coerce and then break the epoch math, so reject them eagerly.
-    def timeClass(dt: DataType): String = dt match {
-      case _: NumericType => "numeric"
-      case TimestampType | DateType => "datetime"
-      case _ => "string"
-    }
-    require(
-      timeClass(left.schema(leftTime).dataType) == timeClass(right.schema(rightTime).dataType),
-      s"leftTime (${left.schema(leftTime).dataType}) and rightTime " +
-        s"(${right.schema(rightTime).dataType}) must be the same kind of time column")
+    requireSameTimeClass(
+      left.schema(leftTime).dataType -> "leftTime",
+      right.schema(rightTime).dataType -> "rightTime")
     val leftCols = left.columns.toSeq
     val reserved = Seq("__asof_ts", "__asof_side", "__asof_row", "__asof_bwd",
       "__asof_fwd", "__rts", "__slice", "__slice_final", "__carry")
@@ -299,7 +324,7 @@ object TemporalJoin {
       (keys.map(col) :+ col(leftTime).as("__asof_ts") :+ lit(1).as("__asof_side")) ++
         leftCols.filterNot(keys.contains).map(col) :+
         lit(null).cast(rowType).as("__asof_row"): _*)
-    val rightPart = right.select(
+    val rightPart = right.filter(col(rightTime).isNotNull).select(
       (keys.map(col) :+ col(rightTime).as("__asof_ts") :+ lit(0).as("__asof_side")) ++
         leftCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) :+
@@ -330,25 +355,17 @@ object TemporalJoin {
         col("__asof_row").isNull || dist > sec.toDouble
       case None => lit(false)
     }
+    // A null-time left row has no position on the time axis: whatever
+    // the window carried to it (e.g. under desc ordering nulls sort
+    // last and would see every right row) is meaningless — always
+    // unmatched.
+    val noTime = col("__asof_ts").isNull
     filled
       .filter(col("__asof_side") === 1)
       .select(leftCols.map(col) ++ payload.map(c =>
-        when(stale, lit(null)).otherwise(col("__asof_row").getField(c)).as(c)): _*)
+        when(stale || noTime, lit(null)).otherwise(col("__asof_row").getField(c)).as(c)): _*)
   }
 
-  /** Point-in-interval range join: pairs every point with every
-    * interval of the same key that contains it (half-open: `start <
-    * t <= end`).
-    *
-    * Intervals are exploded over the fixed-width time buckets they
-    * cover; points land in exactly one bucket, so each qualifying
-    * (interval, point) pair is produced exactly once — no post-join
-    * dedup. The bucket column turns the range predicate into a
-    * hash-join key; pick `binSeconds` ≈ the typical interval width so
-    * the explosion factor stays ~2. Intervals much longer than the bin
-    * width multiply their row count by width/binSeconds — clamp the
-    * bin up (or pre-split pathological intervals) before calling.
-    */
   /** Interval-overlap join: pairs every `a` interval with every `b`
     * interval of the same key that overlaps it. Intervals are CLOSED —
     * touching endpoints count (`aStart <= bEnd && bStart <= aEnd`).
@@ -379,6 +396,9 @@ object TemporalJoin {
       checkTimeType(a.schema(c).dataType, w) }
     Seq(bStart -> "bStart", bEnd -> "bEnd").foreach { case (c, w) =>
       checkTimeType(b.schema(c).dataType, w) }
+    requireSameTimeClass(
+      a.schema(aStart).dataType -> "aStart", a.schema(aEnd).dataType -> "aEnd",
+      b.schema(bStart).dataType -> "bStart", b.schema(bEnd).dataType -> "bEnd")
     val renamed = keys.map(k => s"__p_$k") ++ Seq("__p_sbin", "__p_bin")
     val allNames = a.columns.toSeq ++ b.columns
     require(!Seq("__bin", "__sbin").exists(allNames.contains) &&
@@ -410,6 +430,25 @@ object TemporalJoin {
     keys.foldLeft(dropped)((df, k) => df.drop(bB(s"__p_$k")))
   }
 
+  /** Point-in-interval range join: pairs every point with every
+    * interval of the same key that contains it (half-open: `start <
+    * t <= end`).
+    *
+    * Intervals are exploded over the fixed-width time buckets they
+    * cover; points land in exactly one bucket, so each qualifying
+    * (interval, point) pair is produced exactly once — no post-join
+    * dedup. The bucket column turns the range predicate into a
+    * hash-join key; pick `binSeconds` ≈ the typical interval width so
+    * the explosion factor stays ~2. Intervals much longer than the bin
+    * width multiply their row count by width/binSeconds — clamp the
+    * bin up (or pre-split pathological intervals) before calling.
+    *
+    * Inverted intervals (`end < start`) match nothing and are filtered
+    * out BEFORE binning, same as [[intervalsOverlap]]: Spark's
+    * `sequence(start, stop)` with start > stop generates a DESCENDING
+    * sequence, so one dirty row (end = 0 sentinel against an epoch
+    * start) would otherwise explode into millions of bin rows.
+    */
   def pointsInIntervals(
       intervals: DataFrame,
       points: DataFrame,
@@ -425,6 +464,10 @@ object TemporalJoin {
     checkTimeType(intervals.schema(startCol).dataType, "startCol")
     checkTimeType(intervals.schema(endCol).dataType, "endCol")
     checkTimeType(points.schema(timeCol).dataType, "timeCol")
+    requireSameTimeClass(
+      intervals.schema(startCol).dataType -> "startCol",
+      intervals.schema(endCol).dataType -> "endCol",
+      points.schema(timeCol).dataType -> "timeCol")
     val renamed = keys.map(k => s"__p_$k")
     val allNames = intervals.columns.toSeq ++ points.columns
     require(!allNames.contains("__bin") && !renamed.exists(allNames.contains),
@@ -436,8 +479,10 @@ object TemporalJoin {
 
     val sEpoch = epochSeconds(col(startCol), intervals.schema(startCol).dataType, "startCol")
     val eEpoch = epochSeconds(col(endCol), intervals.schema(endCol).dataType, "endCol")
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(floor(sEpoch / binSeconds), floor(eEpoch / binSeconds))))
+    val binned = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bin",
+        explode(sequence(floor(sEpoch / binSeconds), floor(eEpoch / binSeconds))))
     val pts = points
       .withColumn("__bin",
         floor(epochSeconds(col(timeCol), points.schema(timeCol).dataType, "timeCol") / binSeconds))

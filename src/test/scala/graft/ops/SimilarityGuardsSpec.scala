@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input guards for the similarity surface: zero-norm /
+  * null vectors (cosine is NaN — Spark ranks NaN above every real
+  * double), short vectors vs sketch width, and empty batches.
+  */
+class SimilarityGuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, Array(1.0, 0.0, 0.0, 0.0)),
+    (2L, Array(0.9, 0.1, 0.0, 0.0)),
+    (3L, Array(0.0, 0.0, 0.0, 0.0)), // zero-norm: failed-embedding artifact
+    (4L, null.asInstanceOf[Array[Double]]))
+    .toDF("id", "vec")
+
+  test("zero-norm and null vectors never reach top-k or near-dup results") {
+    val q = Seq((10L, Array(1.0, 0.0, 0.0, 0.0))).toDF("qid", "qvec")
+    val top = Similarity.bruteForceTopK(corpus, "id", "vec", q, "qid", "qvec", 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top === Set(1L, 2L), "NaN cosine must not claim a top-k slot")
+
+    val pairs = Similarity.embeddingNearDupExact(corpus, "id", "vec", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), "zero vector must not pair with everything")
+
+    // zero-norm QUERY: excluded, not NaN-matched to the whole corpus
+    val qZero = Seq((11L, Array(0.0, 0.0, 0.0, 0.0))).toDF("qid", "qvec")
+    assert(Similarity.bruteForceTopK(corpus, "id", "vec", qZero, "qid", "qvec", 4)
+      .count() === 0L)
+  }
+
+  test("semanticDedup: unjudgeable zero-norm rows are kept and drop nothing") {
+    val out = Similarity.semanticDedup(corpus, "id", "vec",
+      Similarity.signBitSketch(col("vec"), 1), threshold = 0.5)
+    // 1~2 near-dup → 2 dropped; zero/null vectors pass through kept
+    assert(out.select("id").as[Long].collect().toSet === Set(1L, 3L, 4L))
+  }
+
+  test("signBitSketch fails the row when the vector is shorter than bits") {
+    val short = Seq((1L, Array(1.0, -1.0))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      short.select(Similarity.signBitSketch(col("vec"), 8)).collect()
+    }
+    assert(e.getMessage.contains("signBitSketch needs dim >= 8"))
+  }
+
+  test("empty or all-null batches degrade to empty results, not first() crashes") {
+    val emptyQ = Seq.empty[(Long, Array[Double])].toDF("qid", "qvec")
+    val r1 = Similarity.lshTopK(corpus, "id", "vec", emptyQ, "qid", "qvec", 3)
+    assert(r1.columns.toSeq === Seq("query_id", "neighbor_id", "cos_sim"))
+    assert(r1.count() === 0L)
+
+    val nullQ = Seq((10L, null.asInstanceOf[Array[Double]])).toDF("qid", "qvec")
+    assert(Similarity.lshTopK(corpus, "id", "vec", nullQ, "qid", "qvec", 3).count() === 0L)
+
+    val emptyC = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    val r2 = Similarity.embeddingNearDupLsh(emptyC, "id", "vec", 0.9)
+    assert(r2.columns.toSeq === Seq("id_a", "id_b", "cos_sim"))
+    assert(r2.count() === 0L)
+  }
+
+  test("hashSample at fraction 1.0 keeps every row (no ffffffff cap)") {
+    assert(Sampling.samplePredicate(lit("x"), 1.0).toString === "true",
+      "fraction 1.0 must short-circuit, not compare against ffffffff")
+    val df = spark.range(1000).toDF("k")
+    assert(Sampling.hashSample(df, "k", 1.0).count() === 1000L)
+    intercept[IllegalArgumentException] { Sampling.samplePredicate(lit("x"), 1.5) }
+  }
+}

@@ -331,4 +331,62 @@ class TemporalJoinSpec extends SparkSpec {
     assert(!physical.contains("BroadcastNestedLoopJoin") && !physical.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$physical")
   }
+
+  test("asof: null-time right rows never match; null-time left rows stay unmatched") {
+    // A null-ts right row would sort first under asc-nulls-first and
+    // become a universal backward match the tolerance filter cannot
+    // null out (null staleness falls through when() to "keep").
+    val l = Seq((1L, Some(100L), "a"), (1L, None, "b"))
+      .toDF("k", "t", "probe")
+    val r = Seq((1L, Option.empty[Long], "poison", 99.0), (1L, Some(90L), "ok", 1.0))
+      .toDF("k", "rt", "tag", "v")
+    for (tol <- Seq(None, Some(1000L))) {
+      val bwd = TemporalJoin.asofBackward(l, r, Seq("k"), "t", "rt",
+          Seq("tag", "v"), tolerance = tol)
+        .select("probe", "tag").as[(String, Option[String])].collect().toMap
+      assert(bwd("a") === Some("ok"), s"tol=$tol: real match expected")
+      assert(bwd("b") === None, s"tol=$tol: null-time left row must stay unmatched")
+      val fwd = TemporalJoin.asofForward(l, r, Seq("k"), "t", "rt",
+          Seq("tag", "v"), tolerance = tol)
+        .select("probe", "tag").as[(String, Option[String])].collect().toMap
+      assert(fwd("a") === None, s"tol=$tol: only right row is in the past")
+      assert(fwd("b") === None, s"tol=$tol: null-time left row must stay unmatched")
+      val near = TemporalJoin.asofNearest(l, r, Seq("k"), "t", "rt",
+          Seq("tag", "v"), tolerance = tol)
+        .select("probe", "tag").as[(String, Option[String])].collect().toMap
+      assert(near("a") === Some("ok") && near("b") === None, s"tol=$tol (nearest)")
+    }
+    val salted = TemporalJoin.asofBackwardSalted(l, r, Seq("k"), "t", "rt",
+        Seq("tag", "v"), sliceSeconds = 50L)
+      .select("probe", "tag").as[(String, Option[String])].collect().toMap
+    assert(salted("a") === Some("ok") && salted("b") === None)
+  }
+
+  test("range join: inverted intervals are dropped before binning, not exploded") {
+    // end=0 sentinel against an epoch start: sequence() would otherwise
+    // DESCEND and generate ~17M bin rows from this one dirty row.
+    val ivs = Seq((1L, 1700000000L, 0L, "dirty"), (1L, 100L, 200L, "clean"))
+      .toDF("k", "s", "e", "iid")
+    val pts = Seq((1L, 150L, "p1")).toDF("k", "t", "pid")
+    val out = TemporalJoin.pointsInIntervals(ivs, pts, Seq("k"), "s", "e", "t", 60L)
+    assert(out.select("iid", "pid").as[(String, String)].collect().toSet ===
+      Set(("clean", "p1")))
+  }
+
+  test("range joins reject mixed time-class columns eagerly") {
+    val ivs = Seq((1L, 100L, 200L, "i1")).toDF("k", "s", "e", "iid")
+    val ptsTs = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:00:00"), "p1"))
+      .toDF("k", "t", "pid")
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoin.pointsInIntervals(ivs, ptsTs, Seq("k"), "s", "e", "t", 100L)
+    }
+    assert(e1.getMessage.contains("same kind"))
+    val bTs = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "b1")).toDF("k", "bs", "be", "bid")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoin.intervalsOverlap(ivs.withColumnRenamed("iid", "aid"), bTs,
+        Seq("k"), "s", "e", "bs", "be", 3600L)
+    }
+    assert(e2.getMessage.contains("same kind"))
+  }
 }
