@@ -45,10 +45,13 @@ object TextRank {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(queryTerms.distinct == queryTerms, "duplicate query terms")
-    // tokens are lowercased — an uppercase query term would silently
-    // match nothing and empty the result
-    require(queryTerms.forall(t => t == t.toLowerCase && t.nonEmpty),
-      s"query terms must be non-empty lowercase, got: ${queryTerms.mkString(", ")}")
+    // tokens come from split on [^a-z0-9]+, so a query term containing
+    // ANY character outside that alphabet (uppercase, "covid-19",
+    // "don't") can never equal a token and would silently empty the
+    // result — reject the whole alphabet violation, not just case
+    require(queryTerms.forall(_.matches("[a-z0-9]+")),
+      s"query terms must be non-empty [a-z0-9]+ (the tokenizer's " +
+        s"alphabet), got: ${queryTerms.mkString(", ")}")
     val safe = queryTerms.map(t => t -> s"__tf_${t.replaceAll("[^a-z0-9]", "_")}")
     require(safe.map(_._2).distinct.size == safe.size,
       s"query terms collide after name sanitization: ${queryTerms.mkString(", ")}")
@@ -88,6 +91,13 @@ object TextRank {
     * shorter (it never pads), and empty documents produce no chunks.
     * Pure row-local column algebra (sequence + explode + substring):
     * no shuffle, scales with input splits.
+    *
+    * Starts within the last `overlap` characters are not emitted: a
+    * chunk starting there covers <= `overlap` characters, all already
+    * inside the previous chunk — a strict suffix-subset that would
+    * duplicate content in the retrieval index (~1 in size/step
+    * document lengths hit this). The single-chunk case (len <=
+    * overlap, only start 0) is kept.
     */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
       size: Int, overlap: Int): DataFrame = {
@@ -97,7 +107,9 @@ object TextRank {
     docs
       .filter(length(col(textCol)) > 0)
       .select(col(idCol), col(textCol),
-        explode(sequence(lit(0), length(col(textCol)) - 1, lit(step))).as("__start"))
+        explode(sequence(lit(0),
+          greatest(length(col(textCol)) - 1 - overlap, lit(0)),
+          lit(step))).as("__start"))
       .select(col(idCol),
         (col("__start") / step).cast("long").as("chunk_idx"),
         col(textCol).substr(col("__start") + 1, lit(size)).as("chunk"))
@@ -121,9 +133,15 @@ object TextRank {
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = Int.MaxValue): DataFrame = {
+    // The token stream feeds three DIFFERENTLY-KEYED consumers (vocab
+    // by term, total scalar, scoring join by id) — exchange reuse does
+    // not cover them, so without the persist the scan+split+explode
+    // pipeline runs three times per action (the trigramCounts
+    // pattern; cache reclaimed by the context cleaner with the plan).
     val toks = docs.select(col(idCol),
         explode(split(lowerRoot(col(textCol)), "[^a-z0-9]+")).as("__term"))
       .filter(col("__term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabAll = toks.groupBy(col("__term")).agg(count(lit(1)).as("__cnt"))
     // top-K via sort+limit: TakeOrderedAndProject — per-partition heaps
     // merged driver-side, K rows only (K <= broadcast size by intent).
@@ -164,9 +182,11 @@ object TextRank {
     * `hotKeys > 0`; it is the real mitigation, not a belt-and-braces
     * alternative. The per-doc score is the n-weighted mean, identical
     * to the per-occurrence mean. The unigram vocabulary stays a broadcast;
-    * `maxVocab` caps it top-K with an OOV unigram-count floor of 1
-    * (see [[unigramLogProb]]); default uncapped. Adjacency is
-    * posexplode + window lead, not interpreted array lambdas.
+    * `maxVocab` caps it top-K by count, and a capped-out w1's missing
+    * denominator count floors at max(1, c(w1 w2)) so the smoothed
+    * ratio stays < 1 — capped-tail transitions DEGRADE, they can never
+    * score as more-probable-than-certain; default uncapped. Adjacency
+    * is posexplode + window lead, not interpreted array lambdas.
     *
     * `hotKeys > 0` routes the (doc, bigram) ⋈ (bigram, count) join
     * through [[SkewJoin.hotKeyJoin]]: the `hotKeys` most frequent
@@ -185,15 +205,23 @@ object TextRank {
         posexplode(split(lowerRoot(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__term")))
       .filter(col("__term") =!= "")
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val occ = toks
+    // ONE tokenize + window pass persisted for all consumers (unigram
+    // counts, per-doc bigrams, corpus bigrams — each differently
+    // keyed, so exchange reuse cannot share them; the trigramCounts
+    // pattern, cache reclaimed by the context cleaner). The unigram
+    // leg reads the UNfiltered stream — the last token of each doc has
+    // a null __next but still counts.
+    val wt = toks
       .withColumn("__next", lead(col("__term"), 1).over(byDoc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = wt
       .filter(col("__next").isNotNull)
       .select(col(idCol), col("__term").as("__w1"), col("__next").as("__w2"))
     // Shuffle-free on top of the window: the id partitioning already
     // clusters every (id, w1, w2) group.
     val docBi = occ.groupBy(col(idCol), col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__n"))
-    val uniAll = toks.groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
+    val uniAll = wt.groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
     val uni =
       if (maxVocab == Int.MaxValue) uniAll
       else uniAll.orderBy(col("__c1").desc, col("__term")).limit(maxVocab)
@@ -210,8 +238,13 @@ object TextRank {
       .join(broadcast(uni.withColumnRenamed("__term", "__w1")), Seq("__w1"), "left")
       .crossJoin(broadcast(vocabSize))
       .groupBy(col(idCol))
+      // __c1 is null only when w1 was capped out of the broadcast; the
+      // true c(w1) >= c(w1 w2), so floor the denominator at __c2 — a
+      // bare floor of 1 makes (c2+1)/(1+V) exceed 1 whenever a
+      // capped-out word's bigram count tops the vocabulary size
+      // (plausible at corpus scale), i.e. a positive "log-probability".
       .agg((sum(col("__n") * log((col("__c2") + 1).cast("double")
-          / (coalesce(col("__c1"), lit(1L)) + col("__v"))))
+          / (greatest(coalesce(col("__c1"), lit(1L)), col("__c2")) + col("__v"))))
         / sum(col("__n"))).as("mean_logprob"),
         sum(col("__n")).as("n_bigrams"))
   }
@@ -230,11 +263,18 @@ object TextRank {
     *
     * All shuffles key by document (bigram counting, token histogram) —
     * per-doc work is bounded by document length, embarrassingly
-    * parallel across 100 TB of documents. Whitespace tokenization.
+    * parallel across 100 TB of documents. TRUE whitespace tokenization
+    * (any `\s+` run splits, empty tokens dropped): a literal-space
+    * split would treat "cat\nthe" as one token and count empty tokens
+    * between double spaces, corrupting both signals on any multi-line
+    * document. Docs with >= 1 token but < 2 tokens have no bigram and
+    * report `top_bigram_frac` 0.0 (they are NOT dropped); docs with no
+    * tokens at all produce no row.
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), length(col(textCol)).as("__chars"),
-      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+        posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
 
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val bigrams = toks
@@ -258,7 +298,12 @@ object TextRank {
       .agg((sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0)).cast("double") /
         sum(col("__cnt"))).as("dup_token_frac"))
 
-    winner.join(dup, Seq(idCol))
+    // LEFT from dup: a single-token doc has a duplicate fraction but
+    // no bigram — an inner join would silently drop it.
+    dup.join(winner, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        col("dup_token_frac"))
   }
 
   /** Stupid-backoff trigram LM score (Brants et al. 2007, "Large
@@ -283,9 +328,11 @@ object TextRank {
     * collapses to (doc, trigram, n) before anything shuffles; the
     * trigram/bigram count tables are data-derived and join by their
     * gram keys (never broadcast); the two unigram lookups and N ride
-    * one broadcast each — `maxVocab` caps BOTH top-K by count with the
-    * OOV count floor of 1 (the [[bigramLogProb]] contract) for fit
-    * vocabularies too large to broadcast; default uncapped. Docs with
+    * one broadcast each — `maxVocab` caps BOTH top-K by count (the
+    * [[bigramLogProb]] denominator-floor contract: a capped-out w2
+    * denominator floors at max(1, c(w2 w3)), keeping every backoff
+    * ratio <= 1) for fit vocabularies too large to broadcast; default
+    * uncapped. Docs with
     * fewer than 3 tokens produce no trigram and are absent from the
     * output.
     *
@@ -384,8 +431,6 @@ object TextRank {
       textCol: String, alpha: Double = 0.4, hotKeys: Int = 0,
       maxVocab: Int = Int.MaxValue): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val TrigramCounts(tri, big, uni, total) = counts
-
     val st = leadGrams(tokStream(docs, textCol, col(idCol)), col(idCol))
     val docTriRaw = st.filter(col("__t3").isNotNull)
       .groupBy(col(idCol), col("__t").as("__w1"), col("__t2").as("__w2"),
@@ -424,10 +469,11 @@ object TextRank {
     // The unigram table rides TWO broadcasts (w2 denominator, w3
     // numerator); a web-scale fit vocabulary would OOM them. maxVocab
     // keeps the top-K terms by count (ties to the lexicographically
-    // least — TakeOrderedAndProject, K rows driver-side) and every
-    // capped-out term scores with the OOV count floor of 1, exactly
-    // the [[unigramLogProb]]/[[bigramLogProb]] degradation contract:
-    // the rare tail's scores soften, the broadcast stays bounded.
+    // least — TakeOrderedAndProject, K rows driver-side). Capped-out
+    // terms degrade: the w3 NUMERATOR floors at 1 (the unigramLogProb
+    // contract — scores sink), the w2 DENOMINATOR floors at
+    // max(1, c23) so no backoff ratio can exceed 1. The rare tail's
+    // scores soften, the broadcast stays bounded.
     val uni =
       if (maxVocab == Int.MaxValue) uni0
       else uni0.orderBy(col("__cu").desc, col("__w")).limit(maxVocab)
@@ -443,12 +489,19 @@ object TextRank {
         Seq("__w3"), "left")
       .crossJoin(broadcast(total))
       // __c2 can only be null when w2 was capped out of the broadcast
-      // (a seen bigram implies a seen unigram) — same floor of 1.
+      // (a seen bigram implies a seen unigram). The floor must keep
+      // the ratio <= 1: in consistent count tables c(w2 w3) <= c(w2),
+      // so the unknown denominator is AT LEAST the numerator —
+      // greatest(floor, c23) caps the branch at ln(1) + ln(alpha). A
+      // bare floor of 1 would put the floor in the DENOMINATOR and
+      // score capped-out transitions with log(c23) > 0, ranking junk
+      // full of capped-tail transitions as impossibly probable text.
       .withColumn("__s",
         when(col("__c3").isNotNull,
           log(col("__c3").cast("double") / col("__c12")))
         .when(col("__c23").isNotNull,
-          log(col("__c23").cast("double") / coalesce(col("__c2"), lit(1L)))
+          log(col("__c23").cast("double") /
+              greatest(coalesce(col("__c2"), lit(1L)), col("__c23")))
             + lit(lnA))
         .otherwise(
           log(coalesce(col("__c3u"), lit(1L)).cast("double") / col("__n"))

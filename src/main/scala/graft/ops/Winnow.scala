@@ -76,6 +76,10 @@ object Winnow {
       n: Int = 4, w: Int = 4, minShared: Int = 2,
       maxBucket: Int = 1024): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // maxBucket <= 0 would classify EVERY bucket as hot and silently
+    // return an empty result — indistinguishable from "no similar
+    // documents" (the Dedup.ngramJaccardPrefixPairsManaged guard).
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val fps = fingerprints(df, idCol, textCol, n, w)
     // Bucket sizes as a map-side-combined AGGREGATE and the cap as a
     // broadcast anti-join — the same shape as the prefix-jaccard cap

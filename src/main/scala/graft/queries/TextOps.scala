@@ -339,7 +339,8 @@ object TextOps {
   private val chunksSql =
     """SELECT doc_id, CAST(s / 400 AS BIGINT) AS chunk_idx,
       |  md5(substring(text, s + 1, 500)) AS chunk_md5
-      |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) - 1, 400)) AS s
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, greatest(length(text) - 101, 0), 400)) AS s
       |      FROM documents WHERE length(text) > 0) t""".stripMargin
 
   // Gopher-style repetition quality signals (ops.TextRank): top-2-gram
@@ -354,7 +355,8 @@ object TextOps {
         round(col("dup_token_frac"), 4).as("dup_token_frac"))
   private val repetitionSql =
     """WITH base AS (
-      |  SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS toks
+      |  SELECT doc_id, length(text) AS chars,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
       |  FROM documents
       |), bc AS (
       |  SELECT doc_id, chars, bigram, count(*) AS cnt FROM (
@@ -378,10 +380,11 @@ object TextOps {
       |        GROUP BY 1, 2) tc
       |  GROUP BY doc_id
       |)
-      |SELECT w.doc_id, round(w.top_bigram_frac, 4) AS top_bigram_frac,
+      |SELECT d.doc_id,
+      |  round(coalesce(w.top_bigram_frac, 0), 4) AS top_bigram_frac,
       |  round(d.dup_token_frac, 4) AS dup_token_frac
-      |FROM win w JOIN dup d ON w.doc_id = d.doc_id
-      |WHERE w.rn = 1""".stripMargin
+      |FROM dup d LEFT JOIN (SELECT * FROM win WHERE rn = 1) w
+      |  ON w.doc_id = d.doc_id""".stripMargin
 
   // Capped inverted index: term → document frequency + the first 20
   // postings. Per-doc `array_distinct` dedupes BEFORE the explode so

@@ -1098,9 +1098,11 @@ class OpsSpec extends SparkSpec {
     val capped = TextRank.trigramStupidBackoff(fit, docs, "doc_id", "text",
         maxVocab = 3) // keeps the 3 most frequent terms only
       .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
-    // every score stays finite — a capped-out w2 denominator floors to
-    // 1 instead of nulling the score row
-    assert(capped.values.forall(v => !v.isNaN && !v.isInfinite))
+    // every score stays finite AND <= 0: stupid-backoff S is a ratio
+    // of consistent counts clamped <= 1 per branch, so ln S can never
+    // go positive even when a w2 denominator is capped out (the
+    // greatest(floor, c23) clamp)
+    assert(capped.values.forall(v => !v.isNaN && !v.isInfinite && v <= 0.0))
     assert(exact.keySet == capped.keySet)
     // doc 10 touches only in-vocab words (+ x, OOV under BOTH): identical
     assert(capped(10L) == exact(10L))

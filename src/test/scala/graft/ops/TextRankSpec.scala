@@ -55,6 +55,52 @@ class TextRankSpec extends SparkSpec {
     assert(out(3L)._2 === 1.0)
   }
 
+  test("repetition signals: newlines/tabs split, empties dropped, 1-token docs kept") {
+    val docs = Seq(
+      (1L, "the cat\nthe dog"),  // \n must split: "the" duplicated
+      (2L, "a  b"),              // double space must not create an empty token
+      (3L, "hello"),             // single token: no bigram, NOT dropped
+      (4L, "   ")).toDF("id", "txt") // whitespace-only: no tokens, no row
+    val out = TextRank.repetitionSignals(docs, "id", "txt")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // doc 1: tokens the,cat,the,dog → dup 2/4; a literal-space split
+    // would see "cat\nthe" as one token and report 0.0
+    assert(math.abs(out(1L)._2 - 0.5) < 1e-12)
+    // doc 2: tokens a,b — no duplicates, no counted empty token
+    assert(out(2L)._2 === 0.0)
+    // doc 3: single token → top_bigram_frac 0.0, dup 0.0
+    assert(out(3L) === ((0.0, 0.0)))
+  }
+
+  test("bm25 rejects query terms outside the tokenizer's [a-z0-9] alphabet") {
+    val docs = Seq((1L, "covid 19 spark")).toDF("id", "txt")
+    // "covid-19" can never equal a token produced by split [^a-z0-9]+ —
+    // it would silently empty the result
+    val e = intercept[IllegalArgumentException] {
+      TextRank.bm25(docs, "id", "txt", Seq("covid-19"))
+    }
+    assert(e.getMessage.contains("alphabet"))
+    intercept[IllegalArgumentException] {
+      TextRank.bm25(docs, "id", "txt", Seq(""))
+    }
+  }
+
+  test("bigram maxVocab: capped-out denominators never yield positive log-probs") {
+    // doc 20 repeats (zz,qq) transitions; with maxVocab=2 (keeps aa,bb)
+    // the old floor-of-1 denominator scored (c2+1)/(1+V) = 11/3 > 1 —
+    // a positive "log-probability" ranking junk as top-quality text.
+    val docs = Seq(
+      (10L, Seq.fill(20)("aa bb").mkString(" ")),
+      (20L, Seq.fill(10)("zz qq").mkString(" "))).toDF("id", "txt")
+    val capped = TextRank.bigramLogProb(docs, "id", "txt", maxVocab = 2)
+      .select("id", "mean_logprob").as[(Long, Double)].collect().toMap
+    // THE invariant: a smoothed probability is < 1, so its log is < 0.
+    // The old floor gave capped(20) = mean ln(11/3) ≈ +1.3.
+    assert(capped.values.forall(v => v < 0.0 && !v.isNaN),
+      s"smoothed log-probs must stay negative, got $capped")
+  }
+
   test("unigram LM score: hand-computed mean log-prob; typical text outranks rare tokens") {
     val docs = Seq(
       (1L, "a a b"),   // common tokens
@@ -74,14 +120,23 @@ class TextRankSpec extends SparkSpec {
     val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy")).toDF("id", "txt")
     val out = TextRank.chunk(docs, "id", "txt", size = 4, overlap = 2)
       .select("id", "chunk_idx", "chunk").as[(Long, Long, String)].collect().toSet
+    // NO (1, 4, "ij") row: a start inside the last `overlap` chars
+    // yields a strict suffix-subset of the previous chunk
     assert(out === Set(
       (1L, 0L, "abcd"), (1L, 1L, "cdef"), (1L, 2L, "efgh"), (1L, 3L, "ghij"),
-      (1L, 4L, "ij"),   // short tail, never padded
       (3L, 0L, "xy")))  // doc shorter than one chunk
     // every character of doc 1 is covered by at least one chunk
     val covered = out.filter(_._1 == 1L).flatMap { case (_, idx, c) =>
       (idx * 2 until idx * 2 + c.length).map(_.toInt) }.toSet
     assert(covered === (0 until 10).toSet)
+
+    // a 1-char-longer doc DOES need the tail chunk (covers > overlap)
+    val out11 = TextRank.chunk(Seq((1L, "abcdefghijk")).toDF("id", "txt"),
+        "id", "txt", size = 4, overlap = 2)
+      .select("chunk").as[String].collect().toSet
+    assert(out11.contains("ijk"), "non-redundant tail must survive")
+    // no chunk is a substring of another (the dedup property)
+    assert(!out11.exists(c => out11.exists(o => o != c && o.contains(c))))
   }
 
   test("bm25 plan: one doc-level aggregate + broadcast stats, no shuffle join") {
