@@ -38,6 +38,20 @@ object BloomJoin {
   def pruneLarge(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
+    // Both keys MUST be integral: the builder would insert a string
+    // key via putString while the probe hashes the cast long —
+    // disjoint hash inputs, so matching fact rows would survive only
+    // at the false-positive rate and the join silently loses ~all of
+    // its result. Reject eagerly instead.
+    def requireIntegral(df: DataFrame, c: String, what: String): Unit =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integral key (the bloom bits hash longs), got $other")
+      }
+    requireIntegral(dim, dimKey, "dimKey")
+    requireIntegral(fact, factKey, "factKey")
     val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()

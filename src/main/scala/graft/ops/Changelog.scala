@@ -52,11 +52,13 @@ object Changelog {
     * must be unique per side (it is a snapshot, not a log; pre-compact
     * with [[compact]] otherwise).
     *
-    * Digest rule: content columns are concat'd with a 0x1F unit
-    * separator, nulls as the empty string — so (null, "x") and
-    * ("x", null) digest differently but (null) and ("") do not;
-    * callers needing null-vs-empty distinction should add an
-    * indicator column.
+    * Digest rule: each content column is md5'd SEPARATELY (null as the
+    * empty string) and the fixed-width digests concat into the row
+    * digest — unambiguous under any content (a separator-based concat
+    * would let values containing the separator shift between columns
+    * and collide, misclassifying changed rows as unchanged). (null)
+    * and ("") still digest alike; callers needing null-vs-empty
+    * distinction should add an indicator column.
     */
   def snapshotDiff(
       oldDf: DataFrame,
@@ -66,8 +68,8 @@ object Changelog {
     require(contentCols.nonEmpty, "diff needs at least one content column")
     def digested(df: DataFrame, name: String) = df.select(
       col(idCol),
-      md5(concat_ws("\u001f",
-        contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+      md5(concat(
+        contentCols.map(c => md5(coalesce(col(c).cast("string"), lit("")))): _*))
         .as(name))
     val o = digested(oldDf, "__old_fp")
     val n = digested(newDf, "__new_fp")

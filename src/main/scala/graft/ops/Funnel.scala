@@ -46,7 +46,11 @@ object Funnel {
   private def hopWithin(time: Column, prev: Column, dt: DataType, w: Long): Column =
     dt match {
       case TimestampType  => unix_micros(time) - unix_micros(prev) <= w * 1000000L
-      case DateType       => unix_timestamp(time) - unix_timestamp(prev) <= w
+      // datediff, NOT unix_timestamp: the latter is session-timezone
+      // dependent — across a DST transition consecutive dates differ
+      // by 82800/90000 seconds and a one-day hop bound of 86400 would
+      // accept/reject by timezone. Dates are exact day counts.
+      case DateType       => datediff(time, prev).cast("long") * 86400L <= w
       case _              => time - prev <= w
     }
 
@@ -128,10 +132,15 @@ object Funnel {
       "reserved column name collision (__first_ts)")
     require(events.schema(timeCol).dataType == TimestampType,
       s"timeCol must be a timestamp, got ${events.schema(timeCol).dataType}")
-    // SQL DIV (integral division) — the Scala Column API only exposes
-    // fractional `/`; both engines' integral division agrees exactly.
-    def period(name: String): Column =
-      expr(s"unix_micros(`$name`) DIV ${periodSeconds * 1000000L}")
+    // FLOOR division in exact integer arithmetic: x DIV n truncates
+    // toward zero, which would collapse the periods on either side of
+    // the epoch into one cohort for pre-1970 data (and disagree with
+    // DuckDB's `//`, which floors). pmod is the positive modulus, so
+    // (x - pmod(x, n)) DIV n == floor(x / n) with no float en route.
+    def period(name: String): Column = {
+      val n = periodSeconds * 1000000L
+      expr(s"(unix_micros(`$name`) - pmod(unix_micros(`$name`), $n)) DIV $n")
+    }
 
     val first = events.groupBy(col(keyCol))
       .agg(min(col(timeCol)).as("__first_ts"))

@@ -53,6 +53,7 @@ object Percentiles {
       buckets: Int = 1024,
       maxDriverGroups: Int = 4096): DataFrame = {
     checkArgs(percentiles, buckets)
+    checkValueType(df, valueCol)
     val data = nonNull(df, groupCol, valueCol)
     val (schema, rows) = collectRanges(data, groupCol, valueCol, maxDriverGroups)
     // The driver histogram holds groups × buckets cells — docstring
@@ -112,6 +113,7 @@ object Percentiles {
       buckets: Int = 1024,
       maxDriverGroups: Int = 4096): DataFrame = {
     checkArgs(percentiles, buckets)
+    checkValueType(df, valueCol)
     val data = nonNull(df, groupCol, valueCol)
     collectRanges(data, groupCol, valueCol, maxDriverGroups) match {
       case (schema, Some(rows)) =>
@@ -127,6 +129,22 @@ object Percentiles {
       "fractions must be in (0, 1]")
     require(buckets > 1, "need at least 2 buckets")
   }
+
+  /** The histogram plan's bucketization casts values to double, so its
+    * bucket order must agree with the sort order the rank arithmetic
+    * assumes — true only for numeric values. A string valueCol would
+    * bucket numerically (implicit cast) but min/max/sort
+    * LEXICOGRAPHICALLY: buckets disagree with ranks and the returned
+    * percentile is silently wrong. Reject eagerly.
+    */
+  private def checkValueType(df: DataFrame, valueCol: String): Unit =
+    df.schema(valueCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"valueCol must be numeric for the histogram percentile plan " +
+          s"(bucketization and ordering must agree), got $other — " +
+          "use windowDiscrete for non-numeric orderings")
+    }
 
   /** Step 1 AND the group-count guard in ONE pass: the per-group
     * (min, max, n) aggregate collected with a `limit(max+1)` cap — if

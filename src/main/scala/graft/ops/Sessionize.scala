@@ -38,7 +38,9 @@ object Sessionize {
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, gapMicros: Long): DataFrame = {
     require(gapMicros >= 0, "gapMicros must be non-negative")
-    val reserved = Seq("__sess_us", "__sess_brk")
+    // session_idx is the OUTPUT column — re-sessionizing already
+    // enriched data would otherwise silently clobber it.
+    val reserved = Seq("__sess_brk", "session_idx")
     reserved.foreach(r => require(!df.columns.contains(r),
       s"input must not contain reserved column $r"))
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))

@@ -28,8 +28,18 @@ object SkewJoin {
     require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
         allowed.contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/left_semi join types, got '$joinType'")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "reserved column name collision (__salt)")
+    // The salt must be DETERMINISTIC per row: monotonically_increasing_id
+    // (or rand) changes on stage retry when the left input is itself a
+    // shuffle output — a fetch-failure recompute re-salts rows into
+    // different (key, salt) reduce partitions, duplicating or losing
+    // join rows (the SPARK-23207 class of bug). Hash the full row
+    // content instead: stable across retries; rows identical in every
+    // column share a bucket, which skews only for degenerate
+    // all-duplicate inputs.
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets)))
     val saltedRight = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedLeft

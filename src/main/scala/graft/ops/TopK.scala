@@ -22,8 +22,16 @@ object TopK {
   private type Row3 = (String, Double, Long)
 
   private class TopKAgg(k: Int) extends Aggregator[Row3, Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private val ord = Ordering.by[(Double, Long), (Double, Long)] {
-      case (v, t) => (-v, t)
+    // Descending by value with SPARK's NaN semantics (NaN greater than
+    // every real double — java.lang.Double.compare's total order, the
+    // same one Spark's desc sort uses), ties ascending. A scala
+    // Ordering.by(-v) key would send NaN LAST (−NaN is still NaN) and
+    // silently prune NaN rows the window formulation would rank first.
+    private val ord = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
     }
     private def prune(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       if (b.size <= k) b else b.sorted(ord).take(k)
@@ -38,14 +46,23 @@ object TopK {
     def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
   }
 
-  /** @return (groupCol string, rank 1..k, orderCol value, tieCol value) */
+  /** @return (groupCol string, rank 1..k, orderCol value, tieCol value)
+    *
+    * Rows whose order or tie value is null (or casts to null) are
+    * EXCLUDED — they would crash the primitive-typed buffer encoder,
+    * and "null is never in the top k" is the useful semantics anyway.
+    * This differs from the `row_number` window form (desc ranks nulls
+    * last) only for groups with fewer than k non-null rows.
+    */
   def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(groupCol).cast("string"), col(orderCol).cast("double"),
-      col(tieCol).cast("long")).as[Row3]
+        col(tieCol).cast("long"))
+      .filter(col(orderCol).isNotNull && col(tieCol).isNotNull)
+      .as[Row3]
     ds.groupByKey(_._1)
       .agg(new TopKAgg(k).toColumn.name("top"))
       .flatMap { case (g, top) =>

@@ -92,12 +92,13 @@ object GroupingOps {
   }
   private val diffSql =
     """WITH v_old AS (
-      |  SELECT doc_id, md5(coalesce(text, '') || chr(31) || coalesce(lang, '')) AS fp
+      |  SELECT doc_id,
+      |    md5(md5(coalesce(text, '')) || md5(coalesce(lang, ''))) AS fp
       |  FROM documents WHERE doc_id % 7 <> 0),
       |v_new AS (
       |  SELECT doc_id, md5(
-      |    coalesce(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END, '')
-      |    || chr(31) || coalesce(lang, '')) AS fp
+      |    md5(coalesce(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END, ''))
+      |    || md5(coalesce(lang, ''))) AS fp
       |  FROM documents WHERE doc_id % 5 <> 0)
       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
       |  CASE WHEN o.fp IS NULL THEN 'added'
