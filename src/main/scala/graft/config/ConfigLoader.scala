@@ -179,11 +179,17 @@ object ConfigLoader {
       resolver = Option(pipeline.get("resolver")).map { r =>
         ResolverConfig(
           className = req(r, "class"),
-          cacheSize = Option(r.get("cache_size")).map(_.asInt(100000)).getOrElse(100000),
-          ratePerSec = Option(r.get("rate_limit_per_sec")).map(_.asDouble()),
-          url = Option(r.get("url")).map(_.asText()),
-          user = Option(r.get("user")).map(_.asText()),
-          password = Option(r.get("password")).map(_.asText()))
+          cacheSize = Option(r.get("cache_size")).filterNot(_.isNull)
+            .map(_.asInt(100000)).getOrElse(100000),
+          ratePerSec = Option(r.get("rate_limit_per_sec")).filterNot(_.isNull)
+            .map(_.asDouble()),
+          // text(), not raw asText(): an explicit null would otherwise
+          // become the literal string "null" and reach the HTTP layer
+          // as a URL/credential instead of failing the required-field
+          // validation.
+          url = text(r, "url"),
+          user = text(r, "user"),
+          password = text(r, "password"))
       })
   }
 
@@ -333,15 +339,46 @@ object ConfigLoader {
   def loadAliasCsv(path: String, keyCol: String, aliasCol: String): Map[String, Option[String]] = {
     val lines = Files.readAllLines(Paths.get(path)).asScala.toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty, s"alias csv $path is empty")
-    val header = lines.head.split(",", -1).map(_.trim)
+    val header = splitCsvLine(lines.head)
     val ki = header.indexOf(keyCol)
     val ai = header.indexOf(aliasCol)
     require(ki >= 0 && ai >= 0,
       s"alias csv $path needs columns '$keyCol' and '$aliasCol', has ${header.mkString(", ")}")
-    lines.tail.map { l =>
-      val parts = l.split(",", -1).map(_.trim)
-      parts(ki) -> (parts.lift(ai).filter(_.nonEmpty))
+    lines.tail.zipWithIndex.map { case (l, i) =>
+      val parts = splitCsvLine(l)
+      val key = parts.lift(ki).getOrElse(throw new IllegalArgumentException(
+        s"alias csv $path row ${i + 2}: only ${parts.size} field(s), " +
+          s"key column '$keyCol' is at index ${ki + 1}"))
+      key -> parts.lift(ai).filter(_.nonEmpty)
     }.toMap
+  }
+
+  /** RFC-4180-ish field split: double quotes protect commas, doubled
+    * quotes escape a quote. A naive split(",") would shear a quoted
+    * "Smith, John" key into two wrong fields and silently corrupt the
+    * alias map.
+    */
+  private def splitCsvLine(line: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (inQ) {
+        if (ch == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQ = false
+        } else cur += ch
+      } else ch match {
+        case '"' => inQ = true
+        case ',' => out += cur.result().trim; cur.clear()
+        case c   => cur += c
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.toIndexedSeq
   }
 
   private def resolvePath(base: java.nio.file.Path, p: String): String = {
@@ -357,6 +394,10 @@ object ConfigLoader {
   private def req(n: JsonNode, field: String): String =
     text(n, field).getOrElse(
       throw new IllegalArgumentException(s"config missing required field '$field'"))
+  // filterNot(isNull) like text(): an EXPLICITLY null value
+  // ("has_headers:" with nothing after it) must fall back to the
+  // declared default, not silently become asBoolean's false — which
+  // would flip defaults that are true (header row ingested as data).
   private def bool(n: JsonNode, field: String, default: Boolean): Boolean =
-    Option(n.get(field)).map(_.asBoolean()).getOrElse(default)
+    Option(n.get(field)).filterNot(_.isNull).map(_.asBoolean()).getOrElse(default)
 }

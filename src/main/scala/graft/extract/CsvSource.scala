@@ -52,10 +52,15 @@ object Transpose {
     * the output header names.
     *
     * Spark-native formulation: unpivot (narrow, no shuffle) then a
-    * single pivot aggregation keyed on the source column position.
-    * Clinical tables in this orientation are patient-count wide —
-    * bounded — so the pivot's column set stays small; the row
-    * dimension (fields) is what scales, and that rides the shuffle.
+    * single pivot aggregation. Dimensions, precisely: PATIENTS (the
+    * source columns) become the groupBy rows; FIELDS (the first
+    * column's values) become the pivot's output columns. Field names
+    * are collected driver-side and passed as EXPLICIT pivot values in
+    * their source-row order — they are the output schema, which is
+    * driver-sized by necessity, and the explicit list both skips
+    * pivot's distinct-values job and sidesteps
+    * `spark.sql.pivotMaxValues` (default 10000), which an implicit
+    * pivot would hit on field-rich (assay/variant-level) tables.
     */
   def conditional(df: DataFrame, patientsAreRows: Boolean, hasHeaders: Boolean): DataFrame = {
     if (patientsAreRows) return df
@@ -66,16 +71,20 @@ object Transpose {
         // No header column: synthesize field names from row position.
         return transposeHeaderless(df)
       }
+    // ONE driver-side pass over the field column (it IS the output
+    // schema, so driver-sized by necessity), in source-row order —
+    // serving both the duplicate check and the explicit pivot values.
+    val fieldNames = df.select(col(fieldCol))
+      .withColumn("__rid", monotonically_increasing_id())
+      .orderBy(col("__rid")).select(col(fieldCol))
+      .collect().map(_.get(0))
     // Documented divergence #3, made LOUD: the reference emits
     // duplicate columns when the field column repeats a name
     // (`data_source.rs:37-77`); Spark's pivot would silently collapse
-    // them into one column under `first` — silent data loss. The
-    // check is one small aggregate job on a clinical-sized table (the
-    // default pivot runs a distinct-values job of the same shape
-    // anyway).
-    val dupFields = df.groupBy(col(fieldCol)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).select(col(fieldCol))
-      .limit(5).collect().map(_.get(0)).mkString(", ")
+    // them into one column under `first` — silent data loss.
+    val dupFields = fieldNames.groupBy(identity).collect {
+      case (v, occ) if occ.length > 1 => v
+    }.take(5).mkString(", ")
     require(dupFields.isEmpty, {
       s"transpose: duplicate field name(s) [$dupFields] in first column " +
         s"'$fieldCol' — the reference emits duplicate output columns here " +
@@ -85,7 +94,7 @@ object Transpose {
     val long = df.unpivot(
       Array(col(fieldCol)), valueCols.map(col), "__src_col", "__value")
     val wide = long.groupBy(col("__src_col"))
-      .pivot(fieldCol)
+      .pivot(fieldCol, fieldNames.toSeq)
       .agg(first(col("__value")))
     // Preserve the source column order (one output row per original
     // patient column), then drop the bookkeeping key.

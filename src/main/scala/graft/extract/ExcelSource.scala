@@ -4,7 +4,6 @@ import graft.model.{Cdf, TableContext}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import java.util.zip.ZipFile
 import scala.xml.{Elem, XML}
 
 /** S2/S3 — multi-sheet XLSX extraction (reference
@@ -46,13 +45,30 @@ object ExcelSource {
   }
 
   /** Whole workbook as sheetName → rectangular string grid (null =
-    * empty cell).
+    * empty cell). Local-path convenience over [[readWorkbookBytes]].
     */
-  def readWorkbook(path: String): Map[String, Vector[Vector[String]]] = {
-    val zip = new ZipFile(path)
+  def readWorkbook(path: String): Map[String, Vector[Vector[String]]] =
+    readWorkbookBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      path)
+
+  /** The parse itself, from the workbook's raw bytes — so callers on a
+    * distributed filesystem (the DataSource V2 reader opening HDFS/S3
+    * paths through the Hadoop FileSystem API) can hand over the
+    * stream without this module ever touching local-file IO. Clinical
+    * workbooks are MB-sized; buffering one per task is the contract.
+    */
+  def readWorkbookBytes(bytes: Array[Byte],
+      path: String = "<bytes>"): Map[String, Vector[Vector[String]]] = {
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
+      val entries = scala.collection.mutable.Map.empty[String, Array[Byte]]
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) entries(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
       def entryXml(name: String): Option[Elem] =
-        Option(zip.getEntry(name)).map(e => XML.load(zip.getInputStream(e)))
+        entries.get(name).map(b => XML.load(new java.io.ByteArrayInputStream(b)))
 
       val shared: Vector[String] =
         entryXml("xl/sharedStrings.xml").map { sst =>
@@ -77,7 +93,7 @@ object ExcelSource {
         val sheetXml = entryXml(if (target.startsWith("xl/")) target else s"xl/$target").get
         name -> readSheet(sheetXml, shared, dateStyles)
       }.toMap
-    } finally zip.close()
+    } finally zin.close()
   }
 
   /** Builtin numFmtIds that render as dates/times plus custom formats
@@ -99,13 +115,23 @@ object ExcelSource {
 
   private def readSheet(sheet: Elem, shared: Vector[String],
       dateStyles: Set[Int]): Vector[Vector[String]] = {
-    val cells = for {
-      row <- (sheet \ "sheetData" \ "row").toVector
-      c <- (row \ "c").toVector
-      ref = c \@ "r"
-      v = decodeCell(c, shared, dateStyles)
-      if v != null
-    } yield (rowOf(ref), colOf(ref), v)
+    // The OOXML `r` reference is OPTIONAL on both rows and cells
+    // (several streaming writers omit it): an unreferenced row follows
+    // the previous row, an unreferenced cell follows the previous cell
+    // in its row — positional tracking, not "".toInt crashes.
+    var lastRow = -1
+    val cells = (sheet \ "sheetData" \ "row").toVector.flatMap { row =>
+      val rowIdx = (row \@ "r") match { case "" => lastRow + 1; case s => s.toInt - 1 }
+      lastRow = rowIdx
+      var lastCol = -1
+      (row \ "c").toVector.flatMap { c =>
+        val ref = c \@ "r"
+        val (r, cI) = if (ref.isEmpty) (rowIdx, lastCol + 1) else (rowOf(ref), colOf(ref))
+        lastCol = cI
+        val v = decodeCell(c, shared, dateStyles)
+        if (v == null) None else Some((r, cI, v))
+      }
+    }
     if (cells.isEmpty) return Vector.empty
     val nRows = cells.map(_._1).max + 1
     val nCols = cells.map(_._2).max + 1
@@ -149,13 +175,17 @@ object ExcelSource {
   def serialToDateString(serial: Double): String = {
     val epoch = java.time.LocalDate.of(1899, 12, 30)
     val days = math.floor(serial).toLong
-    val date = epoch.plusDays(days)
     val frac = serial - days
-    if (frac < 1e-9) date.toString
+    if (frac < 1e-9) epoch.plusDays(days).toString
     else {
+      // A fraction an epsilon below 1.0 (routine Excel float noise for
+      // "next day 00:00") rounds to 86400 seconds — that must ADVANCE
+      // the date, not wrap to 00:00 of the same day via % 86400
+      // (silent off-by-one-day on datetime cells).
       val secs = math.round(frac * 86400)
+      val date = epoch.plusDays(days + secs / 86400)
       val time = java.time.LocalTime.ofSecondOfDay(secs % 86400)
-      s"${date}T$time"
+      if (secs % 86400 == 0) date.toString else s"${date}T$time"
     }
   }
 

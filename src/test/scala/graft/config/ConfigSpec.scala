@@ -259,4 +259,45 @@ class ConfigSpec extends SparkSpec {
     assert(ConfigLoader.context(node) ==
       Context.QuantitativeMeasurement("LOINC:8302-2", "UO:0000015"))
   }
+
+  test("alias csv: quoted commas stay in one field; short rows fail with the row number") {
+    val dir = Files.createTempDirectory("graftcfg")
+    val p = write(dir, "a.csv",
+      "k,v\n\"Smith, John\",alias1\nplain,alias2\n")
+    val m = ConfigLoader.loadAliasCsv(p, "k", "v")
+    assert(m === Map("Smith, John" -> Some("alias1"), "plain" -> Some("alias2")))
+
+    val short = write(dir, "b.csv", "a,b,k\nx,y,key1\nx\n")
+    val e = intercept[IllegalArgumentException] {
+      ConfigLoader.loadAliasCsv(short, "k", "b")
+    }
+    assert(e.getMessage.contains("row 3"), e.getMessage)
+  }
+
+  test("explicitly-null config booleans fall back to the declared default") {
+    val dir = Files.createTempDirectory("graftcfg")
+    write(dir, "data.csv", "Patient ID\nP001\n")
+    // "has_headers:" with an empty value parses to YAML null — it must
+    // keep the default (true), not flip to asBoolean's false and
+    // ingest the header row as a patient
+    val cfgPath = write(dir, "config.yaml",
+      s"""data_sources:
+         |  - type: "csv"
+         |    source: "${dir.resolve("data.csv")}"
+         |    has_headers:
+         |    patients_are_rows: true
+         |    series_contexts:
+         |      - identifier: "Patient ID"
+         |        data_context: subject_id
+         |pipeline:
+         |  strategies: []
+         |  loader:
+         |    file_system:
+         |      output_dir: "${dir.resolve("out")}"
+         |  meta_data:
+         |    created_by: "tester"
+         |""".stripMargin)
+    val cfg = ConfigLoader.load(cfgPath)
+    assert(cfg.csvSources.head.hasHeaders === true)
+  }
 }

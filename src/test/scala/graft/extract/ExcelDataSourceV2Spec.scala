@@ -56,6 +56,43 @@ class ExcelDataSourceV2Spec extends SparkSpec {
     assert(values == Set("Yes", "No")) // Living values, not Patient IDs
   }
 
+  test("duplicate header names fail loudly instead of serving the first column twice") {
+    // header [id, v, v], row [1, a, b] — an indexOf-based ordinal map
+    // previously served column 2's data ("a") for BOTH v columns, and
+    // Spark itself cannot bind duplicate attribute names in a V2 scan
+    // schema (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND deep in planning)
+    val dir = Files.createTempDirectory("xlsx_dup_")
+    val path = dir.resolve("dup.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml" Type="w"/></Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c>
+        |  <c r="B1" t="inlineStr"><is><t>v</t></is></c>
+        |  <c r="C1" t="inlineStr"><is><t>v</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>1</t></is></c>
+        |  <c r="B2" t="inlineStr"><is><t>a</t></is></c>
+        |  <c r="C2" t="inlineStr"><is><t>b</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.extract.v2.ExcelDataSourceV2")
+        .option("path", path.toString).option("sheet", "s").load()
+    }
+    assert(e.getMessage.contains("duplicate header name"), e.getMessage)
+  }
+
   test("missing sheet errors with the file name") {
     val e = intercept[Exception] {
       spark.read.format("graft.extract.v2.ExcelDataSourceV2")

@@ -113,5 +113,37 @@ class ExcelSourceSpec extends SparkSpec {
   test("serial date conversion incl. time fraction") {
     assert(ExcelSource.serialToDateString(32888) == "1990-01-15")
     assert(ExcelSource.serialToDateString(32888.5) == "1990-01-15T12:00")
+    // a fraction an epsilon below midnight (Excel float noise for
+    // "next day 00:00") must ADVANCE the date, not wrap to 00:00 of
+    // the same day (silent off-by-one-day)
+    assert(ExcelSource.serialToDateString(32888.9999999999) == "1990-01-16")
+    assert(ExcelSource.serialToDateString(32888.999) == "1990-01-15T23:58:34")
+  }
+
+  test("cells and rows without the optional OOXML r reference position sequentially") {
+    // several streaming writers omit r; previously "".toInt crashed
+    val sheet = scala.xml.XML.loadString(
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |  <row><c t="inlineStr"><is><t>A</t></is></c><c t="inlineStr"><is><t>B</t></is></c></row>
+        |  <row><c t="inlineStr"><is><t>x</t></is></c><c t="inlineStr"><is><t>y</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    // go through the public byte API: wrap in a minimal workbook
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml" Type="w"/></Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml", sheet.toString)
+    zos.close()
+    val grid = ExcelSource.readWorkbookBytes(bos.toByteArray)("s")
+    assert(grid == Vector(Vector("A", "B"), Vector("x", "y")))
   }
 }
