@@ -97,14 +97,18 @@ object Assembler {
           s"patient $subject: expected at most one distinct '$field', got ${distinct.mkString(", ")}")
       distinct.headOption
     }
+    // Distinct by VALUE alone: the time kind annotation is not part of
+    // the cell's identity (TimeParse infers the kind from the string),
+    // so the same value annotated age in one table and date in another
+    // must not raise a spurious "multiple values" error.
     def singleTimed(field: String): Option[TimeElement] =
       indivFacts.filter(f => o(f.field).contains(field))
-        .flatMap(f => o(f.value).map(v => (v, o(f.tkind))))
+        .flatMap(f => o(f.value))
         .distinct match {
-        case Seq()       => None
-        case Seq((v, _)) => Some(timeElement(v))
+        case Seq()  => None
+        case Seq(v) => Some(timeElement(v))
         case many => throw new IllegalStateException(
-          s"patient $subject: multiple values for '$field': ${many.map(_._1).mkString(", ")}")
+          s"patient $subject: multiple values for '$field': ${many.mkString(", ")}")
       }
 
     val sex = single("sex")
@@ -357,8 +361,12 @@ object Assembler {
   */
 object GenomicInterpretations {
 
+  /** One owner of the HGVS shape rule: [[graft.ontology.HgvsResolver.isValidShape]]
+    * — a duplicate regex lookup here would let validation and
+    * resolution drift apart when the shape check tightens.
+    */
   def isValidHgvs(v: String): Boolean =
-    graft.ontology.HgvsResolver.HgvsRe.findFirstIn(v.trim).isDefined
+    graft.ontology.HgvsResolver.isValidShape(v)
 
   def classify(subject: String, genes: Seq[String], variants: Seq[String],
       resolve: (String, String) => OntoClass,
@@ -433,41 +441,89 @@ object GenomicInterpretations {
   * ERROR, exactly like the reference (`transform/utils.rs:34-51`
   * returns None and every builder call site maps that to a
   * ParsingError — junk never rides silently into a packet).
+  *
+  * DATETIMEs are first-class, mirroring the reference's
+  * `try_parse_string_datetime` format list (`constants.rs:12-20`):
+  * `yyyy-MM-dd HH:mm:ss` (space or 'T', optional fractional seconds),
+  * RFC-822 (`Tue, 01 Dec 2020 10:00:00 GMT`), and RFC-3339 with an
+  * offset — a date-only fallback that threw on '2020-03-01T10:00' was
+  * a whole-job crash on any timestamped clinical cell. Naive
+  * datetimes are taken as UTC (the reference's `Utc.from_utc_datetime`).
+  *
+  * All formatters are precompiled (they are immutable/thread-safe):
+  * this runs per time cell inside the assembly fold — rebuilding 10+
+  * DateTimeFormatters per cell is measurable waste at volume.
   */
 object TimeParse {
-  import java.time.LocalDate
-  import java.time.format.DateTimeFormatter
+  import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+  import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+  import java.time.temporal.ChronoField
 
-  private val dateFormats = Seq(
+  private val dateFormatters: Seq[DateTimeFormatter] = Seq(
     "yyyy-MM-dd", "yyyy.MM.dd", "MM/dd/yyyy", "dd-MM-yyyy", "dd.MM.yyyy",
     "yyyy-M-d", "yyyy.M.d", "M/d/yyyy", "d-M-yyyy", "d.M.yyyy")
+    .map(DateTimeFormatter.ofPattern)
+  private val BareYear = "^\\d{4}$".r
+  // "yyyy-MM-dd HH:mm:ss" with a space or 'T' separator and an
+  // optional fractional part — chrono's "%.f" accepts up to nanos.
+  private val dateTimeFormatters: Seq[DateTimeFormatter] = Seq(" ", "'T'").map { sep =>
+    new DateTimeFormatterBuilder()
+      .appendPattern(s"yyyy-MM-dd$sep" + "HH:mm:ss")
+      .optionalStart()
+      .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .optionalEnd()
+      .toFormatter()
+  }
   private val IsoDuration =
     ("^P(?!$)(\\d+Y)?(\\d+M)?(\\d+W)?(\\d+D)?" +
       "(T(?=\\d)(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$").r
 
   def parseDate(v: String): Option[LocalDate] = {
     val s = v.trim
-    if (s.matches("^\\d{4}$")) Some(LocalDate.of(s.toInt, 1, 1))
-    else dateFormats.iterator.flatMap { f =>
-      try Some(LocalDate.parse(s, DateTimeFormatter.ofPattern(f)))
+    if (BareYear.findFirstIn(s).isDefined) Some(LocalDate.of(s.toInt, 1, 1))
+    else dateFormatters.iterator.flatMap { f =>
+      try Some(LocalDate.parse(s, f))
       catch { case _: Exception => None }
     }.nextOption()
   }
 
+  /** The reference's datetime ladder: local patterns → RFC-822 →
+    * RFC-3339-with-offset. Returns the UTC instant.
+    */
+  def parseDateTime(v: String): Option[Instant] = {
+    val s = v.trim
+    val local = dateTimeFormatters.iterator.flatMap { f =>
+      try Some(LocalDateTime.parse(s, f).toInstant(ZoneOffset.UTC))
+      catch { case _: Exception => None }
+    }.nextOption()
+    local
+      .orElse(
+        try Some(java.time.ZonedDateTime
+          .parse(s, DateTimeFormatter.RFC_1123_DATE_TIME).toInstant)
+        catch { case _: Exception => None })
+      .orElse(
+        try Some(java.time.OffsetDateTime.parse(s).toInstant)
+        catch { case _: Exception => None })
+  }
+
+  private def render(i: Instant): String = i.toString
+
   /** RFC-3339 timestamp string for a date/datetime cell, or error
-    * (reference `try_parse_timestamp(...).ok_or(ParsingError)`).
+    * (reference `try_parse_timestamp(...).ok_or(ParsingError)`;
+    * datetime formats tried FIRST, like `utils.rs:22-31`).
     */
   def toTimestampString(v: String): String =
-    parseDate(v).map(d => s"${d}T00:00:00Z").getOrElse(
-      throw new IllegalStateException(s"could not parse timestamp: '$v'"))
+    parseDateTime(v).map(render)
+      .orElse(parseDate(v).map(d => s"${d}T00:00:00Z"))
+      .getOrElse(
+        throw new IllegalStateException(s"could not parse timestamp: '$v'"))
 
   def parse(v: String): TimeElement = {
     val s = v.trim
     if (IsoDuration.findFirstIn(s).isDefined) TimeElement(age = Some(Age(s)))
-    else parseDate(s) match {
-      case Some(d) => TimeElement(timestamp = Some(s"${d}T00:00:00Z"))
-      case None => throw new IllegalStateException(
-        s"could not parse time element: '$s' is neither a date/datetime nor an ISO-8601 duration")
-    }
+    else parseDateTime(s).map(i => TimeElement(timestamp = Some(render(i))))
+      .orElse(parseDate(s).map(d => TimeElement(timestamp = Some(s"${d}T00:00:00Z"))))
+      .getOrElse(throw new IllegalStateException(
+        s"could not parse time element: '$s' is neither a date/datetime nor an ISO-8601 duration"))
   }
 }

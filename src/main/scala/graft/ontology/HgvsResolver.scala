@@ -25,7 +25,7 @@ final case class HgvsResolver(entries: Map[String, ResolvedHgvs]) {
   /** Structural HGVS shape `<reference>:<scheme>.<change>` (reference
     * validates remotely; this is the offline precondition).
     */
-  def isValidShape(v: String): Boolean = HgvsResolver.HgvsRe.findFirstIn(v.trim).isDefined
+  def isValidShape(v: String): Boolean = HgvsResolver.isValidShape(v)
 
   /** Coordinate-scheme letter of an HGVS string → expression syntax tag
     * (`c` → `hgvs.c`, `n` → `hgvs.n`, …).
@@ -49,6 +49,11 @@ final case class HgvsResolver(entries: Map[String, ResolvedHgvs]) {
 object HgvsResolver {
 
   val HgvsRe: scala.util.matching.Regex = "^[A-Za-z][A-Za-z0-9_.]*:[cgmnopr]\\..+$".r
+
+  /** THE shape rule — the instance method and every caller delegate
+    * here so the check can never fork.
+    */
+  def isValidShape(v: String): Boolean = HgvsRe.findFirstIn(v.trim).isDefined
 
   val empty: HgvsResolver = HgvsResolver(Map.empty)
 

@@ -45,7 +45,7 @@ final case class HttpTermResolver(
   def resolveIn(scope: String, value: String): Option[(OntologyClass, Resource)] = {
     val url = s"$baseUrl?scope=${enc(scope)}&query=${enc(value)}"
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    try {
+    locally {
       conn.setRequestMethod("GET")
       conn.setConnectTimeout(connectTimeoutMs)
       conn.setReadTimeout(readTimeoutMs)
@@ -55,20 +55,26 @@ final case class HttpTermResolver(
           s"$u:${password.getOrElse("")}".getBytes("UTF-8"))
         conn.setRequestProperty("Authorization", s"Basic $cred")
       }
+      // Streams are CLOSED (draining first) but the connection is NOT
+      // disconnect()ed: disconnect tears down the socket and defeats
+      // HttpURLConnection keep-alive pooling — with thousands of
+      // distinct terms per executor that would pay a TCP+TLS handshake
+      // per lookup.
       conn.getResponseCode match {
         case 200 =>
-          val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+          val in = conn.getInputStream
+          val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
           Some(parse(body, url))
         case 404 =>
+          Option(conn.getErrorStream).foreach(s => { s.readAllBytes(); s.close() })
           None // authoritative unknown — safe for the cache to memoize
         case other =>
-          // drain the error stream so the connection can be pooled
           Option(conn.getErrorStream).foreach(s => { s.readAllBytes(); s.close() })
           throw new java.io.IOException(
             s"term service returned HTTP $other for $url — transient failures " +
               "must throw, not resolve to unknown (see TermResolver.resolveIn)")
       }
-    } finally conn.disconnect()
+    }
   }
 
   private def parse(body: String, url: String): (OntologyClass, Resource) = {

@@ -80,17 +80,22 @@ final case class CachedResolver(base: TermResolver, maxEntries: Int = 100000)
         size() > maxEntries
     }
 
-  def resolveIn(scope: String, value: String): Option[(OntologyClass, Resource)] =
-    cache.synchronized {
-      val k = (scope, value)
-      val hit = cache.get(k)
-      if (hit != null) hit
-      else {
-        val computed = base.resolveIn(scope, value)
-        cache.put(k, computed)
-        computed
-      }
+  def resolveIn(scope: String, value: String): Option[(OntologyClass, Resource)] = {
+    val k = (scope, value)
+    val hit = cache.synchronized(cache.get(k))
+    if (hit != null) hit
+    else {
+      // Compute OUTSIDE the monitor: the base may rate-limit-sleep and
+      // do network IO — holding the lock there would convoy every
+      // resolution thread on the executor (including pure cache hits)
+      // behind one slow lookup. Concurrent misses of the same key may
+      // duplicate the remote call (both write the same value; last put
+      // wins) — strictly cheaper than the convoy.
+      val computed = base.resolveIn(scope, value)
+      cache.synchronized { cache.put(k, computed); () }
+      computed
     }
+  }
   override def describe: String = s"cached(${base.describe})"
 }
 

@@ -39,7 +39,12 @@ object EventStreams {
   def dedupDocuments(docs: DataFrame, tsCol: String, textCol: String,
       watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("__fp", md5(col(textCol)))
+      // null text has no content fingerprint: md5(null) is null and
+      // dropDuplicates treats null keys as EQUAL, so every later
+      // null-text document would be silently dropped as a "duplicate"
+      // of the first. A per-row uuid makes each such row unique — null
+      // text is never deduped, only fingerprinted content is.
+      .withColumn("__fp", coalesce(md5(col(textCol)), uuid()))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
@@ -101,8 +106,20 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime / 1000
               current match {
+                // CROSS-BATCH late event older than the session's
+                // backward gap reach: it cannot belong to the current
+                // session (and any session it did belong to already
+                // closed) — emit it as its own closed singleton rather
+                // than swallowing it and rewinding state.
+                case Some(s) if t < s.start - gapSeconds =>
+                  closed ::= Session(userId, t, t, 1, e.value)
                 case Some(s) if t - s.lastTs <= gapSeconds =>
-                  current = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                  // min/max guards: a late-but-in-gap event must EXTEND
+                  // the session backward, never rewind lastTs — a bare
+                  // lastTs = t would corrupt end_ts (even end < start)
+                  // and fire the idle timeout gapSeconds too early.
+                  current = Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t), n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, s.start, s.lastTs, s.n, s.sum)
                   current = Some(SessionState(t, t, 1, e.value))

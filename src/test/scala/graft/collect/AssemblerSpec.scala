@@ -157,6 +157,40 @@ class AssemblerSpec extends SparkSpec {
     assert(TimeParse.parse("25.04.1998").timestamp.contains("1998-04-25T00:00:00Z"))
   }
 
+  test("TimeParse handles the reference's datetime formats, not just dates") {
+    // constants.rs DATETIME_FORMATS: space/T separators, fractional
+    // seconds, RFC-822, RFC-3339 — a date-only parser crashed the whole
+    // job on any timestamped clinical cell.
+    assert(TimeParse.toTimestampString("2020-03-01T10:30:05") == "2020-03-01T10:30:05Z")
+    assert(TimeParse.toTimestampString("2020-03-01 10:30:05") == "2020-03-01T10:30:05Z")
+    assert(TimeParse.toTimestampString("2020-03-01 10:30:05.5") == "2020-03-01T10:30:05.500Z")
+    assert(TimeParse.toTimestampString("Tue, 01 Dec 2020 10:00:00 GMT") ==
+      "2020-12-01T10:00:00Z")
+    // RFC-3339 with an offset normalizes to UTC (Utc.from_utc_datetime)
+    assert(TimeParse.toTimestampString("2020-03-01T10:00:00+02:00") ==
+      "2020-03-01T08:00:00Z")
+    assert(TimeParse.parse("2020-03-01T10:30:05").timestamp
+      .contains("2020-03-01T10:30:05Z"))
+    // datetime formats are tried FIRST (utils.rs:22-31): a bare date
+    // still renders midnight
+    assert(TimeParse.toTimestampString("2020-03-01") == "2020-03-01T00:00:00Z")
+  }
+
+  test("same time value under different kind annotations is ONE value, not a conflict") {
+    // timeOfDeath 'P50Y' annotated age in one table and date in
+    // another: the kind is not part of the cell's identity (TimeParse
+    // infers it from the string) — a (value, kind) distinct raised a
+    // spurious \"multiple values for timeOfDeath: P50Y, P50Y\" error.
+    val facts = Seq(
+      fact(0, "t1", 0, "", FactKinds.Individual_)
+        .copy(field = "timeOfDeath", value = "P50Y", tkind = "age"),
+      fact(1, "t2", 0, "", FactKinds.Individual_)
+        .copy(field = "timeOfDeath", value = "P50Y", tkind = "date"))
+    val p = Assembler.assembleOne("P1", facts, lib, cfg)
+    assert(p.subject.vitalStatus.flatMap(_.timeOfDeath).flatMap(_.age).map(_.iso8601duration)
+      .contains("P50Y"))
+  }
+
   test("block-less gene/variant columns produce no interpretation facts") {
     import spark.implicits._
     import graft.model._

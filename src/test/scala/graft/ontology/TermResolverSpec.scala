@@ -108,4 +108,25 @@ class TermResolverSpec extends AnyFunSuite {
     assert(p.phenotypicFeatures.exists(_.`type`.id == "RT:1"))
     assert(p.metaData.resources.exists(_.id == "rt"))
   }
+
+  test("BiDict rejects a normalized label mapping to two different term ids") {
+    // 'Fever' and 'FEVER' collapse to one normalized key — toMap would
+    // silently keep the last entry and resolve('Fever') could return
+    // either term depending on load order
+    val r = Resource("hp", "HPO", "u", "v", "HP", "i")
+    val e = intercept[IllegalArgumentException] {
+      BiDict.fromEntries(r, Seq(
+        ("HP:1", "Fever", Seq.empty), ("HP:2", "FEVER", Seq.empty)))
+    }
+    assert(e.getMessage.contains("conflicting"))
+    val e2 = intercept[IllegalArgumentException] {
+      BiDict.fromEntries(r, Seq(
+        ("HP:1", "Fever", Seq("pyrexia")), ("HP:2", "Chill", Seq("Pyrexia"))))
+    }
+    assert(e2.getMessage.contains("synonym"))
+    // repeats of the SAME mapping are harmless
+    val ok = BiDict.fromEntries(r, Seq(
+      ("HP:1", "Fever", Seq("fever", "febrile")), ("HP:2", "Chill", Seq.empty)))
+    assert(ok.resolve("FEVER").map(_.id).contains("HP:1"))
+  }
 }

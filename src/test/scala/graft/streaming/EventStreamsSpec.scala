@@ -126,4 +126,61 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions(1).getDouble(4) == 5.0)
     } finally query.stop()
   }
+
+  test("sessionize: a cross-batch late event never rewinds the session end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: event at 10:00 (watermark is 1h — still behind)
+      input.addData(Event(ts("2024-01-01 10:00:00"), 1, "a", 1.0))
+      query.processAllAvailable()
+      // batch 2: LATE but within-watermark event at 09:40 — in gap
+      // reach of the session; it must extend the session BACKWARD
+      // (start=09:40) and leave lastTs=10:00 intact. The old
+      // lastTs = t rewound the end to 09:40 and timed out early.
+      input.addData(Event(ts("2024-01-01 09:40:00"), 1, "a", 2.0))
+      query.processAllAvailable()
+      // on-time event at 10:20 — within gap of 10:00, so SAME session
+      input.addData(Event(ts("2024-01-01 10:20:00"), 1, "a", 4.0))
+      query.processAllAvailable()
+      // advance the watermark far ahead to flush the session
+      input.addData(Event(ts("2024-01-01 15:00:00"), 2, "b", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(ts("2024-01-01 20:00:00"), 2, "b", 0.0))
+      query.processAllAvailable()
+
+      val s = spark.sql("select * from sessions_late where user_id = 1").collect()
+      assert(s.length == 1, s"one merged session expected, got ${s.length}")
+      assert(s(0).getLong(1) == ts("2024-01-01 09:40:00").getTime / 1000) // start
+      assert(s(0).getLong(2) == ts("2024-01-01 10:20:00").getTime / 1000) // end
+      assert(s(0).getInt(3) == 3 && s(0).getDouble(4) == 7.0)
+    } finally query.stop()
+  }
+
+  test("dedupDocuments: null-text documents are never deduped against each other") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val query = EventStreams.dedupDocuments(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("dedup_nulls")
+      .outputMode("append").start()
+    try {
+      // md5(null) is null and null keys compare equal in
+      // dropDuplicates — doc 2 and 3 would have been silently dropped
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, null.asInstanceOf[String]),
+        (ts("2024-01-01 00:01:00"), 2L, null.asInstanceOf[String]),
+        (ts("2024-01-01 00:02:00"), 3L, null.asInstanceOf[String]),
+        (ts("2024-01-01 00:03:00"), 4L, "alpha"),
+        (ts("2024-01-01 00:04:00"), 5L, "alpha"))
+      query.processAllAvailable()
+      val kept = spark.sql("select doc_id from dedup_nulls").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 3L, 4L), s"kept $kept")
+    } finally query.stop()
+  }
 }
