@@ -17,9 +17,14 @@ import org.apache.spark.sql.types._
   */
 object Casts {
 
-  /** P1: trim every string; whitespace-only / empty becomes null. */
+  /** P1: trim every string; whitespace-only / empty becomes null.
+    * JAVA trim (all chars <= U+0020), NOT Spark's `trim`, which strips
+    * only ASCII space: a cell containing "\t" must become null, and
+    * "2020-01-01\t" must lose its tab before the date-format cascade
+    * (the reference's Rust `str::trim` strips whitespace generally).
+    */
   def trimEmptyToNull(c: Column): Column = {
-    val t = trim(c)
+    val t = regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
     when(t === lit(""), lit(null).cast(StringType)).otherwise(t)
   }
 
@@ -82,9 +87,13 @@ object Casts {
     val direct = c.cast(StringType).try_cast(LongType)
     val d = c.cast(StringType).try_cast(DoubleType)
     val maxExact = 9007199254740992.0 // 2^53
+    // STRICT <: a parsed double equal to 2^53 is ambiguous — the
+    // source string may have been 2^53+1 (unrepresentable, rounds down
+    // to exactly 2^53), so accepting the boundary yields a silently
+    // off-by-one long. Only the open interval is provably exact.
     coalesce(
       direct,
-      when(d.isNotNull && d === floor(d) && abs(d) <= maxExact,
+      when(d.isNotNull && d === floor(d) && abs(d) < maxExact,
         d.cast(LongType)))
   }
 
@@ -161,13 +170,22 @@ object Casts {
     df.withColumn(name, casted)
   }
 
+  /** ONE owner of the whole-number-and-in-long-range violation
+    * predicate (shared with `Preprocessor.ensureInts` — the boundary
+    * rule must not fork). The upper bound is `>=`: Long.MaxValue
+    * rounds UP to 2^63 as a double, which is NOT a representable long,
+    * so a `>` guard would admit exactly 2^63 and the cast would
+    * silently clamp it to Long.MaxValue.
+    */
+  def wholeNumberViolation(c: Column): Column =
+    c =!= floor(c) || c >= 9.223372036854776E18 /* 2^63 */ ||
+      c < Long.MinValue.toDouble
+
   /** P2: is the whole double column integral and in long range?
     * (reference `casting.rs:206-219`) */
   def allWholeNumbers(df: DataFrame, name: String): Boolean = {
-    val c = col(name)
     val row = df.agg(
-      count(when(c =!= floor(c) || c > Long.MaxValue.toDouble ||
-                 c < Long.MinValue.toDouble, 1)).as("bad")).head()
+      count(when(wholeNumberViolation(col(name)), 1)).as("bad")).head()
     row.getLong(0) == 0L
   }
 }

@@ -44,7 +44,13 @@ object Preprocessor {
       case (c, sc) if sc.fillMissing.isDefined => c -> sc.fillMissing.get
     }
     fills.foldLeft(df) { case (acc, (c, v)) =>
-      acc.withColumn(c, coalesce(col(c), lit(v)))
+      // Cast the fill literal to the COLUMN's type: bare
+      // coalesce(col, lit(string)) string-promotes numeric columns
+      // (changing what re-inference later elects) and fails analysis
+      // outright on booleans. The fill value is trimmed first — it is
+      // injected AFTER trimStrings, which must not be undone.
+      val dt = acc.schema(c).dataType
+      acc.withColumn(c, coalesce(col(c), lit(v.trim).try_cast(dt)))
     }
   }
 
@@ -70,9 +76,7 @@ object Preprocessor {
       if (floatCols.isEmpty) Seq.empty
       else {
         val aggs = floatCols.map { n =>
-          val c = col(n)
-          count(when(c =!= floor(c) || c > Long.MaxValue.toDouble ||
-            c < Long.MinValue.toDouble, 1)).as(s"__bad_$n")
+          count(when(Casts.wholeNumberViolation(col(n)), 1)).as(s"__bad_$n")
         }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         floatCols.zipWithIndex.collect { case (n, i) if row.getLong(i) == 0L => n }

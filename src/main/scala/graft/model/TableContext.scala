@@ -61,8 +61,11 @@ object OutputDataType {
 
 /** Value substitution map for one series: raw cell value → alias
   * (None = map to null), plus the type the column should be cast to
-  * afterwards. Keys and values are trimmed on construction (reference
-  * `table_context.rs:249-270`).
+  * afterwards. Trimming is NOT automatic: call [[normalized]] after
+  * construction (ConfigLoader and AliasMapStrategy both do) — the
+  * reference trims on construction (`table_context.rs:249-270`), so a
+  * directly-built map with a padded key like "yes " will silently
+  * never match trimmed cells until normalized.
   */
 final case class AliasMap(
     entries: Map[String, Option[String]],

@@ -87,10 +87,16 @@ object Binning {
     // it is broadcast back for row-local assignment), so the guard is
     // structural here: raise `maxDriverGroups` deliberately for more
     // groups (sized against your driver), don't expect a fallback.
-    val boundsPlan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs,
-      maxDriverGroups = maxDriverGroups)
-    val bounds = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(boundsPlan.collect(): _*), boundsPlan.schema)
+    // Validation/collect failures must unpersist (no handle has been
+    // returned yet, so nothing else ever could) — the labeledPartition
+    // guard, applied to the same hazard here.
+    val bounds =
+      try {
+        val boundsPlan = Percentiles.exactDiscrete(input, groupCol, valueCol, ties, qs,
+          maxDriverGroups = maxDriverGroups)
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(boundsPlan.collect(): _*), boundsPlan.schema)
+      } catch { case e: Throwable => input.unpersist(); throw e }
     val binExpr = qs.map { case (q, _) =>
       when(col(valueCol) > col(q), 1L).otherwise(0L)
     }.reduce(_ + _)

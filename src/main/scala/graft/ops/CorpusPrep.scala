@@ -26,9 +26,10 @@ import graft.functions.GraftExtensions.{lower_root => lowerRoot}
   */
 object CorpusPrep {
 
+  // Empty tokens FILTERED — see Dedup.tokens: the naive split keeps
+  // leading/trailing empties for non-space whitespace.
   private def toks(c: Column): Column =
-    when(trim(c) === "", array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+    filter(split(c, "\\s+"), t => t =!= "")
 
   val enMarkers: Seq[String] = Seq("the", "a", "of", "and")
   val deMarkers: Seq[String] = Seq("der", "und", "die", "das")

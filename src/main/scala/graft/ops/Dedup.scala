@@ -23,10 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens of a trimmed text column. */
+  /** Whitespace tokens of a text column — empty tokens FILTERED.
+    *
+    * The naive `split(trim(text), "\\s+")` emits phantom "" tokens for
+    * leading/trailing non-space whitespace: Spark's `trim` strips only
+    * ASCII spaces and `split` keeps leading AND trailing empty strings
+    * (limit -1) — so "foo bar\n" tokenized ["foo","bar",""], making an
+    * exact duplicate that differs by a trailing newline (routine in
+    * real corpora) miss every Jaccard/minhash path and injecting
+    * md5("") into nearly every signature. Null text stays null.
+    *
+    * The lambda filter is interpreted, not codegen'd — fine for the
+    * array-shaped consumers; the hot exploded path ([[shingleRows]])
+    * filters rows after posexplode instead, staying in codegen.
+    */
   def tokens(text: Column): Column =
-    when(trim(text) === "", array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Distinct word n-gram shingle ROWS: (id, g). The workhorse layout —
     * codegen-friendly (posexplode + window lead + concat), and every
@@ -36,8 +48,14 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1 && n <= 8, "shingle width out of range")
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // posexplode the RAW split and drop empties as a row filter — same
+    // tokens as [[tokens]] but fully codegen'd (the lambda form is
+    // interpreted); position gaps are harmless, the window orders by
+    // pos, adjacency comes from lead().
     val toks = df
-      .select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "t")))
+      .filter(col("t") =!= "")
     val withLeads = (1 until n).foldLeft(toks) { (acc, i) =>
       acc.withColumn(s"t$i", lead(col("t"), i).over(byDoc))
     }
@@ -87,10 +105,14 @@ object Dedup {
   }
 
   /** Exact dedup: digest-groupBy; keeps the smallest id per text group.
-    * Returns (fp, keeper_id, n_dupes).
+    * Returns (fp, keeper_id, n_dupes). NULL text is excluded — md5(null)
+    * is null and grouping it would collapse every extraction-failure
+    * document into one bogus "duplicate" group whose keeper silently
+    * drops the rest (the same rule [[incremental]] documents).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("fp"))
+    df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dupes"))
 
   /** A chosen LSH banding: `bands × rowsPerBand` hashes, with the
@@ -205,7 +227,7 @@ object Dedup {
     val buckets = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .observe("dedup_lsh_buckets",
+      .observe(s"dedup_lsh_buckets_${ObsId.next()}",
         sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
         max(size(col("ids"))).as("max_bucket"))
       .filter(size(col("ids")) <= maxBucket)
@@ -301,14 +323,19 @@ object Dedup {
     // stages under BOTH sorts; executable proof in VolumeStressSpec's
     // bigram case) — so residual per-gram fan-out is bounded by
     // maxGramDocs, not by a reactive re-plan.
-    val gramDf = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    // ONE observed gram-count aggregate serves BOTH the surviving-gram
+    // df table and the over-cap hot list below — a separate aggregate
+    // for the hot list would re-shuffle the corpus-scale gram rows a
+    // second time (Spark's exchange reuse dedupes identical subplans;
+    // duplicate metric names are only rejected across DIFFERENT plans).
+    val gramCounts = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
       // unique per call: a fixed name would bar two prefix joins from
       // composing in one query plan (duplicate CollectMetrics)
       .observe(s"jaccard_prefix_grams_${ObsId.next()}",
         sum(when(col("__df") > maxGramDocs, 1L).otherwise(0L))
           .as("dropped_grams"),
         max(col("__df")).as("max_gram_docs"))
-      .filter(col("__df") <= maxGramDocs)
+    val gramDf = gramCounts.filter(col("__df") <= maxGramDocs)
     // Set size |S| counts ALL grams (pre-cap — it is the true Jaccard
     // denominator), as its own map-side-combined aggregate joined back
     // on id (the join's id exchange is then reused by the rank window).
@@ -321,8 +348,7 @@ object Dedup {
     val shKept =
       if (maxGramDocs == Int.MaxValue) sh
       else sh.join(
-        broadcast(sh.groupBy(col("g")).agg(count(lit(1)).as("__hf"))
-          .filter(col("__hf") > maxGramDocs).select(col("g"))),
+        broadcast(gramCounts.filter(col("__df") > maxGramDocs).select(col("g"))),
         Seq("g"), "left_anti")
     // The rarity rank runs over surviving grams only. With the cap off
     // (the default) that is the full set — identical to before. With a
@@ -776,9 +802,10 @@ object Dedup {
     * its surviving paragraphs in original order (empty string when
     * every paragraph was removed).
     *
-    * Scale shape: one shuffle keyed by the paragraph (window
-    * first-occurrence), one keyed by doc id (reassembly) — paragraph
-    * bodies ride each shuffle once; no driver-side state.
+    * Scale shape: one shuffle keyed by the paragraph DIGEST
+    * (map-side-combined min aggregate — a boilerplate paragraph ships
+    * one row per input partition, never a per-occurrence funnel), one
+    * keyed by doc id (reassembly); no driver-side state.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
@@ -786,10 +813,20 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
-    val w = Window.partitionBy(col("para")).orderBy(col("id"), col("pos"))
+    // First occurrence via a digest-keyed AGGREGATE, not a window: a
+    // window partitioned by the paragraph would funnel every
+    // occurrence of a corpus-wide boilerplate paragraph (this op's
+    // primary target) — with full bodies as the shuffle key — into one
+    // unsplittable straggler task. min(struct(id, pos, para)) picks
+    // the same smallest-(id, pos) winner but MAP-SIDE COMBINES: the
+    // hot digest ships one row per input partition, 16-byte key, and
+    // the body rides inside the min struct. (md5 collisions are the
+    // same risk every digest-keyed dedup here accepts.)
     val kept = paras
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(md5(col("para")).as("__fp"))
+      .agg(min(struct(col("id"), col("pos"), col("para"))).as("__first"))
+      .select(col("__first.id").as("id"), col("__first.pos").as("pos"),
+        col("__first.para").as("para"))
     val reassembled = kept
       .groupBy(col("id"))
       .agg(concat_ws(sep,
@@ -914,7 +951,7 @@ object Dedup {
         .as(Seq("band_id", "band_hash")))
     val sizes = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("__bsz"))
-      .observe("dedup_artifact_buckets",
+      .observe(s"dedup_artifact_buckets_${ObsId.next()}",
         sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
         max(col("__bsz")).as("max_bucket"))
     banded.join(sizes.filter(col("__bsz") <= maxBucket),
@@ -981,7 +1018,7 @@ object Dedup {
         .as(Seq("band_id", "band_hash")))
     val shardSizes = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("__bsz"))
-      .observe("dedup_shard_buckets",
+      .observe(s"dedup_shard_buckets_${ObsId.next()}",
         sum(when(col("__bsz") > maxShardBucket, 1L).otherwise(0L)).as("dropped_buckets"),
         max(col("__bsz")).as("max_bucket"))
     val capped = banded.join(shardSizes.filter(col("__bsz") <= maxShardBucket),

@@ -77,16 +77,6 @@ object Dsir {
     uni.unionByName(bi)
   }
 
-  /** (id, bucket, cnt) hashed-feature counts per document. */
-  def featureCounts(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    featureOccurrences(df, idCol, textCol)
-      .select(col(idCol), bucketOf(col("__term"), buckets).as("bucket"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-  }
-
   /** Per-document exact integer importance score: `milli_weight` =
     * Σ over feature OCCURRENCES of the bucket's milli-nat weight
     * (buckets absent from the map weigh 0). Documents with no

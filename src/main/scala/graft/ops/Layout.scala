@@ -51,10 +51,14 @@ object Layout {
     * One coalesce-write (sized from the dataset's actual on-disk
     * bytes) restores healthy splits.
     *
-    * `coalesce`, not `repartition`: target counts are ≤ current file
-    * counts in the compaction regime, so the write needs NO shuffle —
-    * each output task concatenates a handful of input files. Returns
-    * the file count written.
+    * `coalesce` when shrinking (the compaction regime — NO shuffle,
+    * each output task concatenates a handful of input files);
+    * `repartition` when the computed target EXCEEDS the scan's
+    * partition count (e.g. `targetBytes` below
+    * `spark.sql.files.maxPartitionBytes`) — coalesce cannot increase
+    * partitions, so it would silently write fewer, larger files than
+    * requested while this method reported the larger number. Returns
+    * the file count actually written.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 256L << 20): Int = {
@@ -64,8 +68,12 @@ object Layout {
     val totalBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(inPath)).getLength
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath).coalesce(files)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val src = spark.read.parquet(inPath)
+    val scanParts = src.rdd.getNumPartitions
+    val sized =
+      if (files <= scanParts) src.coalesce(files)
+      else src.repartition(files)
+    sized.write.mode(SaveMode.Overwrite).parquet(outPath)
     files
   }
 }

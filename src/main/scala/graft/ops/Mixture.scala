@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   * epoch). Sources absent from `weights` fall back to
   * `defaultWeight` (0 = drop).
   *
-  * Scale shape: NO shuffle at all. The epoch fan-out is a row-local
-  * `explode(sequence(...))` bounded by ceil(w) and the draw is a
-  * codegen'd filter, so mixing streams straight off the scan — the
-  * output can feed a sink or downstream shuffle without an exchange of
-  * its own. Row multiplication is exactly the requested oversampling,
-  * never more.
+  * Scale shape: NO data shuffle. Weights ride one broadcast (the
+  * per-source table is driver-sized by contract), the epoch fan-out is
+  * a row-local `explode(sequence(...))` bounded by ceil(w) and the
+  * draw is a codegen'd filter, so mixing streams straight off the
+  * scan — the output can feed a sink or downstream shuffle without an
+  * exchange of its own. Row multiplication is exactly the requested
+  * oversampling, never more.
   */
 object Mixture {
 
@@ -42,26 +43,39 @@ object Mixture {
     require(weights.nonEmpty, "need at least one source weight")
     (weights.values ++ Seq(defaultWeight)).foreach(w =>
       require(w >= 0.0, s"weights must be >= 0, got $w"))
-    require(!df.columns.exists(Set("__w", "__cut", "epoch")),
-      "reserved column name collision (__w / __cut / epoch)")
+    val reserved = Set("__w", "__cut", "epoch", "__mx_src", "__mx_w", "__mx_cut")
+    require(!df.columns.exists(reserved),
+      s"reserved column name collision (${reserved.mkString(", ")})")
 
     // Per-source plan, computed driver-side (weights ARE driver-side):
     // floor(w) full epochs plus a boundary epoch drawn at the
     // fractional remainder via the engine-portable md5 threshold
     // ([[Sampling.hexThreshold]]; remainder 0 → cut "00000000", below
     // every md5 digest, so whole-number weights drop the boundary).
-    def bySource(f: Double => Any): org.apache.spark.sql.Column =
-      weights.toSeq.sortBy(_._1).foldLeft(lit(f(defaultWeight))) {
-        case (acc, (src, w)) => when(col(sourceCol) === src, lit(f(w))).otherwise(acc)
-      }
-    val floorW = bySource(w => math.floor(w).toLong)
-    val fracCut = bySource(w => Sampling.hexThreshold(w - math.floor(w)))
-    df.withColumn("__w", floorW)
-      .withColumn("__cut", fracCut)
+    // The plan rides a BROADCAST of the weights table, not a
+    // when()-chain: temperatureMix legitimately passes up to maxGroups
+    // (10k) entries, and a 10k-deep nested CaseWhen overflows the
+    // driver stack in Catalyst's tree visitors (and blows the 64KB
+    // JVM method limit far earlier).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.sortBy(_._1).map { case (s, w) =>
+      (s, math.floor(w).toLong, Sampling.hexThreshold(w - math.floor(w)))
+    }.toDF("__mx_src", "__mx_w", "__mx_cut"))
+    val dFloor = math.floor(defaultWeight).toLong
+    val dCut = Sampling.hexThreshold(defaultWeight - math.floor(defaultWeight))
+    // Null keys share ONE deterministic draw per epoch (md5 of the
+    // empty key) instead of a null predicate silently dropping them
+    // from fractional epochs only.
+    val keyStr = coalesce(col(keyCol).cast("string"), lit(""))
+    df.join(wdf, col(sourceCol) === col("__mx_src"), "left")
+      .withColumn("__w", coalesce(col("__mx_w"), lit(dFloor)))
+      .withColumn("__cut", coalesce(col("__mx_cut"), lit(dCut)))
+      .drop("__mx_src", "__mx_w", "__mx_cut")
       .filter(col("__w") > 0 || col("__cut") > "00000000")
       .withColumn("epoch", explode(sequence(lit(0L), col("__w"))))
       .filter(col("epoch") < col("__w") ||
-        md5(concat(col(keyCol).cast("string"), lit(":"), col("epoch").cast("string")))
+        md5(concat(keyStr, lit(":"), col("epoch").cast("string")))
           < col("__cut"))
       .drop("__w", "__cut")
   }

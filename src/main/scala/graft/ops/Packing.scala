@@ -44,11 +44,25 @@ object Packing {
     require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"idCol must be numeric for sharding, got ${docs.schema(idCol).dataType}; " +
         "hash string ids to a numeric column first")
+    // Token counts must be integral (a double prefix sum loses
+    // exactness) and non-negative (a negative count makes the running
+    // sum non-monotone, silently assigning a later document to an
+    // EARLIER pack so one pack overflows the budget) — the TokenBudget
+    // monotonicity contract, enforced per row in codegen.
+    require(docs.schema(tokenCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"tokenCol must be an integral type, got ${docs.schema(tokenCol).dataType}")
+    val tok = when(col(tokenCol) < 0, raise_error(concat(
+        lit("packSequences: negative token count "), col(tokenCol).cast("string"),
+        lit(" — running pack sums must be monotone"))))
+      .otherwise(col(tokenCol))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("shard", pmod(col(idCol), lit(shards)).cast("long"))
       .withColumn("pack",
-        floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+        floor(coalesce(sum(tok).over(w), lit(0L)) / budget))
   }
 }

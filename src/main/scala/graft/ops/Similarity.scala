@@ -316,7 +316,7 @@ object Similarity {
       posexplode(array(buckets.map(f => f(col("__v"))): _*)).as(Seq("__t", "__bk")))
     val sizes = banded.groupBy(col("__t"), col("__bk"))
       .agg(count(lit(1)).as("__bsz"))
-      .observe("embedding_lsh_buckets",
+      .observe(s"embedding_lsh_buckets_${ObsId.next()}",
         sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
         max(col("__bsz")).as("max_bucket"))
     val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket),
@@ -401,7 +401,7 @@ object Similarity {
       .withColumn("__nv", norm(col("__v")))
       .filter(col("__nv") > 0)
     val sizes = e.groupBy(col("__c")).agg(count(lit(1)).as("__csize"))
-      .observe("semantic_dedup_clusters",
+      .observe(s"semantic_dedup_clusters_${ObsId.next()}",
         sum(when(col("__csize") > maxCluster, 1L).otherwise(0L)).as("skipped_clusters"),
         max(col("__csize")).as("max_cluster"))
       .filter(col("__csize") <= maxCluster)

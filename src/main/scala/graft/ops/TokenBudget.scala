@@ -98,15 +98,22 @@ object TokenBudget {
     // assumes monotone running sums, so a negative weight must fail
     // loudly HERE (it would silently misclassify its slice as full or
     // dropped), and the guard costs no extra scan.
-    val sliceRows = inScope
-      .groupBy(col(groupCol), col("__tb_slice"))
-      .agg(sum(col("__tb_w")).as("__tb_sum"), min(col("__tb_w")).as("__tb_min"))
-      .collect()
-    sliceRows.find(_.getLong(3) < 0).foreach { r =>
-      throw new IllegalArgumentException(
-        s"negative weight (min ${r.getLong(3)}) in group '${r.getString(0)}' — " +
-          "token budgets need non-negative weights (running sums must be monotone)")
-    }
+    // Collect + validation failures must unpersist (no cleanup handle
+    // has been returned yet, so nothing else ever could — the
+    // Binning.labeledPartition guard).
+    val sliceRows =
+      try {
+        val rows = inScope
+          .groupBy(col(groupCol), col("__tb_slice"))
+          .agg(sum(col("__tb_w")).as("__tb_sum"), min(col("__tb_w")).as("__tb_min"))
+          .collect()
+        rows.find(_.getLong(3) < 0).foreach { r =>
+          throw new IllegalArgumentException(
+            s"negative weight (min ${r.getLong(3)}) in group '${r.getString(0)}' — " +
+              "token budgets need non-negative weights (running sums must be monotone)")
+        }
+        rows
+      } catch { case e: Throwable => inScope.unpersist(); throw e }
     val sliceSums: Map[(String, Int), Long] = sliceRows
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
       .toMap

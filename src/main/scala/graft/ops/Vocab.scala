@@ -61,7 +61,7 @@ object Vocab {
       .select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "token")))
       .filter(col("token") =!= "")
-    toks
+    val encoded = toks
       .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
       .withColumn("token_id", coalesce(col("token_id"), lit(unkId)))
       .groupBy(col(idCol))
@@ -70,6 +70,15 @@ object Vocab {
           s => s.getField("token_id")).as("token_ids"),
         count(lit(1)).as("n_tokens"),
         sum(when(col("token_id") === unkId, 1L).otherwise(0L)).as("n_unk"))
+    // EVERY input document gets an output row: the exploded groupBy
+    // produces nothing for empty/whitespace/null text, which would
+    // silently lose those documents from downstream packing/accounting
+    // — they carry ([], 0, 0) instead.
+    df.select(col(idCol)).join(encoded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<bigint>")).as("token_ids"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
   }
 
   /** Per-document OOV audit against a built vocabulary: token count,
@@ -82,7 +91,7 @@ object Vocab {
     val toks = df
       .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
-    toks
+    val stats = toks
       .join(broadcast(vocab.select(col("token"), lit(1).as("__in_vocab"))),
         Seq("token"), "left")
       .groupBy(col(idCol))
@@ -90,5 +99,12 @@ object Vocab {
         sum(coalesce(col("__in_vocab"), lit(0))).as("n_in_vocab"))
       .withColumn("oov_rate",
         round((col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"), 4))
+    // Token-less documents keep a row (n_tokens 0, oov_rate null) —
+    // see [[encode]]: coverage accounting must not lose documents.
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        col("oov_rate"))
   }
 }

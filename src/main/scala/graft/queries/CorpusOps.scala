@@ -30,7 +30,7 @@ object CorpusOps {
     val values = weights.map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
     s"""WITH w(tok, mw) AS (VALUES $values),
        |toks AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
        |  FROM documents WHERE trim(text) <> ''),
        |s AS (
        |  SELECT doc_id, sum(mw) AS sw FROM toks JOIN w ON toks.tok = w.tok
@@ -88,7 +88,7 @@ object CorpusOps {
       .mkString("\n       |        + ")
     s"""WITH s AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws,
+       |    list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), w -> w <> '') AS ws,
        |    CAST(coalesce(len(text) - len(replace(text, '#', '')), 0) AS BIGINT)
        |      + CAST(coalesce((len(text) - len(replace(text, '...', ''))) / 3, 0) AS BIGINT)
        |      AS symbol_hits
@@ -212,7 +212,7 @@ object CorpusOps {
        |t AS (
        |  SELECT doc_id,
        |    CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
-       |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+       |         ELSE list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') END AS ts
        |  FROM documents),
        |f AS (
        |  SELECT doc_id,
@@ -256,7 +256,7 @@ object CorpusOps {
       .mkString("\n       |        + ")
     s"""WITH gs AS (
        |  SELECT doc_id, text,
-       |    list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS ws,
+       |    list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), w -> w <> '') AS ws,
        |    CAST(coalesce(len(text) - len(replace(text, '#', '')), 0) AS BIGINT)
        |      + CAST(coalesce((len(text) - len(replace(text, '...', ''))) / 3, 0) AS BIGINT)
        |      AS symbol_hits
@@ -301,7 +301,7 @@ object CorpusOps {
        |t AS (
        |  SELECT doc_id,
        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
-       |         ELSE string_split_regex(trim(text), '\\s+') END AS ts
+       |         ELSE list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') END AS ts
        |  FROM c4c),
        |tok AS (SELECT doc_id, r.p - 1 AS pos, ts[r.p] AS tok
        |        FROM t, unnest(range(1, len(ts) + 1)) AS r(p)),
@@ -334,7 +334,7 @@ object CorpusOps {
     """WITH t AS (
       |  SELECT doc_id,
       |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
-      |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+      |         ELSE list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') END AS ts
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, r.p - 1 AS pos,

@@ -19,7 +19,7 @@ object DedupOps {
     Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
   private val exactSql =
     """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dupes
-      |FROM documents GROUP BY md5(text)""".stripMargin
+      |FROM documents WHERE text IS NOT NULL GROUP BY md5(text)""".stripMargin
 
   // Exact word-3-gram Jaccard on the src0 subset at a LOW threshold —
   // runs through the one-pass co-occurrence count path (the truly
@@ -50,7 +50,7 @@ object DedupOps {
       |  SELECT doc_id + 10000000, text || ' graft dup marker' FROM documents
       |  WHERE source = 'src0' AND doc_id % 5 = 0),
       |docs AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
       |  FROM raw WHERE trim(text) <> ''),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
@@ -88,7 +88,7 @@ object DedupOps {
     */
   private def quadraticJaccardSql(threshold: Double): String =
     s"""WITH docs AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
@@ -205,7 +205,7 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   private val minhashSql =
     s"""WITH docs AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |shl AS (
       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
@@ -255,7 +255,7 @@ object DedupOps {
         col("simhash").bitwiseAND(lit(0xFFFFFFFFL)).as("simhash_lo"))
   private val simhashSql =
     """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok
       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
       |h AS (
       |  SELECT doc_id,
@@ -379,7 +379,7 @@ object DedupOps {
   }
   private val decontaminateSql =
     """WITH d AS (
-      |  SELECT doc_id, source, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  SELECT doc_id, source, lang, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |sh AS (
       |  SELECT doc_id, source,
@@ -404,7 +404,7 @@ object DedupOps {
   }
   private val contaminationSql =
     """WITH d AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |sh AS (
       |  SELECT doc_id, source,
@@ -495,7 +495,7 @@ object DedupOps {
   }
   private val incrementalNearSql =
     s"""WITH docs AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |shl AS (
       |  SELECT doc_id, source, list_distinct(list_transform(range(len(toks) - 2),
@@ -549,7 +549,7 @@ object DedupOps {
     """WITH t AS (
       |  SELECT doc_id,
       |    CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
-      |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+      |         ELSE list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') END AS ts
       |  FROM documents),
       |tok AS (
       |  SELECT doc_id, r.p - 1 AS pos, ts[r.p] AS tok

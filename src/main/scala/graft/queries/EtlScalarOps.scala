@@ -21,10 +21,15 @@ object EtlScalarOps {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), Casts.trimEmptyToNull(dirty).as("source_clean"))
   }
+  // Java-trim replay (all chars <= U+0020), matching Casts.trimEmptyToNull —
+  // DuckDB's trim() strips only spaces, which would diverge on tab/CR
+  // padding.
   private val p1Sql =
     """SELECT doc_id,
-      |  nullif(trim(CASE WHEN doc_id % 5 = 0 THEN '   '
-      |                   ELSE '  ' || source || ' ' END), '') AS source_clean
+      |  nullif(regexp_replace(CASE WHEN doc_id % 5 = 0 THEN '   '
+      |                             ELSE '  ' || source || ' ' END,
+      |                        '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g'), '')
+      |    AS source_clean
       |FROM documents""".stripMargin
 
   // P2 — ensure_ints: whole-valued double column → BIGINT after an

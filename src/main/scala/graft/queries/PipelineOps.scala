@@ -36,7 +36,7 @@ object PipelineOps {
       |scored AS (
       |  SELECT doc_id, text, source,
       |    CASE WHEN trim(text) = '' THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) END AS n_tok,
       |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
       |        t -> t IN ('the','a','of','and'))) AS s_en,
       |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -14,9 +14,10 @@ import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 object TextOps {
   import Catalog.{Entry, Q}
 
+  // Empty tokens FILTERED — see Dedup.tokens: the naive split keeps
+  // leading/trailing empties for non-space whitespace.
   private def tokens(c: Column): Column =
-    when(trim(c) === "", array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+    filter(split(c, "\\s+"), t => t =!= "")
 
   // Whitespace token count + BPE-ish regex token count
   // (letter-runs / digit-runs / single non-space symbols).
@@ -29,7 +30,7 @@ object TextOps {
   private val tokCountSql =
     """SELECT doc_id,
       |  CASE WHEN trim(text) = '' THEN 0
-      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+      |       ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) END AS n_ws_tokens,
       |  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_re_tokens
       |FROM documents""".stripMargin
 
@@ -52,14 +53,14 @@ object TextOps {
   private val qualitySql =
     """SELECT doc_id, length(text) AS n_chars_actual,
       |  CASE WHEN trim(text) = '' THEN 0
-      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |       ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) END AS n_tokens,
       |  round(CASE WHEN trim(text) = '' THEN 0.0
       |    ELSE CAST(len(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE)
-      |         / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS mean_tok_len,
+      |         / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) END, 4) AS mean_tok_len,
       |  round(CASE WHEN trim(text) = '' THEN 0.0
-      |    ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
       |           t -> t IN ('the','a','of','and'))) AS DOUBLE)
-      |         / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS stopword_ratio
+      |         / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) END, 4) AS stopword_ratio
       |FROM documents""".stripMargin
 
   // Language-ID heuristic: stopword-marker counts per candidate
@@ -87,11 +88,11 @@ object TextOps {
       |       ELSE 'und' END AS lang_guess
       |FROM (
       |  SELECT doc_id,
-      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
       |        t -> t IN ('the','a','of','and'))) AS s_en,
-      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
       |        t -> t IN ('der','und','die','das'))) AS s_de,
-      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
       |        t -> t IN ('le','la','et','les'))) AS s_fr
       |  FROM documents WHERE TRUE) t""".stripMargin
 
@@ -474,7 +475,7 @@ object TextOps {
 
   private val vocabSql =
     """WITH tok AS (
-      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
       |  FROM documents),
       |cnt AS (
       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
@@ -493,19 +494,23 @@ object TextOps {
 
   private val oovSql =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
       |  FROM documents),
       |vocab AS (
       |  SELECT token FROM (
       |    SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token)
-      |  ORDER BY cnt DESC, token LIMIT 10)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |  CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_in_vocab,
-      |  round(CAST(count(*) - sum(CASE WHEN token IN (SELECT token FROM vocab)
-      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_rate
-      |FROM tok WHERE token <> ''
-      |GROUP BY doc_id""".stripMargin
+      |  ORDER BY cnt DESC, token LIMIT 10),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_in_vocab,
+      |    round(CAST(count(*) - sum(CASE WHEN token IN (SELECT token FROM vocab)
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_rate
+      |  FROM tok WHERE token <> ''
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |  coalesce(a.n_in_vocab, 0) AS n_in_vocab, a.oov_rate
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // text_encode — ops.Vocab.encode: documents → vocab-id sequences
   // (the tokenize step feeding text_pack_sequences). The id sequence is
@@ -524,21 +529,25 @@ object TextOps {
   private val encodeSql =
     """WITH tok AS (
       |  SELECT doc_id,
-      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token,
-      |    unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+      |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token,
+      |    unnest(generate_series(1, len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')))) AS pos
       |  FROM documents),
       |vocab AS (
       |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
       |    AS token_id
       |  FROM (SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token)
-      |  ORDER BY token_id LIMIT 10)
-      |SELECT t.doc_id,
-      |  md5(array_to_string(list(COALESCE(v.token_id, 0) ORDER BY t.pos), ',')) AS ids_md5,
-      |  CAST(count(*) AS BIGINT) AS n_tokens,
-      |  CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
-      |FROM tok t LEFT JOIN vocab v ON t.token = v.token
-      |WHERE t.token <> ''
-      |GROUP BY t.doc_id""".stripMargin
+      |  ORDER BY token_id LIMIT 10),
+      |agg AS (
+      |  SELECT t.doc_id,
+      |    md5(array_to_string(list(COALESCE(v.token_id, 0) ORDER BY t.pos), ',')) AS ids_md5,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+      |  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      |  WHERE t.token <> ''
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id, coalesce(a.ids_md5, md5('')) AS ids_md5,
+      |  coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_unk, 0) AS n_unk
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // Deterministic corpus shuffle: a reproducible global permutation
   // (training-order randomization) — md5 of the key as the sort
@@ -637,8 +646,8 @@ object TextOps {
       |              chr(31)||a||b||chr(31) AS rep FROM m),
       |toks AS (
       |  SELECT doc_id, pos, w FROM (
-      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
-      |           unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+'))+1)) AS pos
+      |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w,
+      |           unnest(range(1, len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))+1)) AS pos
       |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '') u
       |  WHERE w <> ''),
       |words AS (SELECT DISTINCT w FROM toks),
@@ -699,7 +708,7 @@ object TextOps {
   }
   private val entropySql =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
       |  FROM documents WHERE trim(text) <> ''),
       |c AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
       |n AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY doc_id)
@@ -734,7 +743,7 @@ object TextOps {
 
   private val ngramTopkSql =
     """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
       |  FROM documents WHERE trim(text) <> ''),
       |gs AS (
       |  SELECT unnest(list_transform(range(len(toks) - 1),

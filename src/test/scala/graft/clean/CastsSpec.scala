@@ -86,4 +86,31 @@ class CastsSpec extends SparkSpec {
     assert(Casts.allWholeNumbers(Seq(1.0, 2.0).toDF("c"), "c"))
     assert(!Casts.allWholeNumbers(Seq(1.0, 2.5).toDF("c"), "c"))
   }
+
+  test("trimEmptyToNull strips ALL whitespace <= U+0020, not just spaces") {
+    // Spark's trim() strips only 0x20: "\t" previously survived as a
+    // non-null cell and "2020-01-01\t" blocked the date cascade
+    val out = Seq("\t", "\n", " \r\n ", "2020-01-01\t", "x\ny")
+      .toDF("c").select(Casts.trimEmptyToNull(col("c")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(None, None, None, Some("2020-01-01"), Some("x\ny")))
+  }
+
+  test("whole-number long-range boundary: 2^63 as a double is OUT of range") {
+    // Long.MaxValue.toDouble rounds UP to 2^63, which is not a
+    // representable long — a > guard admitted it and the cast clamped
+    val df = Seq(9.223372036854775808E18).toDF("c") // exactly 2^63
+    assert(!Casts.allWholeNumbers(df, "c"),
+      "2^63 must count as a violation, not silently clamp")
+    assert(Casts.allWholeNumbers(Seq(9.223372036854274E18).toDF("c"), "c"))
+  }
+
+  test("toLongViaDouble rejects the ambiguous 2^53 boundary (P6)") {
+    // "9007199254740993" parses as a double to exactly 2^53 — accepting
+    // it yields a silently off-by-one long
+    val out = Seq("9007199254740993.0", "9007199254740991.0", "12.0")
+      .toDF("c").select(Casts.toLongViaDouble(col("c")).as("l"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(None, Some(9007199254740991L), Some(12L)))
+  }
 }

@@ -28,4 +28,25 @@ class PreprocessorSpec extends SparkSpec {
     assert(rows(1).getString(schema.fieldIndex("note")) == "x")    // trimmed
     assert(rows(0).getLong(schema.fieldIndex("age_str")) == 12L)
   }
+
+  test("fillMissing casts the fill value to the column's type (no string promotion)") {
+    import graft.model._
+    // a BOOLEAN column with a string fill previously failed analysis
+    // (coalesce(bool, string) unresolvable); a DOUBLE column was
+    // silently string-promoted before re-inference
+    val df = Seq((1L, Some(true), Some(1.5)), (2L, None, None))
+      .toDF("subject_id", "flag", "score")
+    val ctx = TableContext("t", Seq(
+      SeriesContext(Identifier.Single("subject_id"), dataContext = Context.SubjectId),
+      SeriesContext(Identifier.Single("flag"), dataContext = Context.ObservationStatus,
+        fillMissing = Some("false")),
+      SeriesContext(Identifier.Single("score"), dataContext = Context.SurvivalTimeDays,
+        fillMissing = Some("0.5"))))
+    val out = Preprocessor.fillMissing(Cdf.validated(ctx, df), df)
+    assert(out.schema("flag").dataType == org.apache.spark.sql.types.BooleanType)
+    assert(out.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    val r2 = out.orderBy("subject_id").collect()(1)
+    assert(r2.getBoolean(out.schema.fieldIndex("flag")) == false)
+    assert(r2.getDouble(out.schema.fieldIndex("score")) == 0.5)
+  }
 }

@@ -92,4 +92,32 @@ class MixtureSpec extends SparkSpec {
         "id", "src", Map("a" -> 1.0))
     }
   }
+
+  test("temperatureMix survives thousands of groups (no CaseWhen stack overflow)") {
+    // a 5000-deep nested when() chain overflowed the driver stack in
+    // Catalyst's visitors; weights now ride a broadcast join
+    val df = spark.range(5000)
+      .selectExpr("id", "CAST(id AS STRING) AS grp")
+    val out = Mixture.temperatureMix(df, "id", "grp", alpha = 0.5,
+      maxEpochs = 2.0, maxGroups = 10000)
+    assert(out.count() >= 5000L)
+  }
+
+  test("null keys get a shared deterministic fractional draw, never a silent drop") {
+    val df = Seq((Some(1L), "a"), (None, "a"), (None, "a"))
+      .toDF("id", "src")
+    // w = 1.5: epoch 0 full (all 3 rows), epoch 1 fractional — null
+    // keys previously evaluated a null predicate → dropped from the
+    // fractional epoch only; now they share one draw (both or neither)
+    val out = Mixture.mixCorpora(df, "id", "src", Map("a" -> 1.5))
+    val epoch0 = out.filter(col("epoch") === 0).count()
+    assert(epoch0 === 3L, "full epochs keep every row incl. null keys")
+    val nullFrac = out.filter(col("epoch") === 1 && col("id").isNull).count()
+    assert(nullFrac === 0L || nullFrac === 2L,
+      "null keys decide the fractional epoch together, deterministically")
+    // and the same call yields the same result
+    val again = Mixture.mixCorpora(df, "id", "src", Map("a" -> 1.5))
+      .filter(col("epoch") === 1 && col("id").isNull).count()
+    assert(again === nullFrac)
+  }
 }

@@ -195,7 +195,9 @@ class OpsSpec extends SparkSpec {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit = {
-        qe.observedMetrics.get("dedup_lsh_buckets").foreach { row =>
+        qe.observedMetrics.collectFirst {
+          case (name, row) if name.startsWith("dedup_lsh_buckets") => row
+        }.foreach { row =>
           observed = Map("dropped" -> row.getAs[Long]("dropped_buckets"),
             "max" -> row.getAs[Int]("max_bucket"))
         }

@@ -56,9 +56,12 @@ class VocabSpec extends SparkSpec {
   test("oovStats reports per-document coverage against the vocab") {
     val vocab = Vocab.build(docs, "text", vocabSize = 2) // {b, a}
     val stats = Vocab.oovStats(docs, "id", "text", vocab)
-      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
-    // doc1: 6 tokens, 5 in {a,b}; doc2: 2/2; doc4: 3 tokens, 1 in vocab
+      .orderBy("id").as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // doc1: 6 tokens, 5 in {a,b}; doc2: 2/2; doc3: token-less but KEPT
+    // (coverage accounting must not lose documents — rate undefined);
+    // doc4: 3 tokens, 1 in vocab
     assert(stats == Seq(
-      (1L, 6L, 5L, 0.1667), (2L, 2L, 2L, 0.0), (4L, 3L, 1L, 0.6667)))
+      (1L, 6L, 5L, Some(0.1667)), (2L, 2L, 2L, Some(0.0)),
+      (3L, 0L, 0L, None), (4L, 3L, 1L, Some(0.6667))))
   }
 }

@@ -52,12 +52,16 @@ class NewPlanSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
   }
 
-  test("corpus mixing is shuffle-free codegen (explode + filter, no Exchange)") {
+  test("corpus mixing never shuffles the corpus (weights broadcast, explode + filter)") {
     val docs = (1 to 50).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
     val plan = graft.ops.Mixture.mixCorpora(docs, "doc_id", "source",
       Map("src0" -> 2.5, "src1" -> 0.4), defaultWeight = 0.2)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"mixing must not shuffle:\n$plan")
+    // The weights table rides ONE BroadcastExchange (driver-sized by
+    // contract); the corpus itself must never hit a shuffle exchange.
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning"), s"mixing must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan) // the weights lookup
     assert(plan.contains("Generate"), plan) // the epoch fan-out
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
   }
