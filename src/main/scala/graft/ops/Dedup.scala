@@ -592,7 +592,16 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    if (edges.count() <= driverEdgeLimit) {
+    // Gate/collect/sweep failures must unpersist `edges` — no handle
+    // escapes this method, so nothing else ever could (the
+    // Binning.labeledPartition guard). Guards are NARROW try/catches
+    // around each action rather than one block: a whole-body wrap
+    // catching Throwable would also swallow the driver branch's
+    // non-local return (scala.runtime.NonLocalReturnControl).
+    val edgeCount =
+      try edges.count()
+      catch { case e: Throwable => edges.unpersist(); throw e }
+    if (edgeCount <= driverEdgeLimit) {
       // Broadcast-sized graph: classic union-find with path compression,
       // then relabel every node by its component's minimum id.
       import scala.collection.mutable
@@ -604,8 +613,11 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val collected = edges.collect().map(r => (r.get(0), r.get(1)))
-        .filter { case (a, b) => cmp(a, b) < 0 }
+      val collected =
+        try {
+          edges.collect().map(r => (r.get(0), r.get(1)))
+            .filter { case (a, b) => cmp(a, b) < 0 }
+        } catch { case e: Throwable => edges.unpersist(); throw e }
       collected.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) {
@@ -633,6 +645,7 @@ object Dedup {
     // Truncating lineage per iteration is THE standard Spark shape for
     // label propagation; on a real cluster this would be a reliable
     // checkpoint dir instead of executor-local blocks.
+    try {
     var labels = edges.select(col("src").as("id"), col("src").as("component"))
       .union(edges.select(col("dst").as("id"), col("dst").as("component")))
       .groupBy(col("id")).agg(min(col("component")).as("component"))
@@ -662,6 +675,7 @@ object Dedup {
     }
     edges.unpersist()
     labels
+    } catch { case e: Throwable => edges.unpersist(); throw e }
   }
 
   /** End-to-end near-duplicate REMOVAL: the glue from any pair source

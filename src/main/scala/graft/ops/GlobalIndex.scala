@@ -82,12 +82,18 @@ object GlobalIndex {
       .withColumn("__gi_pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val counts: Map[Int, Long] = parted
-      .groupBy(col("__gi_pid"))
-      .agg(count(lit(1)).as("__gi_cnt"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
+    // Count-job failures must unpersist: the cleanup thunk has not
+    // been returned yet, so nothing else ever could (the
+    // Binning.labeledPartition guard).
+    val counts: Map[Int, Long] =
+      try {
+        parted
+          .groupBy(col("__gi_pid"))
+          .agg(count(lit(1)).as("__gi_cnt"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
+          .toMap
+      } catch { case e: Throwable => parted.unpersist(); throw e }
     val offsets: Map[Int, Long] = {
       var acc = 0L
       counts.keys.toSeq.sorted.map { p =>
