@@ -27,6 +27,15 @@ private[ontology] object ServiceHttp {
 
   def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
 
+  /** Percent-encoding for URL PATH segments. [[enc]] is
+    * application/x-www-form-urlencoded (space → '+'), which is only
+    * correct in a query string; in a path a '+' is a literal plus
+    * (RFC 3986), so a space must become %20 — the reference's
+    * `Url::path_segments_mut().push()` does exactly that
+    * (`bioportal_client.rs:181-185`).
+    */
+  def encPath(s: String): String = enc(s).replace("+", "%20")
+
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -135,11 +144,30 @@ final case class LoincResolver(
       val cleaned = value.filterNot(c => c < 128 &&
         !c.isLetterOrDigit && !c.isWhitespace) // ASCII punctuation stripped
       val (version, results) = query(cleaned)
-      results.find(r =>
+      val hit = results.find(r =>
           text(r, "LONG_COMMON_NAME").equalsIgnoreCase(value))
         .map(r => (OntologyClass(s"LOINC:${text(r, "LOINC_NUM")}",
           text(r, "LONG_COMMON_NAME")), mkResource(version)))
+      // Only an EMPTY result set is an authoritative miss (the
+      // reference caches NOT_FOUND for it, `loinc_client.rs:231-234`).
+      // Non-empty results with no exact LONG_COMMON_NAME match mean
+      // the true match may simply rank below the `rows` cap — the
+      // reference raises a loud Caching error there (`:245-249`);
+      // returning None would let CachedResolver memoize a silent,
+      // permanent drop of the term.
+      if (hit.isEmpty && results.nonEmpty)
+        throw new java.io.IOException(
+          s"LOINC search for '$value' returned ${results.size} results but " +
+            s"none matched exactly (rows=$rows cap?) — refusing to treat a " +
+            "possibly-truncated response as an authoritative miss")
+      hit
     }
+
+  // The auto-generated case-class toString would print `password`
+  // verbatim into logs / task-serialization errors / ScopedResolver's
+  // routes rendering; the reference redacts it in its Debug impl
+  // (`loinc_client.rs:121`).
+  override def toString: String = describe
 
   override def describe: String = s"loinc($baseUrl)"
 }
@@ -199,8 +227,8 @@ final case class BioPortalResolver(
   }
 
   private def byId(localId: String): Option[(OntologyClass, Resource)] = {
-    val url = s"${baseUrl.stripSuffix("/")}/ontologies/${enc(acronym)}/classes/" +
-      enc(s"$iriPrefix$localId")
+    val url = s"${baseUrl.stripSuffix("/")}/ontologies/${encPath(acronym)}/classes/" +
+      encPath(s"$iriPrefix$localId")
     getJson(url, Seq(authHeader), missCodes = Set(404),
         connectTimeoutMs, readTimeoutMs) match {
       case Left(_) => None
@@ -236,6 +264,10 @@ final case class BioPortalResolver(
       case Some(local) => byId(local)
       case None        => byLabel(value)
     }
+
+  // Redact `apiKey` from the auto-generated case-class toString (the
+  // reference's Debug impl does the same, `bioportal_client.rs:27`).
+  override def toString: String = describe
 
   override def describe: String = s"bioportal($baseUrl/$acronym)"
 }

@@ -67,8 +67,18 @@ object Multimodal {
     // BMP: "BM", DIB header size at offset 14 selects the layout.
     if (bytes(0) == 'B' && bytes(1) == 'M' && bytes.length >= 26) {
       val dib = le32(bytes, 14)
-      if (dib >= 40 && bytes.length >= 30)
-        return ("bmp", le32(bytes, 18).toInt, math.abs(le32(bytes, 22).toInt))
+      if (dib >= 40 && bytes.length >= 30) {
+        val w = le32(bytes, 18).toInt
+        // negative height = top-down bitmap (valid); but a height of
+        // exactly Int.MinValue survives math.abs UNCHANGED (two's
+        // complement has no positive counterpart), and a non-positive
+        // width or |height| is nonsense either way — classify those
+        // rows unparseable rather than emitting a "bmp" with a
+        // negative dimension
+        val h = math.abs(le32(bytes, 22).toInt)
+        if (w <= 0 || h <= 0) return ("unknown", -1, -1)
+        return ("bmp", w, h)
+      }
       if (dib == 12)
         return ("bmp", le16(bytes, 18), le16(bytes, 20))
       return ("unknown", -1, -1)
@@ -109,14 +119,30 @@ object Multimodal {
     ("unknown", -1, -1)
   }
 
+  /** (id, payload) projection shared by every decoder here. Rows with
+    * a NULL id are FILTERED, not fatal: the tuple encoder's primitive
+    * Long field would otherwise throw AssertNotNull and kill the whole
+    * job on one bad row — the opposite of the module's stance that a
+    * decode pipeline filters undecodable rows out. A null id is
+    * unusable downstream anyway (nothing to join the metadata back
+    * on); null PAYLOADS still flow through and come back "unknown".
+    */
+  private def idPayload(df: DataFrame, idCol: String,
+      payloadCol: String): Dataset[(Long, Array[Byte])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .filter(col(idCol).cast("long").isNotNull)
+      .as[(Long, Array[Byte])]
+  }
+
   /** Decode header metadata for every payload — a real parse, not a
     * stub (see object doc). One iterator pass per partition.
     */
   def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[ImageMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+    idPayload(df, idCol, payloadCol)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val n = if (bytes == null) 0 else bytes.length
@@ -269,8 +295,7 @@ object Multimodal {
   def decodeAudioMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+    idPayload(df, idCol, payloadCol)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val n = if (bytes == null) 0 else bytes.length
@@ -336,24 +361,31 @@ object Multimodal {
     if (!top.exists(_._1 == "ftyp")) return None
     val moov = top.find(_._1 == "moov").getOrElse(return None)
     val traks = walkBoxes(bytes, moov._2, moov._3).filter(_._1 == "trak")
-    traks.iterator.flatMap { case (_, ts, te) =>
-      val mdia = walkBoxes(bytes, ts, te).find(_._1 == "mdia")
-      mdia.flatMap { case (_, ms, me) =>
-        val mdiaBoxes = walkBoxes(bytes, ms, me)
-        val isVideo = mdiaBoxes.find(_._1 == "hdlr").exists { case (_, hs, he) =>
-          // hdlr body: version/flags(4) pre_defined(4) handler_type(4)
-          he - hs >= 12 &&
-            new String(bytes, hs.toInt + 8, 4,
-              java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+    // Locate the FIRST vide track, THEN parse only it: folding the
+    // parse into the scan would silently fall through to a LATER video
+    // track when the first one's sample table is corrupt, handing the
+    // caller frames from the wrong track instead of the documented
+    // None.
+    val firstVide: Option[Seq[(String, Long, Long)]] =
+      traks.iterator.flatMap { case (_, ts, te) =>
+        walkBoxes(bytes, ts, te).find(_._1 == "mdia").flatMap { case (_, ms, me) =>
+          val mdiaBoxes = walkBoxes(bytes, ms, me)
+          val isVideo = mdiaBoxes.find(_._1 == "hdlr").exists { case (_, hs, he) =>
+            // hdlr body: version/flags(4) pre_defined(4) handler_type(4)
+            he - hs >= 12 &&
+              new String(bytes, hs.toInt + 8, 4,
+                java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+          }
+          if (isVideo) Some(mdiaBoxes) else None
         }
-        if (!isVideo) None
-        else for {
-          minf <- mdiaBoxes.find(_._1 == "minf")
-          stbl <- walkBoxes(bytes, minf._2, minf._3).find(_._1 == "stbl")
-          idx <- sampleTable(bytes, stbl._2, stbl._3, maxSamples)
-        } yield idx
-      }
-    }.nextOption()
+      }.nextOption()
+    firstVide.flatMap { mdiaBoxes =>
+      for {
+        minf <- mdiaBoxes.find(_._1 == "minf")
+        stbl <- walkBoxes(bytes, minf._2, minf._3).find(_._1 == "stbl")
+        idx <- sampleTable(bytes, stbl._2, stbl._3, maxSamples)
+      } yield idx
+    }
   }
 
   /** stsz + stsc + stco/co64 → per-sample (offset, size). */
@@ -457,8 +489,7 @@ object Multimodal {
     require(fallbackFrameBytes >= 0, "fallbackFrameBytes must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+    idPayload(df, idCol, payloadCol)
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           def slice(off: Long, len: Long): Array[Byte] =
@@ -507,8 +538,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val width = 256 / bins
-    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
+    idPayload(df, idCol, payloadCol)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val hist = new Array[Long](bins)

@@ -54,7 +54,12 @@ object MultimodalOps {
     val pad = (pmod(col("doc_id"), lit(7)) + 1).cast("int")
     val jpeg = concat(
       lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"),
-      lit("FFFE"), he16(pad + 2), expr("substring('00000000000000', 1, (CAST(doc_id % 7 AS INT) + 1) * 2)"),
+      // padding length MUST reuse `pad`'s pmod, not SQL '%': for a
+      // negative doc_id the sign-of-dividend '%' yields a negative
+      // substring length (empty padding) while the declared COM length
+      // above stays positive — an internally corrupt segment
+      lit("FFFE"), he16(pad + 2),
+      expr("substring('00000000000000', 1, (CAST(pmod(doc_id, 7) AS INT) + 1) * 2)"),
       lit("FFC0" + "000B" + "08"), he16(h), he16(w), lit("01" + "011100"),
       lit("FFD9"), body)
     // BMP: "BM", file size, data offset 54, BITMAPINFOHEADER (40 bytes)
@@ -152,7 +157,10 @@ object MultimodalOps {
     val blockAlign = (ch * bits / lit(8)).cast("int")
     val listLen = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
     val listHex = concat(
-      expr("repeat('00', CAST(doc_id % 5 AS INT) + 1)"),
+      // pmod, not SQL '%': the declared LIST size above is pmod-based,
+      // and a negative doc_id under '%' would emit fewer body bytes
+      // than declared, desyncing the chunk walk
+      expr("repeat('00', CAST(pmod(doc_id, 5) AS INT) + 1)"),
       when(pmod(listLen, lit(2)) === 1, lit("00")).otherwise(lit("")))
     val body = coalesce(md5(col("text")), lit("00112233445566778899aabbccddeeff"))
     val wav = concat(
@@ -194,8 +202,10 @@ object MultimodalOps {
     val n = (lit(2) + pmod(col("doc_id"), lit(3))).cast("int") // 2..4 frames
     def sz(i: Int): Column = (lit(6) + pmod(col("doc_id") + i, lit(4))).cast("int")
     def frameHex(i: Int): Column =
+      // pmod to match sz(i) above — '%' on a negative doc_id would emit
+      // frame bytes shorter than the declared stsz sizes
       expr(s"substring(md5(concat(text, 'f$i')), 1, " +
-        s"CAST((6 + (doc_id + $i) % 4) * 2 AS INT))")
+        s"CAST((6 + pmod(doc_id + $i, 4)) * 2 AS INT))")
     val total = sz(0) + sz(1) +
       when(n >= 3, sz(2)).otherwise(lit(0)) +
       when(n >= 4, sz(3)).otherwise(lit(0))

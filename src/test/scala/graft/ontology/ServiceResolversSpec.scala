@@ -89,8 +89,44 @@ class ServiceResolversSpec extends AnyFunSuite {
       // (loinc_client.rs:224-229); the match is against the ORIGINAL label
       val hit = r.resolveIn("assay", "Glucose [Mass/volume] in Serum or Plasma")
       assert(hit.map(_._1.id) == Some("LOINC:2345-7"))
-      // a 200 with results but no exact LONG_COMMON_NAME match is a miss
+      // empty Results for the cleaned query → authoritative miss
       assert(r.resolveIn("assay", "Glucose").isEmpty)
+      // NON-empty results with no exact LONG_COMMON_NAME match must
+      // THROW, not miss: the true match may rank below the rows cap,
+      // and a cached None would silently drop the term forever (the
+      // reference raises a Caching error here, loinc_client.rs:245-249)
+      intercept[java.io.IOException](
+        r.resolveIn("assay", "Glucose Massvolume in Serum or Plasma"))
+    }
+  }
+
+  test("resolver toString redacts credentials (logs, task-serialization errors)") {
+    val loinc = LoincResolver("http://x", "alice", "S3cretPw")
+    val bio = BioPortalResolver("http://y", "myApiKey", "OMIM")
+    val scoped = ScopedResolver(Map("assay" -> loinc, "disease" -> bio))
+    for (s <- Seq(loinc.toString, bio.toString, scoped.toString)) {
+      assert(!s.contains("S3cretPw"), s)
+      assert(!s.contains("myApiKey"), s)
+      assert(!s.contains("alice"), s)
+    }
+  }
+
+  test("bioportal: a space in the local id rides the PATH as %20, never '+'") {
+    val handler: HttpExchange => (Int, String) = { x =>
+      val raw = x.getRequestURI.getRawPath
+      if (raw.contains("%2F") && raw.endsWith("some%20id"))
+        (200, """{"prefLabel": "Spaced",
+                | "@id": "http://purl.bioontology.org/ontology/OMIM/some id",
+                | "synonym": []}""".stripMargin)
+      // a literal '+' in the path means form encoding leaked into the
+      // IRI — the service would look up the WRONG class; answer 404 so
+      // the regression shows as a spurious miss
+      else (404, "{}")
+    }
+    serve(handler) { base =>
+      val r = BioPortalResolver(base, "TEST_KEY", "OMIM")
+      val hit = r.resolveIn("disease", "OMIM:some id")
+      assert(hit.map(_._1.label) == Some("Spaced"))
     }
   }
 

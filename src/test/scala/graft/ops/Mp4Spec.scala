@@ -107,6 +107,23 @@ class Mp4Spec extends SparkSpec {
       mp4Of(hugeCount + stscOne + stcoTwo)).isEmpty)
   }
 
+  test("mp4: a corrupt FIRST vide track is None — no fallthrough to a later video track") {
+    // trak 1: vide with a lying stsz count (unparseable); trak 2: the
+    // canonical valid vide trak. The documented contract is FIRST
+    // video track or None — returning trak 2's frames would hand the
+    // caller offsets from the wrong track.
+    val hugeCount = "00000014 7374737A 00000000 00000004 7FFFFFFF"
+    val stscOne = "0000001C 73747363 00000000 00000001 00000001 00000003 00000001"
+    val badStbl = (hugeCount + stscOne + stcoTwo).replaceAll("\\s", "")
+    val stbl = boxed(8 + badStbl.length / 2, "7374626C", badStbl)
+    val minf = boxed(8 + stbl.length / 2, "6D696E66", stbl)
+    val h = hdlrVide.replaceAll("\\s", "")
+    val mdia = boxed(8 + h.length / 2 + minf.length / 2, "6D646961", h + minf)
+    val badVideTrak = boxed(8 + mdia.length / 2, "7472616B", mdia)
+    assert(Multimodal.mp4FrameIndex(
+      mp4Of(stszVar + stscTwoRuns + stcoTwo, extraTrak = badVideTrak)).isEmpty)
+  }
+
   test("mp4: samples outrunning chunks is None (chunk walk can't place them)") {
     // 3 samples, ONE chunk declared, but the single stsc run carries
     // only 2 samples per chunk → sample 2 has no chunk

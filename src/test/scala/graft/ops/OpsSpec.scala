@@ -877,6 +877,37 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == Multimodal.ImageMeta(3L, 0, "unknown", -1, -1))
   }
 
+  test("multimodal decoders FILTER null-id rows instead of failing the job") {
+    // a null id under the tuple encoder's primitive Long would throw
+    // AssertNotNull and kill the whole job on one bad row — the decode
+    // stance is filter-don't-fail; null payloads still decode "unknown"
+    val df = Seq((java.lang.Long.valueOf(1L), "x".getBytes),
+        (null.asInstanceOf[java.lang.Long], "y".getBytes))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.decodeImageMeta(df, "doc_id", "payload").collect()
+      .map(_.id).toSeq == Seq(1L))
+    assert(Multimodal.decodeAudioMeta(df, "doc_id", "payload").collect()
+      .map(_.id).toSeq == Seq(1L))
+    assert(Multimodal.byteFeatures(df, "doc_id", "payload").collect()
+      .map(_.id).toSeq == Seq(1L))
+    assert(Multimodal.frameSampleMp4(df, "doc_id", "payload",
+      fallbackFrameBytes = 1).select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("bmp: a height of Int.MinValue survives math.abs — classify unparseable") {
+    // DIB height bytes 00 00 00 80 (LE) = Int.MinValue; abs() returns
+    // it UNCHANGED in two's complement, so without the guard the sniff
+    // would report ("bmp", 100, -2147483648) as a successful parse
+    assert(Multimodal.sniff(hex(
+      "424D 46000000 00000000 36000000 28000000 64000000 00000080 0100 1800"))
+      == ("unknown", -1, -1))
+    // zero width is equally nonsense
+    assert(Multimodal.sniff(hex(
+      "424D 46000000 00000000 36000000 28000000 00000000 32000000 0100 1800"))
+      == ("unknown", -1, -1))
+  }
+
   test("IVF top-k: probed-cell scores equal brute-force scores; recall reasonable") {
     val vecs = (0 until 60).map { i =>
       val v = (0 until 8).map(d => math.cos(i * 0.37 + d * 1.3).toFloat).toArray
