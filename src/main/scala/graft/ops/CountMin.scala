@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
 object CountMin {
 
   /** Build the sketch: one row per non-empty cell,
-    * (cm_row, cm_col, cm_cnt). `depth` independent seeded hashes row a
-    * term into `width` columns; each occurrence of `termCol` counts 1.
-    * Null terms are skipped.
+    * (cm_row, cm_col, cm_cnt) plus the build parameters
+    * (cm_depth, cm_width, cm_family) — the [[Dedup.minhashArtifact]]
+    * pattern, so a probe can verify compatibility instead of silently
+    * UNDERCOUNTING against cells hashed with different geometry (which
+    * would invert the one-sided `est ≥ true` guarantee). Null terms
+    * are skipped. The metadata rides every row, but the artifact is
+    * ≤ depth × width rows by construction.
     */
   def sketch(terms: DataFrame, termCol: String, depth: Int, width: Int,
       family: HashFamily = XxHash64Family): DataFrame = {
@@ -36,6 +40,9 @@ object CountMin {
           lit("#"), col(termCol))), lit(width.toLong)).as("cm_col"))
       .groupBy(col("cm_row"), col("cm_col"))
       .agg(count(lit(1)).as("cm_cnt"))
+      .withColumn("cm_depth", lit(depth))
+      .withColumn("cm_width", lit(width))
+      .withColumn("cm_family", lit(family.tag))
   }
 
   /** Point-estimate the frequency of each candidate term: the MIN over
@@ -50,13 +57,36 @@ object CountMin {
       family: HashFamily = XxHash64Family): DataFrame = {
     require(depth >= 1 && depth <= 16, "depth out of range (1..16)")
     require(width >= 2, "width must be >= 2")
+    // A probe with mismatched geometry/family misses the real cells,
+    // the left join nulls out, and min() reports 0 for a genuinely hot
+    // term — inverting the one-sided `est ≥ true` guarantee. Verify
+    // against the parameters stored in the artifact, IN-PLAN rather
+    // than via an eager head(1): the check is a codegen'd comparison
+    // on ≤ depth × width artifact rows, costs no extra pass, and an
+    // unmaterialized inline sketch plan is not executed twice.
+    // Artifacts written before the metadata columns existed skip the
+    // check (nothing to verify against); an EMPTY sketch never
+    // evaluates it, but an empty stream estimates 0 for every term
+    // under any geometry anyway.
+    val cells =
+      if (!sketchDf.columns.contains("cm_depth"))
+        sketchDf.select(col("cm_row"), col("cm_col"), col("cm_cnt"))
+      else sketchDf.select(col("cm_row"), col("cm_col"),
+        when(col("cm_depth") =!= depth || col("cm_width") =!= width ||
+            col("cm_family") =!= family.tag,
+          raise_error(concat(
+            lit("count-min sketch was built with (depth="), col("cm_depth"),
+            lit(", width="), col("cm_width"), lit(", family="), col("cm_family"),
+            lit(s") but estimate was called with (depth=$depth, width=$width, " +
+              s"family=${family.tag}) — a mismatched probe silently undercounts"))))
+          .otherwise(col("cm_cnt")).as("cm_cnt"))
     candidates
       .filter(col(termCol).isNotNull)
       .select(col(termCol), explode(sequence(lit(0), lit(depth - 1))).as("cm_row"))
       .withColumn("cm_col",
         pmod(family.hashString(0, concat(col("cm_row").cast("string"),
           lit("#"), col(termCol))), lit(width.toLong)))
-      .join(sketchDf, Seq("cm_row", "cm_col"), "left")
+      .join(cells, Seq("cm_row", "cm_col"), "left")
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cm_cnt"), lit(0L))).as("est_n"))
   }

@@ -46,6 +46,11 @@ object Fusion {
       val pooled = df
         .select(col(idCol),
           round(col(scoreCol).cast("double"), scoreScale).as("__s"))
+        // an unscored candidate is NOT ranked: desc sorts nulls last,
+        // but inside an underfilled pool they would still receive
+        // ranks and real RRF contributions, letting a score-less row
+        // out-rank a genuinely scored one from the other side
+        .filter(col("__s").isNotNull)
         .orderBy(col("__s").desc, col(idCol))
         .limit(poolSize)
       // window over the pooled ≤ poolSize rows only

@@ -67,6 +67,37 @@ object Percentiles {
     histogramPlan(data, groupCol, valueCol, ties, percentiles, buckets, schema, rows.get)
   }
 
+  /** [[exactDiscrete]] with the source PINNED for the plan's three
+    * passes (range aggregate, histogram collect, narrow picked pass) —
+    * the [[SpanDedup.auditManaged]] trade. On remote object storage
+    * the dominant cost is the scan, and the unpinned plan pays it
+    * three times. Returns (result, cleanup); call cleanup() after the
+    * result has been consumed. Failures before return unpersist.
+    */
+  def exactDiscreteManaged(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ties: Seq[String],
+      percentiles: Seq[(String, Double)],
+      buckets: Int = 1024,
+      maxDriverGroups: Int = 4096): (DataFrame, () => Unit) = {
+    checkArgs(percentiles, buckets)
+    checkValueType(df, valueCol)
+    val data = nonNull(df, groupCol, valueCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result =
+      try {
+        val (schema, rows) = collectRanges(data, groupCol, valueCol, maxDriverGroups)
+        require(rows.isDefined,
+          s"more than maxDriverGroups=$maxDriverGroups distinct '$groupCol' groups " +
+            "— use windowDiscrete or autoDiscrete")
+        histogramPlan(data, groupCol, valueCol, ties, percentiles, buckets,
+          schema, rows.get)
+      } catch { case e: Throwable => data.unpersist(); throw e }
+    (result, () => { data.unpersist(); () })
+  }
+
   /** The same discrete selection via the classic window formulation:
     * `row_number` per group, pick the `ceil(n·p)`-th row. One shuffle,
     * but each group sorts in ONE task — right for MANY SMALL groups,
@@ -194,9 +225,25 @@ object Percentiles {
     import scala.jdk.CollectionConverters._
     val ranges = spark.createDataFrame(rangeRows.toSeq.asJava, rangesSchema)
 
-    def bucketOf(v: Column, mn: Column, mx: Column): Column =
+    // All bucket arithmetic in DOUBLE: long/decimal subtraction would
+    // silently WRAP when the group range exceeds the type (e.g. a
+    // LongType column spanning ±5e18 — range > 2^63), making bucketing
+    // non-monotone and the walked percentile silently wrong (ANSI is
+    // off by default). The double cast is monotone, and values that
+    // collide to one double share a bucket — exactly the two
+    // properties the rank arithmetic needs; the narrow second pass
+    // still ranks by the ORIGINAL exact values. Degenerate extremes
+    // (range overflowing double to ±inf, or distinct values collapsing
+    // to one double) collapse groups into fewer buckets — still
+    // monotone, degrading toward the window plan, never wrong. The
+    // greatest(0) guard pins floor's NaN artifacts into range.
+    def bucketOf(v: Column, mn: Column, mx: Column): Column = {
+      val vd = v.cast("double"); val mnd = mn.cast("double"); val mxd = mx.cast("double")
       when(mx === mn, lit(0)).otherwise(
-        least(floor((v - mn) / ((mx - mn) / buckets)), lit(buckets - 1)).cast("int"))
+        greatest(lit(0L),
+          least(floor((vd - mnd) / ((mxd - mnd) / buckets)), lit(buckets - 1).cast("long")))
+          .cast("int"))
+    }
 
     // 2. histogram per (group, bucket) — driver-sized by construction
     val withB = data.join(broadcast(ranges), groupCol)

@@ -66,8 +66,22 @@ object SpanDedup {
     val gram = (1 until n).foldLeft(col("__tok")) { case (acc, i) =>
       concat(acc, lit(" "), lead(col("__tok"), i).over(byDoc))
     }
+    // Everything downstream assumes idCol identifies ONE document:
+    // duplicate ids interleave two token streams in one window
+    // partition — lead() stitches grams across texts, the dense-__pos
+    // coverage frame breaks, and the rebuild join fans out — all
+    // silently. Duplicate ids are detectable FOR FREE inside the same
+    // window (each doc's own positions are unique by construction, so
+    // an equal neighboring __pos can only come from a second row with
+    // the same id): fail loudly instead of corrupting.
+    val nextPos = lead(col("__pos"), 1).over(byDoc)
+    val guardedGram = when(nextPos <=> col("__pos"),
+      raise_error(concat(
+        lit("duplicate (or repeated-null) document id in span-dedup input: "),
+        coalesce(col(idCol).cast("string"), lit("NULL")),
+        lit(" — ids must uniquely identify one document")))).otherwise(md5(gram))
     tokenStream(df, idCol, textCol)
-      .select(col(idCol), col("__pos"), col("__tok"), md5(gram).as("__gh"))
+      .select(col(idCol), col("__pos"), col("__tok"), guardedGram.as("__gh"))
   }
 
   /** Positioned gram hashes: (id, __pos, __gh) for every start

@@ -61,7 +61,14 @@ object VectorAgg {
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("string"), col(vecCol).cast("array<double>"))
+    // A vector containing a null ELEMENT would crash the typed
+    // Seq[Double] encoder deep in the task ("Null value appeared in
+    // non-nullable field" — no group, no column, no cause). Treat it
+    // like a null vector (skipped): a partially-null embedding is a
+    // failed embedding, the [[Similarity]] zero-norm stance.
+    val casted = col(vecCol).cast("array<double>")
+    df.select(col(groupCol).cast("string"),
+        when(exists(casted, _.isNull), lit(null)).otherwise(casted).as(vecCol))
       .as[In]
       .groupByKey(_._1)
       .agg(MeanVec.toColumn.name("centroid"))

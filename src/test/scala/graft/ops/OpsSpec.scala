@@ -573,6 +573,36 @@ class OpsSpec extends SparkSpec {
       (4L, c(2), 1L, 2L)))
   }
 
+  test("rrf fusion excludes null-scored candidates from the pool and ranks") {
+    // an unscored row inside an underfilled pool would receive a rank
+    // and a real contribution, out-ranking genuinely scored candidates
+    val a = Seq((1L, java.lang.Double.valueOf(9.0)),
+      (2L, null.asInstanceOf[java.lang.Double])).toDF("id", "score")
+    val b = Seq((3L, java.lang.Double.valueOf(0.5)),
+      (2L, null.asInstanceOf[java.lang.Double])).toDF("id", "score")
+    val out = Fusion.rrfFuse(Seq(a, b), "id", "score", k = 5, poolSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L), (3L, 1L))) // d2 never appears
+  }
+
+  test("count-min estimate verifies the sketch's stored geometry and family") {
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val stream = CountMin.ngramStream(docs, "doc_id", "text", n = 1)
+    val sk = CountMin.sketch(stream, "g", depth = 4, width = 1024)
+    // mismatched width: the probe would miss the real cells and report
+    // 0 for a hot term — must fail loudly instead
+    val e = intercept[Exception](
+      CountMin.estimate(sk, stream.distinct(), "g", depth = 4, width = 2048).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mismatched probe")), msgs(e).mkString(" | "))
+    // a pre-metadata artifact (bare cells) still estimates — back-compat
+    val bare = sk.select("cm_row", "cm_col", "cm_cnt")
+    val est = CountMin.estimate(bare, stream.distinct(), "g", depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("rrf fusion breaks score ties by id deterministically") {
     val a = Seq((10L, 5.0), (2L, 5.0), (7L, 5.0)).toDF("id", "score")
     val b = Seq((7L, 1.0), (2L, 1.0)).toDF("id", "score")

@@ -33,6 +33,31 @@ class PercentilesSpec extends SparkSpec {
     assert(got === windowReference(df))
   }
 
+  test("long ranges wider than 2^63 bucket monotonically (no silent subtraction wrap)") {
+    // range 1e19 > Long.MaxValue: (mx - mn) in LONG arithmetic wraps
+    // negative and the walked percentile silently returned the wrong
+    // row before the double-space bucketization
+    val df = Seq(
+      ("g", -5000000000000000000L, 1L),
+      ("g", -4000000000000000000L, 2L),
+      ("g", 0L, 3L),
+      ("g", 5000000000000000000L, 4L)).toDF("g", "v", "id")
+    val got = Percentiles.exactDiscrete(df, "g", "v", Seq("id"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p100" -> 1.0), buckets = 16)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == (("g", -5000000000000000000L, -4000000000000000000L,
+      5000000000000000000L)))
+  }
+
+  test("exactDiscreteManaged equals exactDiscrete and releases its pin") {
+    val df = Seq(("g", 3.0, 1L), ("g", 1.0, 2L), ("g", 2.0, 3L)).toDF("g", "v", "id")
+    val (res, cleanup) = Percentiles.exactDiscreteManaged(df, "g", "v", Seq("id"),
+      Seq("p50" -> 0.5))
+    assert(res.as[(String, Double)].collect().toSeq == Seq(("g", 2.0)))
+    cleanup()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("degenerate shapes: constant column, single-row group, p100") {
     val df = Seq(
       ("const", 5.0, 1L), ("const", 5.0, 2L), ("const", 5.0, 3L),

@@ -75,6 +75,18 @@ class SpanDedupSpec extends SparkSpec {
       "span-dedup pin must be released")
   }
 
+  test("duplicate document ids fail loudly instead of stitching grams across texts") {
+    val df = Seq((1L, "a b c d e f"), (1L, "g h i j k l"), (2L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception](SpanDedup.audit(df, "doc_id", "text", n = 3).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("duplicate")), msgs(e).mkString(" | "))
+    // unique ids still pass
+    assert(SpanDedup.audit(df.filter($"text" =!= "g h i j k l"),
+      "doc_id", "text", n = 3).count() == 2)
+  }
+
   test("removeDuplicatedSpans rewrites in place and keeps other columns") {
     val df = Seq((1L, "shared run here plus own words", "keepme"),
       (2L, "prefix shared run here suffix", "other")).toDF("id", "text", "tag")

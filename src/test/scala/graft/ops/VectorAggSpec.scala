@@ -27,6 +27,18 @@ class VectorAggSpec extends SparkSpec {
     assert(got("1") === Seq.empty)
   }
 
+  test("a null ELEMENT inside a vector is skipped like a null vector, not an encoder crash") {
+    val df = Seq(
+      ("g", Seq[java.lang.Double](1.0, 2.0)),
+      ("g", Seq[java.lang.Double](3.0, null)), // failed embedding — skip
+      ("h", Seq[java.lang.Double](null)))
+      .toDF("g", "embedding")
+    val out = VectorAgg.centroids(df, "g", "embedding")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("g") == Seq(1.0, 2.0)) // only the clean vector counts
+    assert(out("h") == Seq.empty)     // all vectors bad → empty centroid
+  }
+
   test("mixed vector widths in one group fail loudly") {
     val df = Seq((0, Seq(1.0f)), (0, Seq(1.0f, 2.0f))).toDF("label", "embedding")
     val e = intercept[Exception](VectorAgg.centroids(df, "label", "embedding").collect())
