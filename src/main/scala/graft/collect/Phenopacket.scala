@@ -163,6 +163,12 @@ object PhenopacketJson {
   sealed trait J
   final case class JStr(s: String) extends J
   final case class JNum(d: Double, isInt: Boolean) extends J
+  /** Exact integer node: longs must NOT round-trip through JNum's
+    * Double (values above 2^53 — a VCF pos, a day count — would render
+    * rounded, and the `l.toDouble == n.d` integrality check would
+    * accept the rounded value as exact).
+    */
+  final case class JInt(l: Long) extends J
   final case class JBool(b: Boolean) extends J
   final case class JObj(fields: Seq[(String, J)]) extends J
   final case class JArr(items: Seq[J]) extends J
@@ -170,7 +176,7 @@ object PhenopacketJson {
 
   private def str(s: String): J = JStr(s)
   private def num(d: Double): J = JNum(d, isInt = false)
-  private def int(l: Long): J = JNum(l.toDouble, isInt = true)
+  private def int(l: Long): J = JInt(l)
   private def bool(b: Boolean): J = JBool(b)
   private def opt[A](o: Option[A])(f: A => J): J = o.fold[J](JOmit)(f)
   private def obj(fields: (String, J)*): J =
@@ -309,6 +315,7 @@ object PhenopacketJson {
     def compact(j: J): String = j match {
       case JStr(s)     => "\"" + escape(s) + "\""
       case n: JNum     => numRepr(n)
+      case JInt(l)     => l.toString
       case JBool(b)    => b.toString
       case JObj(fs)    => fs.map { case (k, v) => "\"" + escape(k) + "\":" + compact(v) }.mkString("{", ",", "}")
       case JArr(items) => items.map(compact).mkString("[", ",", "]")

@@ -17,13 +17,20 @@ import scala.jdk.CollectionConverters._
   */
 object ConfigLoader {
 
+  /** `ordinal` = the source's position in the config's single ordered
+    * `data_sources` list. The decode splits the list by type, but fact
+    * provenance sorts by data-source REGISTRATION order (Facts.scala) —
+    * the reference iterates the configured list in order, so a mixed
+    * csv/excel config must reassemble that order, not csvs-then-excels.
+    */
   final case class CsvDataSource(
       source: String, separator: String, hasHeaders: Boolean,
-      patientsAreRows: Boolean, tableContext: TableContext)
+      patientsAreRows: Boolean, tableContext: TableContext, ordinal: Int = 0)
   final case class ExcelSheet(
       sheetName: String, hasHeaders: Boolean, patientsAreRows: Boolean,
       tableContext: TableContext)
-  final case class ExcelDataSource(source: String, sheets: Seq[ExcelSheet])
+  final case class ExcelDataSource(source: String, sheets: Seq[ExcelSheet],
+      ordinal: Int = 0)
 
   final case class LoaderConfig(outputDir: String, createDir: Boolean)
   final case class ResourceConfig(
@@ -95,29 +102,34 @@ object ConfigLoader {
     // Every source must declare its type — a missing/typo'd 'type'
     // would otherwise silently drop the whole table from the pipeline.
     sources.foreach(s => req(s, "type"))
-    val csvs = sources.filter(s => text(s, "type").contains("csv")).map { s =>
-      CsvDataSource(
-        source = req(s, "source"),
-        separator = text(s, "separator").getOrElse(","),
-        hasHeaders = bool(s, "has_headers", default = true),
-        patientsAreRows = bool(s, "patients_are_rows", default = true),
-        tableContext = TableContext(
-          name = text(s, "name").getOrElse(req(s, "source")),
-          seriesContexts = arr(s, "series_contexts").map(seriesContext(_, baseDir))))
-    }
-    val excels = sources.filter(s => text(s, "type").contains("excel")).map { s =>
-      ExcelDataSource(
-        source = req(s, "source"),
-        sheets = arr(s, "sheets").map { sh =>
-          ExcelSheet(
-            sheetName = req(sh, "sheet_name"),
-            hasHeaders = bool(sh, "has_headers", default = true),
-            patientsAreRows = bool(sh, "patients_are_rows", default = true),
-            tableContext = TableContext(
-              name = req(sh, "sheet_name"),
-              seriesContexts = arr(sh, "series_contexts").map(seriesContext(_, baseDir))))
-        })
-    }
+    val indexed = sources.zipWithIndex
+    val csvs = indexed.filter { case (s, _) => text(s, "type").contains("csv") }
+      .map { case (s, i) =>
+        CsvDataSource(
+          source = req(s, "source"),
+          separator = text(s, "separator").getOrElse(","),
+          hasHeaders = bool(s, "has_headers", default = true),
+          patientsAreRows = bool(s, "patients_are_rows", default = true),
+          tableContext = TableContext(
+            name = text(s, "name").getOrElse(req(s, "source")),
+            seriesContexts = arr(s, "series_contexts").map(seriesContext(_, baseDir))),
+          ordinal = i)
+      }
+    val excels = indexed.filter { case (s, _) => text(s, "type").contains("excel") }
+      .map { case (s, i) =>
+        ExcelDataSource(
+          source = req(s, "source"),
+          sheets = arr(s, "sheets").map { sh =>
+            ExcelSheet(
+              sheetName = req(sh, "sheet_name"),
+              hasHeaders = bool(sh, "has_headers", default = true),
+              patientsAreRows = bool(sh, "patients_are_rows", default = true),
+              tableContext = TableContext(
+                name = req(sh, "sheet_name"),
+                seriesContexts = arr(sh, "series_contexts").map(seriesContext(_, baseDir))))
+          },
+          ordinal = i)
+      }
     val unknownTypes = sources.flatMap(s => text(s, "type")).filterNot(Set("csv", "excel"))
     require(unknownTypes.isEmpty, s"unknown data source type(s): ${unknownTypes.mkString(", ")}")
 
@@ -358,7 +370,7 @@ object ConfigLoader {
     * "Smith, John" key into two wrong fields and silently corrupt the
     * alias map.
     */
-  private def splitCsvLine(line: String): IndexedSeq[String] = {
+  private[config] def splitCsvLine(line: String): IndexedSeq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false

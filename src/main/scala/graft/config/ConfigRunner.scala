@@ -47,15 +47,20 @@ object ConfigRunner {
   }
 
   def extractAll(spark: SparkSession, cfg: ConfigLoader.GraftConfig): Seq[Cdf] = {
+    // Reassemble the config's single ordered data_sources list: fact
+    // provenance sorts by data-source registration order (Facts.scala),
+    // so a csvs-then-excels concat would silently reorder packet
+    // contents for mixed-type configs relative to the configured (and
+    // reference) order.
     val csvs = cfg.csvSources.map { s =>
-      CsvSource.extract(spark, CsvSourceConfig(
-        s.source, s.tableContext, s.separator, s.hasHeaders, s.patientsAreRows))
+      s.ordinal -> Seq(CsvSource.extract(spark, CsvSourceConfig(
+        s.source, s.tableContext, s.separator, s.hasHeaders, s.patientsAreRows)))
     }
-    val excels = cfg.excelSources.flatMap { e =>
-      ExcelSource.extract(spark, e.source, e.sheets.map(sh =>
+    val excels = cfg.excelSources.map { e =>
+      e.ordinal -> ExcelSource.extract(spark, e.source, e.sheets.map(sh =>
         ExcelSheetConfig(sh.sheetName, sh.tableContext, sh.hasHeaders, sh.patientsAreRows)))
     }
-    csvs ++ excels
+    (csvs ++ excels).sortBy(_._1).flatMap(_._2)
   }
 
   def buildLibrary(cfg: ConfigLoader.GraftConfig): BiDictLibrary =
@@ -90,12 +95,16 @@ object ConfigRunner {
         offline = library, cacheSize = r.cacheSize, ratePerSec = r.ratePerSec)
     }
 
-  /** `id,label,synonyms` CSV; synonyms `|`-separated. */
+  /** `id,label,synonyms` CSV; synonyms `|`-separated. RFC-4180 quoting
+    * via [[ConfigLoader.splitCsvLine]] — a naive split(",") would shear
+    * a quoted "Seizure, generalized" label into two fields and build
+    * the dictionary with a corrupt label that every lookup then misses.
+    */
   def loadTerms(path: String): Seq[(String, String, Seq[String])] = {
     val lines = Files.readAllLines(Paths.get(path)).asScala.toSeq.filter(_.trim.nonEmpty)
     val body = if (lines.headOption.exists(_.toLowerCase.startsWith("id,"))) lines.tail else lines
     body.map { l =>
-      val parts = l.split(",", -1).map(_.trim)
+      val parts = ConfigLoader.splitCsvLine(l)
       require(parts.length >= 2, s"terms file $path: bad line '$l'")
       (parts(0), parts(1),
         parts.lift(2).map(_.split("\\|").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty))

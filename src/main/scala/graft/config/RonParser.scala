@@ -165,6 +165,9 @@ object RonParser {
           case _ => fail("map keys must be strings or identifiers")
         }
         ws(); expect(':')
+        // serde rejects duplicate map keys — last-wins would silently
+        // discard the value the author meant
+        if (obj.has(key)) fail(s"duplicate map key '$key'")
         obj.set[JsonNode](key, value())
         ws()
         if (peek == ',') { i += 1; ws() }
@@ -198,6 +201,8 @@ object RonParser {
         while (peek != ')') {
           val key = ident()
           ws(); expect(':')
+          // serde rejects duplicate struct fields — same stance as maps
+          if (obj.has(key)) fail(s"duplicate struct field '$key'")
           obj.set[JsonNode](key, value())
           ws()
           if (peek == ',') { i += 1; ws() }

@@ -1,6 +1,5 @@
 package graft.config
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
 
 /** Minimal TOML → Jackson tree parser, covering the subset a pipeline
@@ -26,6 +25,10 @@ object TomlParser {
     val root = F.objectNode()
     // Current insertion point (set by table headers).
     var current: ObjectNode = root
+    // Explicitly-defined [table] headers: TOML errors on redefining
+    // one (a copy-pasted duplicate section would otherwise silently
+    // merge). Implicit creation via [a.b] does NOT define [a].
+    val defined = scala.collection.mutable.Set.empty[Seq[String]]
 
     val logical = logicalLines(text)
     logical.foreach { line =>
@@ -42,14 +45,25 @@ object TomlParser {
         val obj = F.objectNode()
         arr.add(obj)
         current = obj
+        // each [[x]] element may re-define its own [x.sub] tables —
+        // they belong to the NEW element, not the previous one
+        defined.filterInPlace(p => !p.startsWith(path))
       } else if (s.startsWith("[") && s.endsWith("]")) {
         val path = keyPath(s.substring(1, s.length - 1).trim)
+        if (!defined.add(path))
+          fail(s"table [${path.mkString(".")}] is defined twice — TOML " +
+            "rejects redefinition; a duplicated section would silently merge")
         current = descend(root, path)
       } else {
         val eq = indexOfTopLevel(s, '=')
         if (eq < 0) fail(s"expected key = value, got: $s")
         val path = keyPath(s.substring(0, eq).trim)
-        val target = descendInto(current, path.init)
+        val target = descend(current, path.init)
+        // TOML rejects assigning one key twice — the LAST value would
+        // otherwise silently win over the one the author meant.
+        if (target.has(path.last))
+          fail(s"duplicate key '${path.mkString(".")}' — the earlier " +
+            "value would be silently overwritten")
         target.set[ObjectNode](path.last, value(s.substring(eq + 1).trim))
         ()
       }
@@ -123,13 +137,23 @@ object TomlParser {
     -1
   }
 
-  /** Dotted key path, honoring quoted segments. */
+  /** Dotted key path, honoring quoted segments. Basic-string (`"…"`)
+    * segments decode escapes — without that, `"a\"b"` would terminate
+    * at the escaped quote and silently yield the wrong key — and an
+    * unbalanced quote at end-of-key fails instead of being ignored.
+    */
   private def keyPath(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0; val cur = new StringBuilder; var inB = false; var inL = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inB) { if (c == '"') inB = false else cur.append(c) }
+      if (inB) {
+        if (c == '\\') {
+          val (decoded, next) = decodeEscape(s, i)
+          cur.append(decoded); i = next - 1
+        } else if (c == '"') inB = false
+        else cur.append(c)
+      }
       else if (inL) { if (c == '\'') inL = false else cur.append(c) }
       else c match {
         case '"'  => inB = true
@@ -139,6 +163,7 @@ object TomlParser {
       }
       i += 1
     }
+    if (inB || inL) fail(s"unbalanced quote in key '$s'")
     parts += cur.result().trim
     val path = parts.toSeq
     require(path.forall(_.nonEmpty), s"bad key '$s'")
@@ -159,20 +184,17 @@ object TomlParser {
       }
     }
 
-  private def descendInto(node: ObjectNode, path: Seq[String]): ObjectNode =
-    descend(node, path)
-
   private[config] def value(s: String): com.fasterxml.jackson.databind.JsonNode = s match {
     case "" => fail("empty value")
     case _ if s.startsWith("\"") =>
       // The closing quote must END the value — trailing tokens after it
-      // (`name = "a" "b"`) are rejected, not silently dropped (Jackson
-      // alone would parse the first string and ignore the rest).
+      // (`name = "a" "b"`) are rejected, not silently dropped.
       require(s.length >= 2 && closingQuoteIndex(s) == s.length - 1,
         s"malformed string value: $s")
-      // Jackson understands JSON string escapes, a superset match for
-      // the TOML basic-string escapes used in configs.
-      new ObjectMapper().readTree(s)
+      // Genuine TOML basic-string decoding (NOT delegated to a JSON
+      // parser, which rejects valid TOML content: a literal tab inside
+      // the string, and the core \UXXXXXXXX 8-hex-digit escape).
+      F.textNode(unescapeBasic(s.substring(1, s.length - 1)))
     case _ if s.startsWith("'") =>
       require(s.endsWith("'") && s.length >= 2 &&
         s.indexOf('\'', 1) == s.length - 1, s"malformed literal string: $s")
@@ -191,7 +213,10 @@ object TomlParser {
         val eq = indexOfTopLevel(kv, '=')
         require(eq > 0, s"bad inline table entry: $kv")
         val path = keyPath(kv.substring(0, eq).trim)
-        descend(obj, path.init).set[ObjectNode](path.last, value(kv.substring(eq + 1).trim))
+        val target = descend(obj, path.init)
+        if (target.has(path.last))
+          fail(s"duplicate key '${path.mkString(".")}' in inline table: $s")
+        target.set[ObjectNode](path.last, value(kv.substring(eq + 1).trim))
       }
       obj
     case _ =>
@@ -220,6 +245,47 @@ object TomlParser {
     }
     out += s.substring(start)
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Decode the escape sequence at `s(i) == '\\'`; returns the decoded
+    * text and the index just past the sequence. The TOML basic-string
+    * escape set: \b \t \n \f \r \" \\ \u (4 hex) \U (8 hex); anything
+    * else fails loudly.
+    */
+  private def decodeEscape(s: String, i: Int): (String, Int) = {
+    if (i + 1 >= s.length) fail(s"dangling escape in: $s")
+    s.charAt(i + 1) match {
+      case 'b'  => ("\b", i + 2)
+      case 't'  => ("\t", i + 2)
+      case 'n'  => ("\n", i + 2)
+      case 'f'  => ("\f", i + 2)
+      case 'r'  => ("\r", i + 2)
+      case '"'  => ("\"", i + 2)
+      case '\\' => ("\\", i + 2)
+      case 'u' =>
+        if (i + 6 > s.length) fail(s"truncated \\u escape in: $s")
+        (String.valueOf(Character.toChars(
+          Integer.parseInt(s.substring(i + 2, i + 6), 16))), i + 6)
+      case 'U' =>
+        if (i + 10 > s.length) fail(s"truncated \\U escape in: $s")
+        (String.valueOf(Character.toChars(
+          Integer.parseInt(s.substring(i + 2, i + 10), 16))), i + 10)
+      case other => fail(s"unsupported escape \\$other in: $s")
+    }
+  }
+
+  /** TOML basic-string body → decoded text. */
+  private[config] def unescapeBasic(body: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\') {
+        val (decoded, next) = decodeEscape(body, i)
+        sb.append(decoded); i = next
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
   }
 
   /** Index of the unescaped closing quote of a basic string starting

@@ -274,6 +274,38 @@ class ConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("row 3"), e.getMessage)
   }
 
+  test("terms csv: quoted comma-containing labels survive; mixed sources keep config order") {
+    val dir = Files.createTempDirectory("graftcfg")
+    val p = write(dir, "terms.csv",
+      "id,label,synonyms\nHP:0001250,\"Seizure, generalized\",fits|convulsions\n")
+    val terms = ConfigRunner.loadTerms(p)
+    assert(terms == Seq(("HP:0001250", "Seizure, generalized",
+      Seq("fits", "convulsions"))))
+
+    // a mixed excel-then-csv config must keep data_sources order in the
+    // decoded ordinals (fact provenance sorts by registration order)
+    write(dir, "d.csv", "Patient ID\nP001\n")
+    val cfgPath = write(dir, "mixed.yaml",
+      s"""data_sources:
+         |  - type: "excel"
+         |    source: "${dir.resolve("x.xlsx")}"
+         |    sheets: []
+         |  - type: "csv"
+         |    source: "${dir.resolve("d.csv")}"
+         |    series_contexts:
+         |      - identifier: "Patient ID"
+         |        context: "SubjectId"
+         |pipeline:
+         |  strategies: []
+         |  loader:
+         |    file_system:
+         |      output_dir: "${dir.resolve("out")}"
+         |""".stripMargin)
+    val cfg = ConfigLoader.load(cfgPath)
+    assert(cfg.excelSources.map(_.ordinal) == Seq(0))
+    assert(cfg.csvSources.map(_.ordinal) == Seq(1))
+  }
+
   test("explicitly-null config booleans fall back to the declared default") {
     val dir = Files.createTempDirectory("graftcfg")
     write(dir, "data.csv", "Patient ID\nP001\n")

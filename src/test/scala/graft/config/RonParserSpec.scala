@@ -73,6 +73,13 @@ class RonParserSpec extends AnyFunSuite {
     assert(n.get("b").asText == "slashes // inside strings kept")
   }
 
+  test("duplicate struct fields and map keys are rejected (serde semantics)") {
+    intercept[IllegalArgumentException](
+      RonParser.parse("(output_dir: \"/a\", output_dir: \"/b\")"))
+    intercept[IllegalArgumentException](
+      RonParser.parse("{\"k\": 1, \"k\": 2}"))
+  }
+
   test("junk is rejected loudly") {
     assertThrows[IllegalArgumentException](parse("""(a: 1) trailing"""))
     assertThrows[IllegalArgumentException](parse("""(a: )"""))

@@ -90,6 +90,43 @@ class TomlParserSpec extends AnyFunSuite {
     assert(n.at("/m/c/d").asBoolean)
   }
 
+  test("duplicate keys and redefined tables fail loudly (TOML semantics, not last-wins)") {
+    // a copy-pasted duplicate assignment must not silently drop the
+    // value the author meant
+    intercept[IllegalArgumentException](parse("a = 1\na = 2"))
+    intercept[IllegalArgumentException](parse("[t]\nx = 1\nx = 2"))
+    intercept[IllegalArgumentException](parse("[t]\na = 1\n[t]\nb = 2"))
+    intercept[IllegalArgumentException](parse("""m = { a = 1, a = 2 }"""))
+    // but each [[x]] element may define its own [x.sub] table
+    val n = parse(
+      """[[f]]
+        |[f.p]
+        |c = "red"
+        |[[f]]
+        |[f.p]
+        |c = "blue"
+        |""".stripMargin)
+    assert(n.at("/f/0/p/c").asText == "red" && n.at("/f/1/p/c").asText == "blue")
+    // and a super-table implicitly created by [a.b] may be defined later
+    val m = parse("[a.b]\nx = 1\n[a]\ny = 2")
+    assert(m.at("/a/b/x").asInt == 1 && m.at("/a/y").asInt == 2)
+  }
+
+  test("basic strings: literal tab, \\u and \\U escapes, escaped-quote keys") {
+    // a literal tab is VALID inside a TOML basic string (a JSON parser
+    // rejects it); \UXXXXXXXX is core TOML
+    val n = parse("a = \"col\tA\"\nb = \"\\u0041\\U0001F600\"")
+    assert(n.get("a").asText == "col\tA")
+    assert(n.get("b").asText == "A" + new String(Character.toChars(0x1F600)))
+    // an escaped quote inside a quoted key is part of the KEY
+    val k = parse("\"a\\\"b\" = 1")
+    assert(k.get("a\"b").asInt == 1)
+    // unbalanced quote in a key fails instead of being ignored
+    intercept[IllegalArgumentException](parse("\"a = 1"))
+    // unknown escapes fail, not pass through
+    intercept[IllegalArgumentException](parse("""a = "\q""""))
+  }
+
   test("unsupported syntax fails loudly, never mis-parses") {
     intercept[IllegalArgumentException](parse("a = 1979-05-27")) // dates unsupported
     intercept[IllegalArgumentException](parse("just a line"))
