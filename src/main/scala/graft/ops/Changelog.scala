@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CDC changelog compaction: collapse an upsert/delete event log into
@@ -34,8 +34,17 @@ object Changelog {
     require(missing.isEmpty, s"changelog is missing column(s): ${missing.mkString(", ")}")
     require(!payload.contains(idCol) && !payload.contains(seqCol) && !payload.contains(opCol),
       "payload must not repeat the id/seq/op columns")
+    // max_by SKIPS rows whose ordering value is null: a null-seq delete
+    // would be silently dropped, and an id whose events ALL have null
+    // seq would emit a phantom all-null snapshot row that exists in no
+    // input event. An unordered event has no place in a changelog —
+    // fail loudly (same stance as the SpanDedup duplicate-id guard).
+    val seq = when(col(seqCol).isNull,
+      raise_error(concat(lit(s"changelog compact: null $seqCol for id "),
+        coalesce(col(idCol).cast("string"), lit("NULL")),
+        lit(" — events must carry a total order")))).otherwise(col(seqCol))
     log.groupBy(col(idCol))
-      .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol)).as("__last"))
+      .agg(max_by(struct((opCol +: payload).map(col): _*), seq).as("__last"))
       // null-safe: a NULL op is "not a delete", not "discard the id"
       .filter(!(col("__last").getField(opCol) <=> lit(deleteOp)))
       .select(col(idCol) +: payload.map(c => col("__last").getField(c).as(c)): _*)
@@ -66,11 +75,35 @@ object Changelog {
       idCol: String,
       contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "diff needs at least one content column")
+    // eager validation, like every sibling op here — a typo'd column
+    // must not surface as a deep Catalyst UNRESOLVED_COLUMN error
+    for ((df, side) <- Seq(oldDf -> "old", newDf -> "new")) {
+      val missing = (idCol +: contentCols).filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"$side snapshot is missing column(s): ${missing.mkString(", ")}")
+    }
+    require(idCol != "__old_fp" && idCol != "__new_fp",
+      "reserved column name collision (__old_fp/__new_fp)")
+    // Per-column digest by TYPE: a string cast of an array/map/struct
+    // is ambiguous (Array("a, b") and Array("a","b") both render
+    // "[a, b]") and an invalid-UTF8 binary is lossy — either would let
+    // distinct values collide and classify a changed row "unchanged".
+    // Binary digests directly; complex types digest their JSON
+    // rendering (element-exact); atomics keep the string cast.
+    def colDigest(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.BinaryType =>
+          md5(coalesce(col(c), lit(Array.emptyByteArray)))
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType =>
+          md5(coalesce(to_json(col(c)), lit("")))
+        case _ =>
+          md5(coalesce(col(c).cast("string"), lit("")))
+      }
     def digested(df: DataFrame, name: String) = df.select(
       col(idCol),
-      md5(concat(
-        contentCols.map(c => md5(coalesce(col(c).cast("string"), lit("")))): _*))
-        .as(name))
+      md5(concat(contentCols.map(c => colDigest(df, c)): _*)).as(name))
     val o = digested(oldDf, "__old_fp")
     val n = digested(newDf, "__new_fp")
     o.join(n, Seq(idCol), "full_outer")

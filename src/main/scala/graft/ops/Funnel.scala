@@ -137,19 +137,22 @@ object Funnel {
     // the epoch into one cohort for pre-1970 data (and disagree with
     // DuckDB's `//`, which floors). pmod is the positive modulus, so
     // (x - pmod(x, n)) DIV n == floor(x / n) with no float en route.
+    // The expr() operates on FIXED internal aliases only — a user
+    // column name never reaches the SQL string (a legal name containing
+    // a backtick would otherwise break or shift the parse).
     def period(name: String): Column = {
       val n = periodSeconds * 1000000L
-      expr(s"(unix_micros(`$name`) - pmod(unix_micros(`$name`), $n)) DIV $n")
+      expr(s"(unix_micros($name) - pmod(unix_micros($name), $n)) DIV $n")
     }
 
     val first = events.groupBy(col(keyCol))
       .agg(min(col(timeCol)).as("__first_ts"))
-    events.select(col(keyCol), col(timeCol))
-      .join(first, keyCol)
-      .select(col(keyCol),
+    events.select(col(keyCol).as("__ret_k"), col(timeCol).as("__ret_t"))
+      .join(first.select(col(keyCol).as("__ret_k"), col("__first_ts")), "__ret_k")
+      .select(col("__ret_k"),
         period("__first_ts").as("cohort"),
-        (period(timeCol) - period("__first_ts")).as("period_offset"))
+        (period("__ret_t") - period("__first_ts")).as("period_offset"))
       .groupBy(col("cohort"), col("period_offset"))
-      .agg(countDistinct(col(keyCol)).as("n_active"))
+      .agg(countDistinct(col("__ret_k")).as("n_active"))
   }
 }

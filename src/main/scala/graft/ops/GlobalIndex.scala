@@ -113,7 +113,17 @@ object GlobalIndex {
       val offs = bcOffsets.value
       rows.map { r =>
         val pid = r.getInt(pidIdx)
-        val i = counters.getOrElse(pid, offs.getOrElse(pid, 0L)) + 1
+        // A pid absent from the count job means the cache drifted (a
+        // lost block recomputed from a nondeterministic upstream):
+        // falling back to offset 0 would silently duplicate partition
+        // 0's id range. Fail loudly instead.
+        val base = counters.get(pid).orElse(offs.get(pid)).getOrElse(
+          throw new IllegalStateException(
+            s"global index: range partition $pid holds rows but had none " +
+              "during the count job — the cached partitioning drifted " +
+              "(nondeterministic upstream recomputation?); re-run with a " +
+              "deterministic input or materialize it first"))
+        val i = base + 1
         counters(pid) = i
         val vals = r.toSeq
         Row.fromSeq(vals.take(pidIdx) ++ vals.drop(pidIdx + 1) :+ i)

@@ -65,8 +65,18 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    // Size from the DATA files only: getContentSummary of the whole
+    // directory also counts _SUCCESS, checksum files and leftover
+    // _temporary artifacts, inflating the plan. Same visibility rule
+    // as the parquet scan itself (skip _-/.-prefixed entries).
+    def dataBytes(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).iterator.map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (st.isDirectory) dataBytes(st.getPath)
+        else st.getLen
+      }.sum
+    val totalBytes = dataBytes(new org.apache.hadoop.fs.Path(inPath))
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val src = spark.read.parquet(inPath)
     val scanParts = src.rdd.getNumPartitions
@@ -74,6 +84,15 @@ object Layout {
       if (files <= scanParts) src.coalesce(files)
       else src.repartition(files)
     sized.write.mode(SaveMode.Overwrite).parquet(outPath)
-    files
+    // Report what was actually WRITTEN (empty upstream partitions can
+    // produce fewer part files than planned), not the planned target —
+    // callers verify compaction against this number.
+    val outFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outPath), spark.sparkContext.hadoopConfiguration)
+    outFs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
   }
 }

@@ -43,11 +43,18 @@ object Sessionize {
     val reserved = Seq("__sess_brk", "session_idx")
     reserved.foreach(r => require(!df.columns.contains(r),
       s"input must not contain reserved column $r"))
+    // A null timestamp has no place on a session timeline: it sorts
+    // FIRST under the window order, its lag(unix_micros) is null, so
+    // every null-ts row would fire the prev.isNull break — phantom
+    // singleton sessions that shift session_idx for all the entity's
+    // real events, silently. Exclude them (the TemporalJoin null-time
+    // stance: an unordered event cannot be placed).
+    val timed = df.filter(col(tsCol).isNotNull)
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     val us: Column = unix_micros(col(tsCol))
     val prev = lag(us, 1).over(w)
     val brk = when(prev.isNull || us - prev > gapMicros, 1L).otherwise(0L)
-    df.withColumn("__sess_brk", brk)
+    timed.withColumn("__sess_brk", brk)
       .withColumn("session_idx",
         sum(col("__sess_brk")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -24,22 +24,27 @@ object SkewJoin {
     // Right/full outer would emit every unmatched right row once per
     // salt replica — the salt stops being invisible. Flip the sides for
     // a right-skewed outer join instead.
-    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
-    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
-        allowed.contains(joinType.toLowerCase),
-      s"saltedJoin supports inner/left/left_semi join types, got '$joinType'")
+    requireSupportedJoinType("saltedJoin", joinType)
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "reserved column name collision (__salt)")
     // The salt must be DETERMINISTIC per row: monotonically_increasing_id
     // (or rand) changes on stage retry when the left input is itself a
     // shuffle output — a fetch-failure recompute re-salts rows into
     // different (key, salt) reduce partitions, duplicating or losing
-    // join rows (the SPARK-23207 class of bug). Hash the full row
-    // content instead: stable across retries; rows identical in every
+    // join rows (the SPARK-23207 class of bug). Hash the row content
+    // instead: stable across retries; rows identical in every hashed
     // column share a bucket, which skews only for degenerate
-    // all-duplicate inputs.
+    // all-duplicate inputs. Map-typed columns are excluded — hash() on
+    // maps is disallowed (SPARK-27619) and would fail a join that is
+    // otherwise legal; the salt only needs determinism, not full-row
+    // coverage.
+    val hashCols = left.schema.fields
+      .filter(f => hashableType(f.dataType)).map(f => col(f.name))
+    require(hashCols.nonEmpty,
+      "saltedJoin: left side has no hashable (non-map) column to derive " +
+        "a deterministic salt from")
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets)))
+      pmod(xxhash64(hashCols.toIndexedSeq: _*), lit(saltBuckets)))
     val saltedRight = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedLeft
@@ -92,14 +97,26 @@ object SkewJoin {
     require(hotKeys > 0, "hotKeys must be positive")
     // validate BEFORE the recon collect — an unsupported joinType must
     // fail instantly, not after a corpus-sized aggregation job
-    requireSupportedJoinType(joinType)
+    requireSupportedJoinType("hotKeyJoin", joinType)
     splitJoin(left, right, keys, reconHotKeys(left, keys, hotKeys), joinType)
   }
 
-  private def requireSupportedJoinType(joinType: String): Unit = {
+  /** Whether hash()/xxhash64() accepts the type (maps are disallowed,
+    * SPARK-27619, including nested inside arrays/structs).
+    */
+  private def hashableType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashableType(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashableType(f.dataType))
+      case _ => true
+    }
+
+  private def requireSupportedJoinType(op: String, joinType: String): Unit = {
     val allowed = Set("inner", "left", "leftouter", "leftsemi")
     require(allowed.contains(joinType.toLowerCase.replace("_", "")),
-      s"hotKeyJoin supports inner/left/left_semi join types, got '$joinType'")
+      s"$op supports inner/left/left_semi join types, got '$joinType'")
   }
 
   /** The recon half of [[hotKeyJoin]]: the `hotKeys` most frequent key
@@ -129,7 +146,7 @@ object SkewJoin {
   def splitJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       hotRows: Array[Row], joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
-    requireSupportedJoinType(joinType)
+    requireSupportedJoinType("hotKeyJoin", joinType)
     if (hotRows.isEmpty) return left.join(right, keys, joinType)
     // literal predicate: OR over hot tuples of AND over key equalities —
     // codegen'd map-side filter, no extra shuffle on either side. For
@@ -150,6 +167,12 @@ object SkewJoin {
       .join(broadcast(right.filter(hotPred)), keys, joinType)
     val cold = left.filter(!coalesce(hotPred, lit(false)))
       .join(right, keys, joinType)
-    hot.unionByName(cold)
+    // POSITIONAL union: both branches are the same join shape over the
+    // same schemas, so their output column order is identical by
+    // construction — and unlike unionByName this keeps the documented
+    // identity with the plain join when left and right share a non-key
+    // column name (the plain join emits both; unionByName would throw
+    // on the duplicate name, AFTER the recon aggregation already ran).
+    hot.union(cold)
   }
 }

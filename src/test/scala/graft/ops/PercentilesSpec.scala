@@ -51,11 +51,14 @@ class PercentilesSpec extends SparkSpec {
 
   test("exactDiscreteManaged equals exactDiscrete and releases its pin") {
     val df = Seq(("g", 3.0, 1L), ("g", 1.0, 2L), ("g", 2.0, 3L)).toDF("g", "v", "id")
+    // other suites share the session — assert on the DELTA of cached
+    // RDDs, not the global set
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (res, cleanup) = Percentiles.exactDiscreteManaged(df, "g", "v", Seq("id"),
       Seq("p50" -> 0.5))
     assert(res.as[(String, Double)].collect().toSeq == Seq(("g", 2.0)))
     cleanup()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
   test("degenerate shapes: constant column, single-row group, p100") {

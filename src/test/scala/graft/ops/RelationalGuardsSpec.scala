@@ -105,6 +105,68 @@ class RelationalGuardsSpec extends SparkSpec {
     assert(st === "changed")
   }
 
+  test("snapshotDiff digests complex and binary columns exactly, not via lossy string casts") {
+    // Array("a, b") vs Array("a", "b") both render "[a, b]" under a
+    // string cast — a changed row would classify "unchanged"
+    val o = Seq((1L, Seq("a, b"))).toDF("id", "tags")
+    val n = Seq((1L, Seq("a", "b"))).toDF("id", "tags")
+    assert(Changelog.snapshotDiff(o, n, "id", Seq("tags"))
+      .select("status").as[String].head() === "changed")
+    // binary content diffs byte-exactly
+    val ob = Seq((1L, Array[Byte](1, 2))).toDF("id", "payload")
+    val nb = Seq((1L, Array[Byte](1, 3))).toDF("id", "payload")
+    assert(Changelog.snapshotDiff(ob, nb, "id", Seq("payload"))
+      .select("status").as[String].head() === "changed")
+    // typo'd content column fails eagerly with the column name
+    val e = intercept[IllegalArgumentException](
+      Changelog.snapshotDiff(ob, nb, "id", Seq("payloda")))
+    assert(e.getMessage.contains("payloda"))
+  }
+
+  test("changelog compact fails loudly on a null sequence instead of dropping the event") {
+    // max_by skips null orderings: a null-seq DELETE would be silently
+    // dropped and an all-null-seq id would emit a phantom row
+    val log = Seq((7L, java.lang.Long.valueOf(1L), "U", "x"),
+        (7L, null.asInstanceOf[java.lang.Long], "D", null))
+      .toDF("id", "seq", "op", "v")
+    val e = intercept[Exception](
+      Changelog.compact(log, "id", "seq", "op", Seq("v")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null seq")), msgs(e).mkString(" | "))
+  }
+
+  test("sessionize excludes null timestamps instead of minting phantom sessions") {
+    val df = Seq(
+      ("u", Some("2024-01-01 10:00:00"), 1L),
+      ("u", None, 2L), // no place on the timeline
+      ("u", Some("2024-01-01 10:05:00"), 3L))
+      .toDF("k", "s", "t").withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val out = Sessionize.sessionize(df, "k", "ts", "t", 30L * 60 * 1000000)
+      .select("t", "session_idx").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L)) // one real session, no phantoms
+  }
+
+  test("splitJoin keeps plain-join identity when the sides share a non-key column name") {
+    val left = Seq((1L, "l1"), (2L, "l2"), (2L, "l2b")).toDF("k", "v")
+    val right = Seq((1L, "r1"), (2L, "r2")).toDF("k", "v")
+    val hot = SkewJoin.reconHotKeys(left, Seq("k"), 1)
+    val got = SkewJoin.splitJoin(left, right, Seq("k"), hot)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = left.join(right, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === want)
+  }
+
+  test("saltedJoin tolerates map-typed payload columns (hash() rejects maps)") {
+    val left = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .withColumn("attrs", map(lit("x"), lit("y")))
+    val right = Seq((1L, "R1"), (2L, "R2")).toDF("rk", "w")
+    val out = SkewJoin.saltedJoin(left, right, "k", "rk", saltBuckets = 4)
+      .select("k", "v", "w").as[(Long, String, String)].collect().toSet
+    assert(out === Set((1L, "a", "R1"), (2L, "b", "R2")))
+  }
+
   test("exact percentiles reject non-numeric value columns eagerly") {
     val df = Seq(("g", "9"), ("g", "10"), ("g", "50")).toDF("grp", "v")
     val e = intercept[IllegalArgumentException] {
