@@ -426,6 +426,51 @@ object Similarity {
     * into [-1, 1]. Driver-sized (tables × bits × dim doubles); identical
     * on every run and executor.
     */
+  /** Chosen sign-LSH shape and its predicted behavior: `bits` per
+    * table, `tables` tables, the expected MEAN bucket size under
+    * uniform occupancy, and the candidate-recall at the threshold.
+    */
+  final case class SignBitPlan(
+      bits: Int, tables: Int, expectedBucket: Double, recallAtThreshold: Double)
+
+  /** Size the sign-LSH shape for a corpus — the [[Dedup.planBands]]
+    * analogue for [[embeddingNearDupLsh]]/[[lshTopK]]: in-bucket
+    * pairing is quadratic in bucket size, so `bits` must GROW with the
+    * corpus (bits ≈ log2(N / targetBucket)); a shape tuned at small
+    * scale (few bits → giant buckets) degrades superlinearly at 10×
+    * the data and at 100 TB every bucket overruns `maxBucket` and is
+    * dropped. `tables` is then the recall knob: one table's collision
+    * probability for a pair at cosine `threshold` is (1 − θ/π)^bits
+    * (Goemans–Williamson hyperplane rounding), and tables are chosen
+    * so 1 − (1 − p)^tables ≥ `targetRecall`, capped at `maxTables`
+    * (the cap is reported honestly in `recallAtThreshold`).
+    *
+    * The uniform-occupancy assumption is OPTIMISTIC for real
+    * embeddings (semantic clusters skew buckets); the `maxBucket` drop
+    * cap remains the hard guard — this plans the center of the
+    * distribution, not the tail. Driver-side arithmetic; call once and
+    * pass the result to the corpus-scale ops.
+    */
+  def planSignBits(corpusSize: Long, threshold: Double,
+      targetBucket: Int = 4096, targetRecall: Double = 0.9,
+      maxTables: Int = 64): SignBitPlan = {
+    require(corpusSize > 0, "corpusSize must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(targetBucket > 1, "targetBucket must be > 1")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0, 1)")
+    require(maxTables >= 1, "maxTables must be >= 1")
+    val bits = math.max(1, math.min(30,
+      math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt))
+    val theta = math.acos(threshold)
+    val pTable = math.pow(1 - theta / math.Pi, bits)
+    val tables =
+      if (pTable >= 1 - 1e-12) 1
+      else math.max(1, math.min(maxTables,
+        math.ceil(math.log(1 - targetRecall) / math.log(1 - pTable)).toInt))
+    val recall = 1 - math.pow(1 - pTable, tables)
+    SignBitPlan(bits, tables, corpusSize.toDouble / (1L << bits), recall)
+  }
+
   def lshPlanes(dim: Int, bits: Int, tables: Int, seed: Int): Array[Array[Array[Double]]] =
     Array.tabulate(tables, bits) { (t, b) =>
       Array.tabulate(dim) { d =>

@@ -63,6 +63,32 @@ class SimilarityGuardsSpec extends SparkSpec {
     assert(r2.count() === 0L)
   }
 
+  test("planSignBits sizes bits with the corpus and tables with the recall target") {
+    // 1M docs / 4096-target buckets → ceil(log2(244.1)) = 8 bits;
+    // at cosine 0.8: θ/π = 0.20483, p_table = 0.79517^8 = 0.16017,
+    // tables = ceil(ln 0.1 / ln 0.83983) = 14
+    val p = Similarity.planSignBits(1000000L, threshold = 0.8)
+    assert(p.bits == 8 && p.tables == 14)
+    assert(p.recallAtThreshold >= 0.9 && p.expectedBucket <= 4096.0)
+    // 100× the corpus → ~7 more bits; the recall target then needs
+    // more tables than the default cap allows (reported honestly), and
+    // raising the cap restores it
+    val big = Similarity.planSignBits(100000000L, threshold = 0.8)
+    assert(big.bits > p.bits && big.tables == 64 && big.recallAtThreshold < 0.9)
+    val wide = Similarity.planSignBits(100000000L, threshold = 0.8, maxTables = 128)
+    assert(wide.recallAtThreshold >= 0.9)
+    // an unreachable recall under maxTables is reported honestly
+    val capped = Similarity.planSignBits(1000000L, threshold = 0.4,
+      targetRecall = 0.99, maxTables = 4)
+    assert(capped.tables == 4 && capped.recallAtThreshold < 0.99)
+    // the planned shape feeds the real op and still finds near-dups
+    val df = corpus.toDF("vec_id", "embedding")
+    val tiny = Similarity.planSignBits(4L, threshold = 0.9, targetBucket = 2)
+    val pairs = Similarity.embeddingNearDupLsh(df, "vec_id", "embedding",
+      threshold = 0.9, bits = tiny.bits, tables = tiny.tables)
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "cos_sim"))
+  }
+
   test("hashSample at fraction 1.0 keeps every row (no ffffffff cap)") {
     assert(Sampling.samplePredicate(lit("x"), 1.0).toString === "true",
       "fraction 1.0 must short-circuit, not compare against ffffffff")
