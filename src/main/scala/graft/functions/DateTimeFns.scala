@@ -40,7 +40,13 @@ object DateTimeFns {
     val d = diff.getField("days")
     def part(v: Column, unit: String): Column =
       when(v > 0, concat(v.cast("string"), lit(unit))).otherwise(lit(""))
-    when(y === 0 && m === 0 && d === 0, lit("P0Y"))
+    // a NEGATIVE difference (end before start) renders null, matching
+    // CalendarAgeIso — dropping the negative components would emit the
+    // bare invalid string "P" (which iso8601DurationRegex itself
+    // rejects) or a silently truncated duration
+    when(y < 0 || (y === 0 && (m < 0 || (m === 0 && d < 0))),
+        lit(null).cast("string"))
+      .when(y === 0 && m === 0 && d === 0, lit("P0Y"))
       .otherwise(concat(lit("P"), part(y, "Y"), part(m, "M"), part(d, "D")))
   }
 

@@ -56,18 +56,32 @@ object IsoDurationSeconds {
 
   def eval(s: UTF8String): Any = evalBoxed(s)
 
-  /** Boxed variant for generated code (null = unparseable). */
+  /** Boxed variant for generated code (null = unparseable). A
+    * regex-valid component too large for a Long (or a sum overflowing
+    * one) is also null — the documented "null for non-ISO-8601"
+    * contract must not turn into an uncaught NumberFormatException
+    * killing the task, nor a silent negative wrap.
+    */
   def evalBoxed(s: UTF8String): java.lang.Long = {
     if (s == null) return null
     Re.findFirstMatchIn(s.toString.trim) match {
       case None => null
       case Some(m) =>
-        def g(i: Int): Long = Option(m.group(i)).map(_.toLong).getOrElse(0L)
-        val secs = g(1) * SecondsPerYear + g(2) * SecondsPerMonth +
-          g(3) * 7L * 86400L + g(4) * 86400L +
-          g(5) * 3600L + g(6) * 60L +
-          Option(m.group(7)).map(v => math.round(v.toDouble)).getOrElse(0L)
-        java.lang.Long.valueOf(secs)
+        try {
+          def g(i: Int): Long = Option(m.group(i)).map(_.toLong).getOrElse(0L)
+          val secs = Math.addExact(Math.addExact(Math.addExact(
+            Math.addExact(Math.addExact(Math.addExact(
+              Math.multiplyExact(g(1), SecondsPerYear),
+              Math.multiplyExact(g(2), SecondsPerMonth)),
+              Math.multiplyExact(g(3), 7L * 86400L)),
+              Math.multiplyExact(g(4), 86400L)),
+              Math.multiplyExact(g(5), 3600L)),
+              Math.multiplyExact(g(6), 60L)),
+            Option(m.group(7)).map(v => math.round(v.toDouble)).getOrElse(0L))
+          java.lang.Long.valueOf(secs)
+        } catch {
+          case _: NumberFormatException | _: ArithmeticException => null
+        }
     }
   }
 }

@@ -65,7 +65,12 @@ final case class AgeToIso8601Strategy(minAge: Int = 0, maxAge: Int = 150) extend
     // Pass 1: accumulate values that are neither ISO-8601 nor in-range ages.
     val bad = tables.flatMap { cdf =>
       targets(cdf).flatMap { c =>
-        val s = trim(col(c).cast("string"))
+        // Java-trim (all controls + space), not Spark's space-only
+        // trim: tab/CR padding is routine in TSV-derived data and a
+        // padded "P1Y\t" must not abort the run (the sibling
+        // strategies' idiom)
+        val s = regexp_replace(col(c).cast("string"),
+          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
         val yrs = s.try_cast("double")
         cdf.df
           .select(s.as("v"), yrs.as("y"))
@@ -83,7 +88,8 @@ final case class AgeToIso8601Strategy(minAge: Int = 0, maxAge: Int = 150) extend
     // Pass 2: rewrite.
     tables.map { cdf =>
       val df = targets(cdf).foldLeft(cdf.df) { (acc, c) =>
-        val s = trim(col(c).cast("string"))
+        val s = regexp_replace(col(c).cast("string"),
+          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
         val yrs = s.try_cast("double")
         acc.withColumn(c,
           when(col(c).isNull, lit(null).cast("string"))

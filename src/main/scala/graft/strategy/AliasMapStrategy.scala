@@ -41,7 +41,10 @@ object AliasMapStrategy extends Strategy {
 
   /** when-chain over the alias entries; None ⇒ null; miss ⇒ passthrough. */
   private def replaceExpr(c: Column, am: AliasMap): Column = {
-    val trimmed = trim(c)
+    // Java-trim to match AliasMap.normalized's Java-trimmed keys:
+    // Spark's trim strips only U+0020, so a tab/CR-padded cell would
+    // silently bypass the map (the MappingStrategy idiom)
+    val trimmed = regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
     am.entries.foldLeft(Option.empty[Column]) {
       case (acc, (key, alias)) =>
         val v = alias.map(lit(_)).getOrElse(lit(null).cast("string"))

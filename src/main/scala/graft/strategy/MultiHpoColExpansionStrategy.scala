@@ -90,9 +90,11 @@ object MultiHpoColExpansionStrategy extends Strategy {
     block.fold(hpoId)(b => s"$hpoId#$b")
 
   def decodeHeader(header: String): (String, Option[String]) =
-    header.split('#') match {
-      case Array(id)        => (id, None)
-      case Array(id, block) => (id, Some(block))
-      case parts            => (parts(0), Some(parts(1)))
+    // split at the FIRST '#' only: a block id containing '#' must
+    // round-trip through headerFor/decodeHeader, not silently regroup
+    // the observation under a truncated block name
+    header.indexOf('#') match {
+      case -1 => (header, None)
+      case i  => (header.substring(0, i), Some(header.substring(i + 1)))
     }
 }

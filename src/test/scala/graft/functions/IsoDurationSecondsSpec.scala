@@ -27,6 +27,23 @@ class IsoDurationSecondsSpec extends SparkSpec {
       Seq(None, None, None, None))
   }
 
+  test("regex-valid but Long-overflowing components are null, never a crash or a wrap") {
+    assert(viaColumn(Seq(
+      "P99999999999999999999Y", // component itself exceeds Long
+      "P292471208679Y",         // parses, but × SecondsPerYear wraps negative
+      "P1Y")) == Seq(None, None, Some(31557600L)))
+  }
+
+  test("toIso8601 renders a negative calendar diff as null, not the invalid bare 'P'") {
+    import graft.functions.DateTimeFns
+    val df = Seq(("2020-01-01", "2019-01-01"), ("2019-01-01", "2020-01-01"))
+      .toDF("a", "b")
+      .select(DateTimeFns.toIso8601(DateTimeFns.calendarDiff(
+        col("a").cast("date"), col("b").cast("date"))).as("iso"))
+    val got = df.collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(None, Some("P1Y")))
+  }
+
   test("SQL registration via GraftExtensions") {
     GraftExtensions.register(spark)
     val out = spark.sql("SELECT iso_duration_seconds('P45Y10M5D') AS s").head().getLong(0)

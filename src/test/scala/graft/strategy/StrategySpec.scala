@@ -119,6 +119,65 @@ class StrategySpec extends SparkSpec {
     }
   }
 
+  test("T4: unparseable dates error (reference date_to_age.rs:184-187); non-strict keeps raw on missing DOB") {
+    val dob = Seq(("P1", "1990-01-15")).toDF("subject_id", "dob")
+    // a DOB exists, so the garbled onset is a PARSE failure — the
+    // reference accumulates it into the error set regardless of strict
+    val onset = Seq(("P1", "2020/13/45")).toDF("subject_id", "onset")
+    val e = intercept[MappingException] {
+      DateToAgeStrategy(strict = false).transform(Seq(
+        cdf("d", dob, SeriesContext(Identifier.Single("dob"), dataContext = Context.DateOfBirth)),
+        cdf("o", onset, SeriesContext(Identifier.Single("onset"), dataContext = Context.Onset(TimeKind.Date)))))
+    }
+    assert(e.getMessage.contains("unparseable"))
+    // non-strict + MISSING DOB keeps the raw date string (reference
+    // returns AnyValue::String(date) there, :177-179)
+    val onset2 = Seq(("P1", "1998-04-25"), ("P9", "2001-06-29")).toDF("subject_id", "onset")
+    val out = DateToAgeStrategy(strict = false).transform(Seq(
+      cdf("d", dob, SeriesContext(Identifier.Single("dob"), dataContext = Context.DateOfBirth)),
+      cdf("o", onset2, SeriesContext(Identifier.Single("onset"), dataContext = Context.Onset(TimeKind.Date)))))
+    val got = out(1).df.orderBy("subject_id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("P8Y3M10D", "2001-06-29"))
+  }
+
+  test("T4: a user column named __dob passes through unharmed") {
+    val dob = Seq(("P1", "1990-01-15")).toDF("subject_id", "dob")
+    val onset = Seq(("P1", "1998-04-25", "keep")).toDF("subject_id", "onset", "__dob")
+    val out = DateToAgeStrategy().transform(Seq(
+      cdf("d", dob, SeriesContext(Identifier.Single("dob"), dataContext = Context.DateOfBirth)),
+      cdf("o", onset,
+        SeriesContext(Identifier.Single("onset"), dataContext = Context.Onset(TimeKind.Date)),
+        SeriesContext(Identifier.Single("__dob")))))
+    val row = out(1).df.collect().head
+    assert(row.getString(row.fieldIndex("onset")) == "P8Y3M10D")
+    assert(row.getString(row.fieldIndex("__dob")) == "keep")
+  }
+
+  test("T1/T3: tab- and CR-padded cells Java-trim like the sibling strategies") {
+    // alias map: "yes\t" must hit the Java-trimmed key "yes"
+    val t1 = Seq(("P1", "yes\t")).toDF("subject_id", "status")
+    val am = AliasMap(Map("yes" -> Some("ALIVE")), OutputDataType.Str)
+    val out1 = AliasMapStrategy.transform(Seq(
+      cdf("t", t1, SeriesContext(Identifier.Single("status"),
+        dataContext = Context.VitalStatus, aliasMap = Some(am)))))
+    assert(out1.head.df.collect().head.getString(1) == "ALIVE")
+    // age normalization: "P1Y\t" is a padded valid ISO duration, not
+    // an unmappable value that aborts the run
+    val t3 = Seq(("P1", "P1Y\t"), ("P2", " 5 ")).toDF("subject_id", "age")
+    val out3 = AgeToIso8601Strategy().transform(Seq(
+      cdf("t", t3, SeriesContext(Identifier.Single("age"),
+        dataContext = Context.Onset(TimeKind.Age)))))
+    assert(out3.head.df.orderBy("subject_id").collect().map(_.getString(1)).toSeq ==
+      Seq("P1Y", "P5Y"))
+  }
+
+  test("T5: header codec round-trips block ids containing '#'") {
+    import MultiHpoColExpansionStrategy._
+    for (block <- Seq(None, Some("b"), Some("b#1"))) {
+      assert(decodeHeader(headerFor("HP:0000001", block)) == (("HP:0000001", block)))
+    }
+  }
+
   // --- T5 multi-HPO expansion ----------------------------------------
   test("T5: regex scan, per-patient union, boolean columns, source dropped") {
     val df = Seq(
