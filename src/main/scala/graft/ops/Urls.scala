@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL curation — the web-corpus intake steps every CCNet/RefinedWeb-
+  * style pipeline runs before content dedup: canonicalize the URL,
+  * drop exact re-crawls of the same canonical URL, and roll quality
+  * decisions up to the registrable domain.
+  *
+  * Everything here is row-local column algebra over builtin functions
+  * (regexp/split/filter/array_sort — codegen'd, shuffle-free), and
+  * deliberately avoids `parse_url` so the SAME normalization is
+  * replayable in ANSI SQL for the oracle. The only shuffle in the
+  * module is [[dedupByUrl]]'s canonical-hash aggregate, which carries
+  * 16-byte digests + ids, never URL text — the [[Dedup]] stance.
+  *
+  * Canonicalization rules (the curation-standard set):
+  *  - scheme and host lowercase; userinfo stripped;
+  *  - default ports stripped (`:80` for http, `:443` for https);
+  *  - leading `www.` stripped;
+  *  - trailing `/` runs stripped from the path (`/a/` == `/a`, and
+  *    the root path renders empty);
+  *  - fragment dropped;
+  *  - tracking parameters dropped ([[trackingParamRegex]]: `utm_*`,
+  *    click ids, mailchimp ids), remaining parameters sorted
+  *    byte-wise so parameter order never splits a URL identity.
+  * Rows that do not look like `scheme://host…` normalize to null —
+  * an un-parseable URL has no canonical identity (callers keep or
+  * drop those rows explicitly; [[dedupByUrl]] keeps them).
+  */
+object Urls {
+
+  /** Query parameters that never carry content identity. Kept as one
+    * anchored regex so the DuckDB oracle can mirror it verbatim.
+    */
+  val trackingParamRegex: String =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)(=.*)?$"
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Lowercased host of the canonical form: userinfo, default port
+    * and leading `www.` stripped. Null when `url` has no scheme://host.
+    */
+  def hostOf(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeRe, 1))
+    val hostport = lower(regexp_extract(url, HostRe, 1))
+    val noUser = regexp_replace(hostport, "^[^@]*@", "")
+    val noPort = when(scheme === "http", regexp_replace(noUser, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noUser, ":443$", ""))
+      .otherwise(noUser)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    when(scheme === "" || host === "", lit(null)).otherwise(host)
+  }
+
+  /** Canonical URL string per the object doc, or null for rows without
+    * a parseable `scheme://host` prefix.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeRe, 1))
+    val host = hostOf(url)
+    val path = regexp_replace(regexp_extract(url, PathRe, 1), "/+$", "")
+    val rawQ = regexp_extract(url, "[?]([^#]*)", 1)
+    val params = filter(split(rawQ, "&"),
+      p => p =!= "" && !p.rlike(trackingParamRegex))
+    val qs = array_join(array_sort(params), "&")
+    when(host.isNull, lit(null)).otherwise(concat(
+      scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
+  /** Multi-part public suffixes recognized by [[registrableDomain]].
+    * A deliberate short list of the common ccTLD second levels — the
+    * full public-suffix list is a data file a deployment would load;
+    * the ALGORITHM (suffix match → keep one extra label) is the same.
+    */
+  val multiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "co.in", "co.nz", "com.br", "com.cn", "com.mx",
+    "com.ar", "com.tr", "co.za", "com.sg", "com.hk")
+
+  /** Registrable domain (eTLD+1 approximation) of a HOST column: the
+    * last two labels, or three when the last two form a known
+    * multi-part suffix. Null host → null.
+    */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = array_join(slice(labels, n - 1, lit(2)), ".")
+    val take = when(n >= 3 && lastTwo.isin(multiPartSuffixes: _*), 3).otherwise(2)
+    when(host.isNull, lit(null))
+      .when(n <= 2, host)
+      .otherwise(array_join(slice(labels, n - take + 1, take), "."))
+  }
+
+  /** Drop re-crawls: keep ONE row (smallest `idCol`) per canonical
+    * URL. Rows whose URL does not normalize (null canonical) are KEPT
+    * — they have no URL identity to collide on. The aggregate and
+    * semi-join move only (md5(canonical), id) — never URL or document
+    * text — so the shuffle weight is rows × ~24 bytes at any corpus
+    * size.
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    require(!df.columns.contains("__url_canon"),
+      "reserved column name collision (__url_canon)")
+    val withC = df.withColumn("__url_canon", md5(normalizeUrl(col(urlCol))))
+    val winners = withC.filter(col("__url_canon").isNotNull)
+      .groupBy(col("__url_canon")).agg(min(col(idCol)).as(idCol))
+    val kept = withC.join(winners, Seq("__url_canon", idCol), "left_semi")
+    // unionByName: the USING join moved the join keys to the front of
+    // kept's schema, so a positional union would misalign columns
+    kept.unionByName(withC.filter(col("__url_canon").isNull))
+      .drop("__url_canon")
+  }
+}

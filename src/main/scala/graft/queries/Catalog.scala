@@ -18,7 +18,8 @@ object Catalog {
     Relational.entries ++ EtlScalarOps.entries ++ StrategyOps.entries ++
       GroupingOps.entries ++ TextOps.entries ++ DedupOps.entries ++
       SimilarityOps.entries ++ MultimodalOps.entries ++ EtlAssembly.entries ++
-      TemporalOps.entries ++ PipelineOps.entries ++ CorpusOps.entries
+      TemporalOps.entries ++ PipelineOps.entries ++ CorpusOps.entries ++
+      UrlCurationOps.entries
 
   lazy val queries: Map[String, Q] = {
     val names = all.map(_.name)

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Urls
+import org.apache.spark.sql.functions._
+
+/** Harness entries for the URL-curation surface ([[graft.ops.Urls]]).
+  *
+  * URLs are SYNTHESIZED deterministically from doc attributes, messy on
+  * purpose: upper-cased schemes/hosts, `www.` prefixes, default ports,
+  * userinfo, trailing slashes, tracking parameters, shuffled parameter
+  * order, fragments. The canonical identity derives from
+  * `g = doc_id % 100` only; all the noise derives from `doc_id` — so
+  * normalization must collapse every group-g URL to ONE canonical
+  * string. The oracles derive the expected canonical/domain/winner
+  * INDEPENDENTLY from the attribute math (never by re-running the
+  * normalizer) — any rule the normalizer gets wrong breaks the hash.
+  */
+object UrlCurationOps {
+  import Catalog.{Entry, Q}
+
+  /** The messy synthesized URL column (over a `doc_id` column). */
+  private def synthUrl = {
+    val id = col("doc_id")
+    val g = pmod(id, lit(100))
+    val schemeC = when(pmod(g, lit(2)) === 0, lit("http")).otherwise(lit("https"))
+    val scheme = when(pmod(id, lit(3)) === 0, upper(schemeC)).otherwise(schemeC)
+    val sub = when(pmod(g, lit(5)) === 0, lit("blog.")).otherwise(lit(""))
+    val tld = when(pmod(g, lit(4)) === 0, lit("com"))
+      .when(pmod(g, lit(4)) === 1, lit("org"))
+      .when(pmod(g, lit(4)) === 2, lit("co.uk"))
+      .otherwise(lit("com.au"))
+    val hostC = concat(sub, lit("site"), pmod(g, lit(25)).cast("string"),
+      lit("."), tld)
+    val www = when(pmod(id, lit(3)) === 1, lit("www.")).otherwise(lit(""))
+    val hostShown = when(pmod(id, lit(7)) === 0, upper(concat(www, hostC)))
+      .otherwise(concat(www, hostC))
+    val port = when(schemeC === "http" && pmod(id, lit(5)) === 0, lit(":80"))
+      .when(schemeC === "https" && pmod(id, lit(5)) === 1, lit(":443"))
+      .otherwise(lit(""))
+    val user = when(pmod(id, lit(11)) === 0, lit("u:p@")).otherwise(lit(""))
+    val path = concat(lit("/p/"), pmod(g, lit(17)).cast("string"),
+      when(pmod(id, lit(2)) === 1, lit("/")).otherwise(lit("")))
+    val baseQ = concat(lit("id="), g.cast("string"))
+    val withB = pmod(g, lit(3)) === 0
+    val track = when(pmod(id, lit(2)) === 0, lit("&utm_source=x")).otherwise(lit(""))
+    val qstr = when(withB && pmod(id, lit(3)) === 2,
+        concat(lit("?b=2&"), baseQ, track))
+      .when(withB, concat(lit("?"), baseQ, lit("&b=2"), track))
+      .otherwise(concat(lit("?"), baseQ, track))
+    val frag = when(pmod(id, lit(4)) === 0,
+      concat(lit("#s"), id.cast("string"))).otherwise(lit(""))
+    concat(scheme, lit("://"), user, hostShown, port, path, qstr, frag)
+  }
+
+  /** The oracle's independent attribute-math derivation of the same
+    * canonical URL / registrable domain (DuckDB SQL fragmentS over a
+    * `doc_id` column; `g` must be selected as `doc_id % 100`).
+    */
+  private val oracleCanonical =
+    """(CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END) || '://'
+      | || (CASE WHEN g % 5 = 0 THEN 'blog.' ELSE '' END)
+      | || 'site' || CAST(g % 25 AS VARCHAR) || '.'
+      | || (CASE g % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |               WHEN 2 THEN 'co.uk' ELSE 'com.au' END)
+      | || '/p/' || CAST(g % 17 AS VARCHAR)
+      | || '?' || (CASE WHEN g % 3 = 0 THEN 'b=2&id=' || CAST(g AS VARCHAR)
+      |                 ELSE 'id=' || CAST(g AS VARCHAR) END)""".stripMargin
+      // flattened: these fragments interpolate into OUTER stripMargin
+      // strings, whose margin strip would otherwise eat one pipe of a
+      // line-leading '||'
+      .linesIterator.mkString(" ")
+
+  private val oracleDomain =
+    """'site' || CAST(g % 25 AS VARCHAR) || '.'
+      | || (CASE g % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |               WHEN 2 THEN 'co.uk' ELSE 'com.au' END)""".stripMargin
+      .linesIterator.mkString(" ")
+
+  // ---- url_normalize: every messy variant collapses to the attribute
+  // canonical; the registrable domain drops subdomains but keeps
+  // multi-part public suffixes.
+  private val normalize: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(col("doc_id"), synthUrl.as("__u"))
+      .select(col("doc_id"),
+        Urls.normalizeUrl(col("__u")).as("url_canon"),
+        Urls.registrableDomain(Urls.hostOf(col("__u"))).as("domain"))
+  }
+  private val normalizeSql =
+    s"""WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents)
+       |SELECT doc_id, $oracleCanonical AS url_canon, $oracleDomain AS domain
+       |FROM d""".stripMargin
+
+  // ---- url_dedup: one winner (min doc_id) per canonical URL.
+  private val dedup: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Urls.dedupByUrl(docs.select(col("doc_id"), synthUrl.as("url")),
+        "doc_id", "url")
+      .select(col("doc_id"))
+  }
+  private val dedupSql =
+    s"""WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents),
+       |c AS (SELECT doc_id, $oracleCanonical AS canon FROM d)
+       |SELECT min(doc_id) AS doc_id FROM c GROUP BY canon""".stripMargin
+
+  // ---- url_domain_stats: per registrable domain, docs and distinct
+  // canonical pages — the rollup a domain-level quality decision reads.
+  private val domainStats: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(col("doc_id"), synthUrl.as("__u"))
+      .select(
+        Urls.registrableDomain(Urls.hostOf(col("__u"))).as("domain"),
+        Urls.normalizeUrl(col("__u")).as("__c"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__c")).as("n_pages"))
+  }
+  private val domainStatsSql =
+    s"""WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents),
+       |c AS (SELECT doc_id, $oracleDomain AS domain, $oracleCanonical AS canon FROM d)
+       |SELECT domain, count(*) AS n_docs, count(DISTINCT canon) AS n_pages
+       |FROM c GROUP BY domain""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+    Entry("url_normalize", normalize, Some(normalizeSql)),
+    Entry("url_dedup", dedup, Some(dedupSql)),
+    Entry("url_domain_stats", domainStats, Some(domainStatsSql)),
+  )
+}
