@@ -295,9 +295,14 @@ class StreamingCorpusSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
+    // project the cell columns: the artifact also carries its build
+    // metadata (cm_depth/cm_width/cm_family) since the probe-mismatch
+    // guard landed
     val streamed = spark.table("cms_stream")
+      .select("cm_row", "cm_col", "cm_cnt")
       .as[(Int, Long, Long)].collect().sorted.toSeq
     val batch = shape((batch1 ++ batch2).toDF("id", "text"))
+      .select("cm_row", "cm_col", "cm_cnt")
       .as[(Int, Long, Long)].collect().sorted.toSeq
     assert(streamed == batch && streamed.nonEmpty)
   }
