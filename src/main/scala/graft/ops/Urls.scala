@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * Everything here is row-local column algebra over builtin functions
   * (regexp/split/filter/array_sort — codegen'd, shuffle-free), and
   * deliberately avoids `parse_url` so the SAME normalization is
-  * replayable in ANSI SQL for the oracle. The only shuffle in the
-  * module is [[dedupByUrl]]'s canonical-hash aggregate, which carries
+  * replayable in ANSI SQL for the oracle. The only digest-keyed
+  * shuffle in the module ([[dedupByUrl]]'s loser-list window) carries
   * 16-byte digests + ids, never URL text — the [[Dedup]] stance.
   *
   * Canonicalization rules (the curation-standard set):
@@ -97,21 +97,25 @@ object Urls {
 
   /** Drop re-crawls: keep ONE row (smallest `idCol`) per canonical
     * URL. Rows whose URL does not normalize (null canonical) are KEPT
-    * — they have no URL identity to collide on. The aggregate and
-    * semi-join move only (md5(canonical), id) — never URL or document
-    * text — so the shuffle weight is rows × ~24 bytes at any corpus
-    * size.
+    * — they have no URL identity to collide on — and so are null-id
+    * rows (an equi-anti-join never matches null).
+    *
+    * Shape: the [[Dedup.clusterLosers]] idiom. The canonical-digest
+    * shuffle carries only (md5(canonical), id) — never URL or
+    * document text — and produces the LOSER id list; the corpus is
+    * then anti-joined on id alone, which broadcasts whenever the
+    * loser list is small (the common case: most URLs are unique) and
+    * degrades to an id-keyed join with a narrow build side otherwise.
     */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    require(!df.columns.contains("__url_canon"),
-      "reserved column name collision (__url_canon)")
-    val withC = df.withColumn("__url_canon", md5(normalizeUrl(col(urlCol))))
-    val winners = withC.filter(col("__url_canon").isNotNull)
-      .groupBy(col("__url_canon")).agg(min(col(idCol)).as(idCol))
-    val kept = withC.join(winners, Seq("__url_canon", idCol), "left_semi")
-    // unionByName: the USING join moved the join keys to the front of
-    // kept's schema, so a positional union would misalign columns
-    kept.unionByName(withC.filter(col("__url_canon").isNull))
-      .drop("__url_canon")
+    val canon = df.select(col(idCol).as("__url_uid"),
+      md5(normalizeUrl(col(urlCol))).as("__url_canon"))
+    val byCanon = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__url_canon")).orderBy(col("__url_uid"))
+    val losers = canon.filter(col("__url_canon").isNotNull)
+      .withColumn("__url_rk", row_number().over(byCanon))
+      .filter(col("__url_rk") =!= 1)
+      .select(col("__url_uid"))
+    df.join(losers, df(idCol) === losers("__url_uid"), "left_anti")
   }
 }

@@ -153,6 +153,32 @@ class NewPlanSpec extends SparkSpec {
     }
   }
 
+  test("url curation plans: normalize is row-local; dedup shuffles digests, never URL text") {
+    withoutAqe {
+      val docs = (0 until 200).map(i => (i.toLong,
+        s"HTTP://WWW.Site${i % 9}.com:80/p/${i % 9}/?utm_source=x&id=${i % 9}"))
+        .toDF("doc_id", "url")
+      // normalization: zero exchanges, pure codegen'd column algebra
+      val norm = docs.select(graft.ops.Urls.normalizeUrl(col("url")))
+      assert(norm.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, norm.queryExecution.executedPlan.toString)
+      // dedup: the canonical-keyed exchange carries only (digest, id)
+      // — URL text never rides it (the clusterLosers anti-join shape)
+      val dedup = graft.ops.Urls.dedupByUrl(docs, "doc_id", "url")
+      val badExchange = dedup.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("__url_canon") &&
+              e.output.exists(_.name == "url") => e
+      }
+      assert(badExchange.isEmpty,
+        s"url text must not ride the canonical-digest shuffle:\n" +
+          dedup.queryExecution.executedPlan.toString)
+      // and the semantics survive the plan shape: 9 canonical groups
+      assert(dedup.count() == 9)
+    }
+  }
+
   test("skew-salted join plan: salt widens the shuffle key; replicas broadcast") {
     withoutAqe {
       val left = spark.range(0, 1000).select(lit(1L).as("k"), col("id").as("v"))
