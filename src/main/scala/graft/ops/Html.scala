@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → visible-text extraction — the ingestion step a web corpus
+  * runs before any quality/dedup work (the C4/CCNet pipelines start
+  * from pre-extracted WET text; pipelines that start from raw HTML run
+  * exactly this: drop non-content blocks, strip markup, decode
+  * entities, normalize whitespace).
+  *
+  * Everything is a row-local chain of codegen'd `regexp_replace` /
+  * `replace` calls — shuffle-free, whole-stage-codegen-friendly, and
+  * (deliberately) free of lookbehind/backreference syntax so every
+  * rule is replayable in an RE2-based engine for oracle checks.
+  *
+  * Rules, in order (order is semantics, not style):
+  *  1. `<script>`/`<style>` BLOCKS go first — their character data is
+  *     not visible text, and JS string literals legally contain `"<"`
+  *     and even `"</div>"`, which a naive tag-stripper would mangle;
+  *  2. comments next — they may contain markup (`<!-- <b>x</b> -->`)
+  *     that must not survive as text;
+  *  3. remaining tags → one space. The tag regex skips `>` inside
+  *     single/double-quoted attribute values (`<body data-x="a>b">` is
+  *     ONE tag), the classic naive-regex corruption;
+  *  4. named entities decode AFTER tag stripping, so escaped markup
+  *     (`&lt;b&gt;`) stays literal text instead of becoming a tag —
+  *     and `&amp;` decodes LAST so `&amp;lt;` yields the literal
+  *     `&lt;` exactly as a browser renders it. Numeric character
+  *     references (`&#160;`) are NOT decoded (that needs a chr()
+  *     computation no replace chain can express) — they pass through
+  *     literally, pinned by spec;
+  *  5. whitespace runs collapse to a single space, ends trimmed.
+  *
+  * Null html → null text (no parseable content has no text identity —
+  * same stance as [[Urls.normalizeUrl]]).
+  */
+object Html {
+
+  private val ScriptRe = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  private val StyleRe = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  private val CommentRe = "(?s)<!--.*?-->"
+
+  /** A tag: `<` or `</`, a name-ish start, then anything that is not a
+    * quote or `>`, with whole quoted attribute values allowed to carry
+    * `>` freely. No backreferences — RE2-safe.
+    */
+  private val TagRe =
+    "(?s)</?[A-Za-z!][^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*>"
+
+  /** Named entities decoded, in application order. `&amp;` MUST stay
+    * last (see object doc).
+    */
+  val entities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  /** Visible text of an HTML column per the object doc. */
+  def extractText(html: Column): Column = {
+    val noBlocks =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, ScriptRe, " "),
+          StyleRe, " "),
+        CommentRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+}

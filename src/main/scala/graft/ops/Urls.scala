@@ -118,4 +118,49 @@ object Urls {
       .select(col("__url_uid"))
     df.join(losers, df(idCol) === losers("__url_uid"), "left_anti")
   }
+
+  /** Cap documents per registrable domain — the RefinedWeb-style guard
+    * against one site dominating a corpus: keep at most `cap` rows per
+    * domain, preferring `orderBy` (e.g. a quality score, descending)
+    * with `idCol` as the deterministic tiebreak. Rows whose URL has no
+    * registrable domain are ALL kept — no identity to cap on.
+    *
+    * Shape: one `row_number` window filtered to `<= cap`, which Spark's
+    * InferWindowGroupLimit rewrites into a map-side group-limit prune —
+    * losers die before the shuffle writes them. The no-domain rows ride
+    * the SAME single pass instead of a second scan + union: the window
+    * partitions on (domain, salt) where salt is 0 for domained rows and
+    * the row's own id otherwise, so each null-domain row is a singleton
+    * partition (rank 1, always kept) and the classic all-nulls-in-one-
+    * reducer skew straggler cannot exist.
+    */
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String, cap: Int,
+      orderBy: Seq[Column] = Nil): DataFrame = {
+    require(cap > 0, s"capPerDomain: cap must be positive, got $cap")
+    val dom = registrableDomain(hostOf(col(urlCol)))
+    val salt = when(dom.isNull, col(idCol)).otherwise(lit(null))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dom, salt).orderBy(orderBy :+ col(idCol): _*)
+    df.withColumn("__url_rk", row_number().over(w))
+      .filter(col("__url_rk") <= cap)
+      .drop("__url_rk")
+  }
+
+  /** Drop rows whose registrable domain is on a blocklist — the
+    * domain-level deny list every web-corpus intake applies (spam,
+    * SEO farms, known-bad hosts). `blocked` is a config-sized table
+    * with a `domain` column (any case); it is broadcast, so the corpus
+    * never shuffles. Duplicate blocklist rows are harmless under an
+    * anti-join (no distinct pass needed), and rows with no registrable
+    * domain never match — they are kept, same stance as [[dedupByUrl]].
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    require(blocked.columns.contains("domain"),
+      s"filterBlockedDomains: blocklist needs a 'domain' column, " +
+        s"got [${blocked.columns.mkString(", ")}]")
+    val b = broadcast(blocked.select(lower(col("domain")).as("__url_blk")))
+    df.join(b, registrableDomain(hostOf(col(urlCol))) === col("__url_blk"),
+      "left_anti")
+  }
 }

@@ -122,9 +122,49 @@ object UrlCurationOps {
        |SELECT domain, count(*) AS n_docs, count(DISTINCT canon) AS n_pages
        |FROM c GROUP BY domain""".stripMargin
 
+  // ---- url_domain_cap: RefinedWeb-style per-domain volume cap — at
+  // most 10 docs (smallest doc_id) per registrable domain. The synth
+  // URLs give 100 distinct domains, each holding every doc with the
+  // matching doc_id % 100 residue class, so at sf0.01 the cap truly
+  // bites on every domain.
+  private val domainCap: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Urls.capPerDomain(docs.select(col("doc_id"), synthUrl.as("url")),
+        "doc_id", "url", cap = 10)
+      .select(col("doc_id"))
+  }
+  private val domainCapSql =
+    s"""WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents),
+       |c AS (SELECT doc_id, $oracleDomain AS domain FROM d),
+       |r AS (SELECT doc_id, row_number() OVER
+       |        (PARTITION BY domain ORDER BY doc_id) AS rk FROM c)
+       |SELECT doc_id FROM r WHERE rk <= 10""".stripMargin
+
+  // ---- url_blocklist: domain-level deny list (a config-sized input
+  // shared verbatim with the oracle, like any dimension table); the
+  // four real entries each hit one synthesized domain family.
+  private val blockedDomains = Seq(
+    "site3.co.uk", "site7.com", "site11.org", "site19.com.au",
+    "missing.example")
+  private val blocklist: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    Urls.filterBlockedDomains(
+        docs.select(col("doc_id"), synthUrl.as("url")), "url",
+        blockedDomains.toDF("domain"))
+      .select(col("doc_id"))
+  }
+  private val blocklistSql =
+    s"""WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents),
+       |c AS (SELECT doc_id, $oracleDomain AS domain FROM d)
+       |SELECT doc_id FROM c WHERE domain NOT IN
+       |  (${blockedDomains.map(b => s"'$b'").mkString(", ")})""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("url_normalize", normalize, Some(normalizeSql)),
     Entry("url_dedup", dedup, Some(dedupSql)),
     Entry("url_domain_stats", domainStats, Some(domainStatsSql)),
+    Entry("url_domain_cap", domainCap, Some(domainCapSql)),
+    Entry("url_blocklist", blocklist, Some(blocklistSql)),
   )
 }

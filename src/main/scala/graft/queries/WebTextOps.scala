@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+import graft.Tables
+import graft.ops.{Html, Mojibake}
+import org.apache.spark.sql.functions._
+
+/** Harness entries for the raw-web text-repair surface
+  * ([[graft.ops.Html]], [[graft.ops.Mojibake]]).
+  *
+  * Both entries SYNTHESIZE the corruption from doc attributes and let
+  * the oracle derive the expected CLEAN text independently — by
+  * attribute math over `doc_id`/`text`, never by replaying the
+  * operator's rules — so any extraction/repair rule that is wrong
+  * breaks the hash.
+  */
+object WebTextOps {
+  import Catalog.{Entry, Q}
+
+  // ---- text_html_extract: wrap each doc in a full page whose
+  // non-content carries every classic stripper trap (a '<' and a
+  // "</div>" inside a JS string, a '>' inside a style rule and inside
+  // a quoted attribute, markup inside a comment, entities incl. the
+  // &amp;-last case). Expected visible text is pure attribute math.
+  private val htmlExtract: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val g = pmod(col("doc_id"), lit(7)).cast("string")
+    val page = concat(
+      lit("<html><head><title>D"), col("doc_id").cast("string"),
+      lit("</title>"),
+      lit("<script type=\"text/javascript\">if(x<2){s=\"</div>\";}</script>"),
+      lit("<style media=\"all\">p>b{}</style></head>"),
+      lit("<body data-note=\"a>b\"><!-- hidden <b>x</b> -->"),
+      lit("<h1 class=\"t\">H"), g, lit("</h1><p>"),
+      col("text"),
+      lit("</p><p>tail&nbsp;&amp; done &lt;eof&gt;</p></body></html>"))
+    docs.select(col("doc_id"), Html.extractText(page).as("extracted"))
+  }
+  private val htmlExtractSql =
+    """SELECT doc_id,
+      |  'D' || CAST(doc_id AS VARCHAR) || ' H' ||
+      |  CAST(doc_id % 7 AS VARCHAR) || ' ' || text ||
+      |  ' tail & done <eof>' AS extracted
+      |FROM documents""".stripMargin
+
+  /** The corruptions [[mojibake]] injects, keyed by `doc_id % 8`.
+    * Branches 0-5 are codec-corrupted and must come back exact;
+    * branch 6 is a RAW lone-lead suffix (structurally invalid UTF-8 —
+    * repair must refuse); branch 7 is pure ASCII (fixed point).
+    */
+  private val mojiPhrases: Seq[String] = Seq(
+    "café",
+    "naïve — touché",
+    "Grüße",
+    "€99 “quoted„",
+    "кофе",
+    "😀 emoji 📈")
+
+  // ---- text_fix_mojibake: append the cp1252 mis-decode of a phrase
+  // (corrupted HERE with the JVM's own windows-1252 codec — an
+  // implementation independent of the operator's translate+Latin-1
+  // route) and require the repair to return the original phrase.
+  private val mojibake: Q = (s, dir) => {
+    val cp1252 = Charset.forName("windows-1252")
+    val docs = Tables.load(s, dir, "documents")
+    val g = pmod(col("doc_id"), lit(8))
+    val suffix = mojiPhrases.zipWithIndex.foldLeft(
+      when(g === 6, lit(" Ã solo")).otherwise(lit(" plain tail"))) {
+      case (acc, (p, i)) =>
+        when(g === i,
+          lit(" " + new String(p.getBytes(StandardCharsets.UTF_8), cp1252)))
+          .otherwise(acc)
+    }
+    docs.select(col("doc_id"),
+      Mojibake.fixMojibake(concat(col("text"), suffix)).as("fixed"),
+      Mojibake.isMojibake(concat(col("text"), suffix)).as("was_moji"))
+  }
+  private val mojibakeSql = {
+    val cases = mojiPhrases.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN ' ${p.replace("'", "''")}'" }
+      .mkString(" ")
+    s"""SELECT doc_id,
+       |  text || (CASE doc_id % 8 $cases
+       |           WHEN 6 THEN ' Ã solo' ELSE ' plain tail' END) AS fixed,
+       |  (doc_id % 8) < 6 AS was_moji
+       |FROM documents""".stripMargin
+  }
+
+  def entries: Seq[Entry] = Seq(
+    Entry("text_html_extract", htmlExtract, Some(htmlExtractSql)),
+    Entry("text_fix_mojibake", mojibake, Some(mojibakeSql)),
+  )
+}

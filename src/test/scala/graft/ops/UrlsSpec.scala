@@ -52,4 +52,46 @@ class UrlsSpec extends SparkSpec {
     assert(Urls.dedupByUrl(df, "doc_id", "url").columns.toSeq ==
       Seq("doc_id", "url"))
   }
+
+  test("capPerDomain keeps `cap` per registrable domain, all no-domain rows, and honors orderBy") {
+    val df = Seq(
+      (1L, "http://a.site.com/1", 5L),
+      (2L, "http://b.site.com/2", 9L),   // same domain as 1/3 via rollup
+      (3L, "http://site.com/3", 7L),
+      (4L, "http://other.org/4", 1L),
+      (5L, "garbage", 0L),
+      (6L, "also garbage", 0L),
+      (7L, "still garbage", 0L))
+      .toDF("doc_id", "url", "quality")
+    // cap=2 by id: site.com keeps ids 1,2; other.org keeps 4; all three
+    // unparseable rows survive (no identity to cap on)
+    val byId = Urls.capPerDomain(df, "doc_id", "url", cap = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byId == Seq(1L, 2L, 4L, 5L, 6L, 7L))
+    // quality-descending order flips the site.com winners to 2,3
+    val byQ = Urls.capPerDomain(df, "doc_id", "url", cap = 2,
+        orderBy = Seq(col("quality").desc))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byQ == Seq(2L, 3L, 4L, 5L, 6L, 7L))
+    // schema passes through
+    assert(Urls.capPerDomain(df, "doc_id", "url", 1).columns.toSeq ==
+      Seq("doc_id", "url", "quality"))
+    assertThrows[IllegalArgumentException](
+      Urls.capPerDomain(df, "doc_id", "url", 0))
+  }
+
+  test("filterBlockedDomains drops by registrable domain, case-insensitively, keeping no-domain rows") {
+    val df = Seq(
+      (1L, "http://a.b.site2.com/x"),  // subdomain rolls up to site2.com
+      (2L, "https://WWW.Site2.COM/y"), // case + www
+      (3L, "http://site3.com/z"),
+      (4L, "not a url"))
+      .toDF("doc_id", "url")
+    val blocked = Seq("Site2.COM", "dead.example").toDF("domain")
+    val kept = Urls.filterBlockedDomains(df, "url", blocked)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+    assertThrows[IllegalArgumentException](
+      Urls.filterBlockedDomains(df, "url", blocked.toDF("host")))
+  }
 }

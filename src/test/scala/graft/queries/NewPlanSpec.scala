@@ -230,6 +230,52 @@ class NewPlanSpec extends SparkSpec {
     assert(outs.head(2L) == want, s"exact nano sum, got ${outs.head(2L)}")
   }
 
+  test("domain cap plan: map-side group-limit prune; blocklist plan: broadcast anti-join, no corpus shuffle") {
+    withoutAqe {
+      val docs = (0 until 400).map(i => (i.toLong,
+        if (i % 10 == 0) "garbage" else s"http://site${i % 5}.com/p/$i"))
+        .toDF("doc_id", "url")
+      val capped = graft.ops.Urls.capPerDomain(docs, "doc_id", "url", cap = 3)
+      val capPlan = capped.queryExecution.executedPlan.toString
+      // rank<=cap must compile to the WindowGroupLimit prune (losers
+      // die map-side, before the shuffle write) — not a full window
+      assert(capPlan.contains("WindowGroupLimit"), capPlan)
+      // semantics ride along: 5 domains x 3 + 40 no-domain rows
+      assert(capped.count() == 55)
+
+      val blocked = Seq("site1.com", "site3.com").toDF("domain")
+      val kept = graft.ops.Urls.filterBlockedDomains(docs, "url", blocked)
+      val plan = kept.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"the corpus must not shuffle for a blocklist:\n$plan")
+      // 2 of 5 domains blocked, 80 rows each; no-domain rows all kept
+      assert(kept.count() == 400 - 160)
+    }
+  }
+
+  test("html extraction and mojibake repair are row-local codegen'd projections") {
+    withoutAqe {
+      val docs = (0 until 50).map(i => (i.toLong,
+        s"<p>doc $i cafÃ©</p>")).toDF("doc_id", "raw")
+      val out = docs.select(
+        graft.ops.Mojibake.fixMojibake(
+          graft.ops.Html.extractText(col("raw"))).as("clean"))
+      val plan = out.queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"text repair must not shuffle:\n$plan")
+      val codegen = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen"), codegen.take(1000))
+      assert(!plan.toString.contains("BatchEvalPython") &&
+        !plan.toString.contains("SQLUDF"), plan.toString)
+      // and the composition actually repairs through the extraction
+      assert(out.collect().forall(_.getString(0).endsWith("café")))
+    }
+  }
+
   test("native vec_dot keeps brute-force scoring inside WholeStageCodegen") {
     val df = vecs(200)
     val q = df.filter($"vec_id" < 2)
