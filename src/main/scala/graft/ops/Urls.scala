@@ -160,7 +160,15 @@ object Urls {
       s"filterBlockedDomains: blocklist needs a 'domain' column, " +
         s"got [${blocked.columns.mkString(", ")}]")
     val b = broadcast(blocked.select(lower(col("domain")).as("__url_blk")))
-    df.join(b, registrableDomain(hostOf(col(urlCol))) === col("__url_blk"),
-      "left_anti")
+    // The domain is PROJECTED to a column first, not written into the
+    // join key: a join key gets no subexpression elimination, so the
+    // host/registrable chain (which references its child ~8×) expands
+    // multiplicatively there — big enough to blow janino's 64 KB
+    // method limit and silently knock the stage to interpreted eval.
+    // A Project eliminates the shared subtrees, and the join then
+    // consumes one plain attribute.
+    df.withColumn("__url_blk_dom", registrableDomain(hostOf(col(urlCol))))
+      .join(b, col("__url_blk_dom") === col("__url_blk"), "left_anti")
+      .drop("__url_blk_dom")
   }
 }

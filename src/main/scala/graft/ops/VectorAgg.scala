@@ -96,13 +96,16 @@ object VectorAgg {
     * 64-dim projections, and pairwise distances survive within the JL
     * bound.
     *
-    * The projection matrix is baked into the PLAN as sign literals:
-    * each output dim is one fixed codegen'd expression tree over the
-    * input array — row-local, shuffle-free, no matrix table, no join.
-    * That costs plan size O(inDims × outDims); for very wide pairs
-    * (≳10⁵ cells) codegen falls back to interpreted evaluation —
-    * still correct, but consider projecting in two hops (e.g.
-    * 4096→256→64, each hop well inside codegen limits) — JL composes.
+    * The projection matrix is baked into the PLAN as sign-row ARRAY
+    * literals, one per output dim, each consumed by the native
+    * [[graft.functions.DotProduct vec_dot]] loop — row-local,
+    * shuffle-free, no matrix table, no join. Sign rows as array
+    * literals (not an unrolled `element_at(v,d)*s` sum per cell) keep
+    * the GENERATED CODE O(outDims) regardless of width: the unrolled
+    * form at 64×8 cells already blew janino's 64 KB method limit and
+    * silently knocked the whole stage back to interpreted evaluation.
+    * The float math is unchanged — the loop accumulates in the same
+    * ascending-index order as the old left-fold expression tree.
     *
     * Output: (idCol, out_dim ∈ [0, outDims), value) rows. Vectors not
     * exactly `inDims` wide yield null values (ANSI-safe guard), never
@@ -113,12 +116,11 @@ object VectorAgg {
     require(inDims > 0 && outDims > 0, "dims must be positive")
     require(outDims <= inDims, "projection must reduce dimensionality")
     val norm = math.sqrt(outDims.toDouble)
-    val vec = col(vecCol)
+    val vec = col(vecCol).cast("array<double>")
     val exprs = (0 until outDims).map { k =>
-      val signed = (0 until inDims).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(projSign(tag, k, d))
-      }.reduce(_ + _)
-      when(size(vec) === inDims, signed / lit(norm))
+      val signRow = typedLit(Array.tabulate(inDims)(d => projSign(tag, k, d)))
+      when(size(vec) === inDims,
+        graft.functions.GraftExtensions.vec_dot(vec, signRow) / lit(norm))
     }
     df.select(col(idCol),
       posexplode(array(exprs: _*)).as(Seq("out_dim", "value")))

@@ -19,7 +19,7 @@ object Catalog {
       GroupingOps.entries ++ TextOps.entries ++ DedupOps.entries ++
       SimilarityOps.entries ++ MultimodalOps.entries ++ EtlAssembly.entries ++
       TemporalOps.entries ++ PipelineOps.entries ++ CorpusOps.entries ++
-      UrlCurationOps.entries ++ WebTextOps.entries
+      UrlCurationOps.entries ++ WebTextOps.entries ++ WarcOps.entries
 
   lazy val queries: Map[String, Q] = {
     val names = all.map(_.name)

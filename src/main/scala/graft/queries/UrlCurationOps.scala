@@ -140,6 +140,32 @@ object UrlCurationOps {
        |        (PARTITION BY domain ORDER BY doc_id) AS rk FROM c)
        |SELECT doc_id FROM r WHERE rk <= 10""".stripMargin
 
+  /** A reduced-noise synth URL with the SAME host identity math as
+    * [[synthUrl]] (so [[oracleDomain]] applies verbatim) but none of
+    * the canonicalization noise (scheme case, ports, userinfo, query,
+    * fragments). The blocklist entry exercises domain rollup + the
+    * broadcast anti-join, not canonicalization — and the FULL synth
+    * expression inlined into the join key blew janino's 64 KB method
+    * limit, silently knocking the whole stage to interpreted eval
+    * (the anti-join key cannot be method-split the way a plain
+    * projection can).
+    */
+  private def synthUrlHostOnly = {
+    val id = col("doc_id")
+    val g = pmod(id, lit(100))
+    val sub = when(pmod(g, lit(5)) === 0, lit("blog.")).otherwise(lit(""))
+    val tld = when(pmod(g, lit(4)) === 0, lit("com"))
+      .when(pmod(g, lit(4)) === 1, lit("org"))
+      .when(pmod(g, lit(4)) === 2, lit("co.uk"))
+      .otherwise(lit("com.au"))
+    val hostC = concat(sub, lit("site"), pmod(g, lit(25)).cast("string"),
+      lit("."), tld)
+    val www = when(pmod(id, lit(3)) === 1, lit("www.")).otherwise(lit(""))
+    val host = when(pmod(id, lit(7)) === 0, upper(concat(www, hostC)))
+      .otherwise(concat(www, hostC))
+    concat(lit("http://"), host, lit("/p/"), id.cast("string"))
+  }
+
   // ---- url_blocklist: domain-level deny list (a config-sized input
   // shared verbatim with the oracle, like any dimension table); the
   // four real entries each hit one synthesized domain family.
@@ -150,7 +176,7 @@ object UrlCurationOps {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     Urls.filterBlockedDomains(
-        docs.select(col("doc_id"), synthUrl.as("url")), "url",
+        docs.select(col("doc_id"), synthUrlHostOnly.as("url")), "url",
         blockedDomains.toDF("domain"))
       .select(col("doc_id"))
   }

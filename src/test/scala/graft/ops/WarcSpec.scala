@@ -119,6 +119,20 @@ class WarcSpec extends SparkSpec {
       3L -> ((0, false))))
   }
 
+  test("volume: a 20k-record gzip shard streams through in one pass") {
+    val out = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(out)
+    (0 until 20000).foreach(i => g.write(wet(s"http://v/$i", s"body $i")))
+    g.finish()
+    val blob = out.toByteArray
+    val (rs, err) = Warc.parse(blob)
+    assert(err.isEmpty && rs.size == 20000)
+    assert(new String(rs(12345).payload, UTF_8) == "body 12345")
+    // and through the DataFrame op: one row per record
+    val n = Warc.records(Seq((1L, blob)).toDF("id", "blob"), "id", "blob").count()
+    assert(n == 20000)
+  }
+
   test("splitHttpResponse: status + mime + exact body bytes; unparseable passes through") {
     val body = Array[Byte](0, 1, 2, -1, 'W', 'A', 'R', 'C') // binary body
     val msg = ("HTTP/1.1 200 OK\r\nServer: t\r\n" +

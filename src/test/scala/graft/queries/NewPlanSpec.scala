@@ -276,6 +276,24 @@ class NewPlanSpec extends SparkSpec {
     }
   }
 
+  test("wide-expression registry queries execute with codegen fallback disabled") {
+    // Regression pin for the two janino-64KB fallbacks found in round 8:
+    // ann_random_project's unrolled 64x8 sign matrix (now sign-row array
+    // literals through the native vec_dot loop) and url_blocklist's
+    // domain chain inlined into the anti-join key (now projected first,
+    // where subexpression elimination applies). With fallback disabled a
+    // recurrence fails the job instead of silently running interpreted.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Seq("ann_random_project", "url_blocklist", "pipeline_warc_intake")
+        .foreach { n =>
+          graft.queries.Catalog.queries(n)(spark, "/root/testdata/sf0.001")
+            .write.mode("overwrite").format("noop").save()
+        }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("native vec_dot keeps brute-force scoring inside WholeStageCodegen") {
     val df = vecs(200)
     val q = df.filter($"vec_id" < 2)
