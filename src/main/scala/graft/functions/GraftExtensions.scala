@@ -94,6 +94,12 @@ object GraftExtensions {
     GraftColumnBridge.column(IsoDurationSeconds(GraftColumnBridge.expression(c)))
   }
 
+  /** Native url → registrable domain (see [[UrlDomains]]). */
+  def url_registrable_domain(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(UrlRegistrableDomain(GraftColumnBridge.expression(c)))
+  }
+
   /** Native dot product over two array<double> columns. */
   def vec_dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge

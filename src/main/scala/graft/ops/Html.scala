@@ -60,6 +60,25 @@ object Html {
     "&apos;" -> "'",
     "&amp;" -> "&")
 
+  /** Anchor targets of an HTML column: the `href` value of every
+    * `<a …>` tag with a quoted href, in document order, raw (relative
+    * links, fragments and mailto: included —
+    * [[graft.ops.LinkGraph.domainEdges]] filters to absolute http(s)
+    * when building the web graph). One codegen'd
+    * `regexp_extract_all`, RE2-safe like every rule here; null html →
+    * null. Documented approximations: unquoted hrefs are not matched
+    * (rare, and unanchored matching would misparse `href=a>b`), and
+    * an href containing the OTHER quote character is skipped — a raw
+    * `"` is illegal in a URI (RFC 3986) and a `'` inside a
+    * double-quoted href is the one legal-but-rare case this trades
+    * away to keep the rule a single capture group (extract_all cannot
+    * coalesce alternation groups).
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"),
+      lit(1))
+
   /** Visible text of an HTML column per the object doc. */
   def extractText(html: Column): Column = {
     val noBlocks =

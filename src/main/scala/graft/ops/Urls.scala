@@ -75,11 +75,22 @@ object Urls {
     * A deliberate short list of the common ccTLD second levels — the
     * full public-suffix list is a data file a deployment would load;
     * the ALGORITHM (suffix match → keep one extra label) is the same.
+    * Canonical home: [[graft.functions.UrlDomains.multiPartSuffixes]]
+    * (the native twin must recognize the identical set).
     */
-  val multiPartSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "co.in", "co.nz", "com.br", "com.cn", "com.mx",
-    "com.ar", "com.tr", "co.za", "com.sg", "com.hk")
+  val multiPartSuffixes: Seq[String] =
+    graft.functions.UrlDomains.multiPartSuffixes
+
+  /** url → registrable domain as ONE native codegen'd call — the
+    * semantic equal of `registrableDomain(hostOf(url))` (equivalence
+    * property in UrlsSpec), for codegen contexts where the column
+    * chain's self-references re-expand without subexpression
+    * elimination (join keys, post-explode projections) and can blow
+    * janino's 64 KB method limit. Also ~5 regex executions per row
+    * cheaper — prefer it on hot corpus paths.
+    */
+  def registrableDomainOfUrl(url: Column): Column =
+    graft.functions.GraftExtensions.url_registrable_domain(url)
 
   /** Registrable domain (eTLD+1 approximation) of a HOST column: the
     * last two labels, or three when the last two form a known

@@ -19,7 +19,8 @@ object Catalog {
       GroupingOps.entries ++ TextOps.entries ++ DedupOps.entries ++
       SimilarityOps.entries ++ MultimodalOps.entries ++ EtlAssembly.entries ++
       TemporalOps.entries ++ PipelineOps.entries ++ CorpusOps.entries ++
-      UrlCurationOps.entries ++ WebTextOps.entries ++ WarcOps.entries
+      UrlCurationOps.entries ++ WebTextOps.entries ++ WarcOps.entries ++
+      LinkGraphOps.entries
 
   lazy val queries: Map[String, Q] = {
     val names = all.map(_.name)

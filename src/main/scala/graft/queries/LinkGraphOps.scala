@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Html, LinkGraph}
+import org.apache.spark.sql.functions._
+
+/** Harness entries for the link-graph surface ([[graft.ops.LinkGraph]]).
+  *
+  * Each doc becomes a page on its own domain (`d<g>.com`, `g = doc_id
+  * % 100`) whose anchors endorse two attribute-derived domains
+  * (`g·7+11` and `g·13+29` mod 100 — both affine maps are bijections
+  * mod 100, so all 100 domains appear on both sides). The pipeline
+  * under test is extractLinks → domainEdges → pageRankInt; the oracle
+  * rebuilds the edge list from the attribute math alone and, for the
+  * rank entry, replays the integer fixed-point recurrence as two
+  * unrolled CTE sweeps — any drift in link parsing, rollup, degree
+  * math, or the DIV-truncation order breaks the hash.
+  */
+object LinkGraphOps {
+  import Catalog.{Entry, Q}
+
+  /** (url, links) per doc: the page URL plus an anchor list carrying
+    * the classic extraction traps (case-shifted scheme/host, a
+    * relative link, a mailto:, a quoted non-anchor decoy).
+    */
+  private def pages(docs: org.apache.spark.sql.DataFrame) = {
+    val g = pmod(col("doc_id"), lit(100))
+    val d1 = pmod(g * 7 + 11, lit(100)).cast("string")
+    val d2 = pmod(g * 13 + 29, lit(100)).cast("string")
+    val url = concat(lit("http://www.d"), g.cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"))
+    val page = concat(
+      lit("<html><body><p>t</p><a class=\"n\" href=\"http://d"), d1,
+      lit(".com/a\">A</a> <a href='HTTPS://WWW.D"), d2,
+      lit(".com/b'>B</a><a href=\"/rel\">r</a>"),
+      lit("<a href=\"mailto:x@y.z\">m</a>"),
+      lit("<p href=\"http://decoy.example/\">not an anchor</p>"),
+      lit("</body></html>"))
+    docs.select(col("doc_id"), url.as("url"),
+      Html.extractLinks(page).as("links"))
+  }
+
+  /** The oracle's edge CTEs over a `g` column (doc_id % 100). */
+  private val oracleEdges =
+    """e0 AS (
+      |  SELECT 'd' || CAST(g AS VARCHAR) || '.com' AS src,
+      |         'd' || CAST((g * 7 + 11) % 100 AS VARCHAR) || '.com' AS dst
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'd' || CAST(g AS VARCHAR) || '.com',
+      |         'd' || CAST((g * 13 + 29) % 100 AS VARCHAR) || '.com'
+      |  FROM d)""".stripMargin
+
+  // ---- url_host_graph: the weighted domain edge list.
+  private val hostGraph: Q = (s, dir) =>
+    LinkGraph.domainEdges(pages(Tables.load(s, dir, "documents")),
+      "url", "links")
+  private val hostGraphSql =
+    s"""WITH d AS (SELECT doc_id % 100 AS g FROM documents),
+       |$oracleEdges
+       |SELECT src, dst, count(*) AS n_links FROM e0
+       |WHERE src <> dst GROUP BY src, dst""".stripMargin
+
+  // ---- url_domain_rank: two integer-PageRank sweeps over the same
+  // graph, unrolled in the oracle.
+  private val domainRank: Q = (s, dir) =>
+    LinkGraph.pageRankInt(
+        LinkGraph.domainEdges(pages(Tables.load(s, dir, "documents")),
+          "url", "links").select(col("src"), col("dst")),
+        iters = 2)
+      .select(col("id").as("domain"), col("rank"))
+  private val domainRankSql =
+    s"""WITH d AS (SELECT doc_id % 100 AS g FROM documents),
+       |$oracleEdges,
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |c1 AS (SELECT e.dst AS id, sum(p0.pr // deg.od) AS s
+       |       FROM e JOIN deg ON e.src = deg.src JOIN p0 ON p0.id = e.src
+       |       GROUP BY e.dst),
+       |p1 AS (SELECT n.id,
+       |         CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+       |       FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+       |c2 AS (SELECT e.dst AS id, sum(p1.pr // deg.od) AS s
+       |       FROM e JOIN deg ON e.src = deg.src JOIN p1 ON p1.id = e.src
+       |       GROUP BY e.dst),
+       |p2 AS (SELECT n.id,
+       |         CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+       |       FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
+       |SELECT id AS domain, pr AS rank FROM p2""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+    Entry("url_host_graph", hostGraph, Some(hostGraphSql)),
+    Entry("url_domain_rank", domainRank, Some(domainRankSql)),
+  )
+}

@@ -80,6 +80,28 @@ class UrlsSpec extends SparkSpec {
       Urls.capPerDomain(df, "doc_id", "url", 0))
   }
 
+  test("native registrableDomainOfUrl equals the column chain on adversarial URLs") {
+    val urls = Seq(
+      "http://a.site.com/1", "HTTPS://WWW.Site2.COM:443/y?q=1#f",
+      "http://u:p@blog.news.co.uk:80/x", "https://x.y.z.com.au/",
+      "http://www.co.uk", "http://host", "http://host.", "http://.host",
+      "http://a..b.com/z", "ftp://files.example.com/f", "no scheme here",
+      "://nohost", "http://", "http://@", "http://www.", "1http://bad.com",
+      "http://HOST.ORG:443/keeps-port", "https://h.org:80/keeps-port",
+      "http://a@b@c.example.org/multi-at", "http://www.www.example.com",
+      "", "http://xn--bcher-kva.example/idn")
+    val df = (urls.map(Option(_)) :+ None).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val got = df.select($"id",
+        Urls.registrableDomainOfUrl($"url").as("native"),
+        Urls.registrableDomain(Urls.hostOf($"url")).as("chain"))
+      .collect()
+    got.foreach { r =>
+      assert(Option(r.getString(1)) == Option(r.getString(2)),
+        s"url=${urls.lift(r.getLong(0).toInt)} native=${r.getString(1)} chain=${r.getString(2)}")
+    }
+  }
+
   test("filterBlockedDomains drops by registrable domain, case-insensitively, keeping no-domain rows") {
     val df = Seq(
       (1L, "http://a.b.site2.com/x"),  // subdomain rolls up to site2.com

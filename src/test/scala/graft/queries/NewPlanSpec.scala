@@ -286,7 +286,8 @@ class NewPlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      Seq("ann_random_project", "url_blocklist", "pipeline_warc_intake")
+      Seq("ann_random_project", "url_blocklist", "pipeline_warc_intake",
+        "url_host_graph", "url_domain_rank")
         .foreach { n =>
           graft.queries.Catalog.queries(n)(spark, "/root/testdata/sf0.001")
             .write.mode("overwrite").format("noop").save()

@@ -490,4 +490,51 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed == Seq(2L, 4L, 5L))
   }
+
+  test("streaming crawl intake equals the batch pipeline (WARC -> HTTP -> HTML -> mojibake)") {
+    import java.nio.charset.{Charset, StandardCharsets}
+    import graft.ops.{Html, Mojibake, Warc}
+    val cp1252 = Charset.forName("windows-1252")
+    def moji(s: String) = new String(s.getBytes(StandardCharsets.UTF_8), cp1252)
+    def respRec(uri: String, html: String): Array[Byte] = {
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+        .getBytes(StandardCharsets.UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http\r\nContent-Length: ${http.length}\r\n\r\n")
+        .getBytes(StandardCharsets.UTF_8) ++ http ++
+        "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    }
+    // shard 1: one clean page; shard 2: two records, one mojibake'd
+    val rows = Seq(
+      (1L, respRec("http://s/1", "<p>clean page</p>")),
+      (2L, respRec("http://s/2", s"<p>${moji("café papers")}</p>") ++
+        respRec("http://s/3", "<script>x<1</script><p>second</p>")))
+
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      Warc.httpResponses(df, "id", "blob").toDF()
+        .filter(col("http_status") === 200)
+        .select(col("target_uri"), Mojibake.fixMojibake(
+          Html.extractText(col("body").cast("string"))).as("clean"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData(rows.head)
+    val q = shape(mem.toDF().toDF("id", "blob"))
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(rows(1))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("warc_stream")
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    val batch = shape(rows.toDF("id", "blob"))
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      ("http://s/1", "clean page"),
+      ("http://s/2", "café papers"),
+      ("http://s/3", "second")))
+  }
 }
