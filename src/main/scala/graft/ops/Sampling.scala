@@ -40,6 +40,40 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(samplePredicate(col(keyCol), fraction))
 
+  /** Keep each row with probability `weight/unit` (clamped to 1) where
+    * the weight is a ROW-LEVEL integer column — the per-row sibling of
+    * [[hashSample]]'s plan-literal fraction, for quality/centrality-
+    * proportional corpus sampling (e.g. keep docs in proportion to
+    * their domain's [[LinkGraph.pageRankInt]] rank).
+    *
+    * The draw is pure integer cross-multiplication:
+    *
+    *   keep  ⇔  hash32(key) · unit  <  min(weight, unit) · 2³²
+    *
+    * with hash32 = the first 8 md5 hex digits. No doubles, no hex
+    * threshold formatting — both sides are BIGINT expressions any SQL
+    * engine replays verbatim, so derived weights stay oracle-checkable
+    * (the hexThreshold form needs the fraction at PLAN time).
+    * Overflow-safe by the `unit ≤ 2³⁰` guard (both products stay under
+    * 2⁶²). Deterministic per (key, weight): re-runs keep the same
+    * rows. Null keys and null/non-positive weights drop (a row with no
+    * key has no stable draw; a row with no weight has no mass).
+    */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
+      unit: Long): DataFrame = {
+    require(unit > 0 && unit <= (1L << 30),
+      s"unit must be in (0, 2^30], got $unit")
+    val h = expr(
+      s"CAST(conv(substring(md5(CAST(`$keyCol` AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    // The null-weight filter is EXPLICIT: both Spark's least() and SQL
+    // LEAST skip nulls, so without it a null weight would silently
+    // clamp to `unit` and keep the row with P=1.
+    df.filter(
+      col(weightCol).isNotNull &&
+        h * lit(unit) <
+        least(col(weightCol).cast("long"), lit(unit)) * lit(4294967296L))
+  }
+
   /** Stratified deterministic sampling: a different keep-fraction per
     * stratum (e.g. downsample dominant languages, keep the long tail —
     * the usual corpus rebalancing move). Same engine-portable md5

@@ -90,8 +90,57 @@ object LinkGraphOps {
        |       FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
        |SELECT id AS domain, pr AS rank FROM p2""".stripMargin
 
+  // ---- pipeline_rank_sample: the whole centrality-weighted intake
+  // under ONE hash — link extraction → domain edges → two PageRank
+  // sweeps → docs joined to their domain's rank (broadcast dim) →
+  // rank-proportional keep via the integer cross-multiplication draw
+  // (P(keep) = rank / 2e6, so base-rank-only domains keep ~7.5% and
+  // link-heavy ones keep most of their docs). The oracle replays the
+  // full chain: the PR CTEs plus the same BIGINT predicate.
+  private val rankSample: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val p = pages(docs)
+    val rank = LinkGraph.pageRankInt(
+      LinkGraph.domainEdges(p, "url", "links").select(col("src"), col("dst")),
+      iters = 2)
+    val withDom = p.select(col("doc_id"),
+      graft.ops.Urls.registrableDomainOfUrl(col("url")).as("domain"))
+    val joined = withDom.join(
+      broadcast(rank.withColumnRenamed("id", "domain")), Seq("domain"))
+    graft.ops.Sampling.weightedHashSample(joined, "doc_id", "rank",
+        unit = 2000000L)
+      .select(col("doc_id"), col("domain"), col("rank"))
+  }
+  private val rankSampleSql =
+    s"""WITH d AS (SELECT doc_id % 100 AS g FROM documents),
+       |$oracleEdges,
+       |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |c1 AS (SELECT e.dst AS id, sum(p0.pr // deg.od) AS s
+       |       FROM e JOIN deg ON e.src = deg.src JOIN p0 ON p0.id = e.src
+       |       GROUP BY e.dst),
+       |p1 AS (SELECT n.id,
+       |         CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+       |       FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+       |c2 AS (SELECT e.dst AS id, sum(p1.pr // deg.od) AS s
+       |       FROM e JOIN deg ON e.src = deg.src JOIN p1 ON p1.id = e.src
+       |       GROUP BY e.dst),
+       |p2 AS (SELECT n.id,
+       |         CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+       |       FROM nodes n LEFT JOIN c2 ON n.id = c2.id),
+       |dd AS (SELECT doc_id, 'd' || CAST(doc_id % 100 AS VARCHAR) || '.com' AS domain
+       |       FROM documents)
+       |SELECT dd.doc_id, dd.domain, p2.pr AS rank
+       |FROM dd JOIN p2 ON p2.id = dd.domain
+       |WHERE ('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        * 2000000
+       |      < LEAST(p2.pr, 2000000) * 4294967296""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("url_host_graph", hostGraph, Some(hostGraphSql)),
     Entry("url_domain_rank", domainRank, Some(domainRankSql)),
+    Entry("pipeline_rank_sample", rankSample, Some(rankSampleSql)),
   )
 }

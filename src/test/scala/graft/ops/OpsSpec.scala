@@ -442,6 +442,33 @@ class OpsSpec extends SparkSpec {
     assert(tenFold == 5000L, s"10-fold split covered $tenFold of 5000 rows")
   }
 
+  test("weightedHashSample: weight-proportional keep, integer draw, edge weights") {
+    val df = (0 until 6000).map { i =>
+      (i.toLong, if (i % 3 == 0) 500000L else 2000000L)
+    }.toDF("doc_id", "w")
+    val unit = 2000000L
+    val kept = Sampling.weightedHashSample(df, "doc_id", "w", unit)
+      .select("doc_id").as[Long].collect().toSet
+    // w = unit rows (2/3 of corpus) keep with P=1 — ALL of them
+    assert((0 until 6000).filter(_ % 3 != 0).forall(i => kept.contains(i.toLong)))
+    // w = unit/4 rows keep at ~25%
+    val quarter = kept.count(_ % 3 == 0) / 2000.0
+    assert(math.abs(quarter - 0.25) < 0.04, s"got $quarter")
+    // deterministic re-run
+    assert(Sampling.weightedHashSample(df, "doc_id", "w", unit)
+      .select("doc_id").as[Long].collect().toSet == kept)
+    // over-unit weights clamp to P=1, zero/null weights drop
+    val edges = Seq((1L, Some(99999999L)), (2L, Some(0L)),
+      (3L, Option.empty[Long]), (4L, Some(-7L)))
+      .toDF("doc_id", "w")
+    assert(Sampling.weightedHashSample(edges, "doc_id", "w", unit)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assertThrows[IllegalArgumentException](
+      Sampling.weightedHashSample(df, "doc_id", "w", 0L))
+    assertThrows[IllegalArgumentException](
+      Sampling.weightedHashSample(df, "doc_id", "w", (1L << 30) + 1))
+  }
+
   test("stratified sampling: per-stratum fractions, keep-all strata lose nothing") {
     val df = (0 until 6000).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zz"))
