@@ -67,7 +67,10 @@ object WarcDataSourceV2 {
     val fs = p.getFileSystem(conf)
     val status = fs.getFileStatus(p)
     if (status.isDirectory)
-      fs.listStatus(p).toSeq.map(_.getPath.toString)
+      // isFile guard: a DIRECTORY named e.g. "segment.warc" must not be
+      // opened as a shard (listing is one level, like the Excel source
+      // — crawl layouts that nest segments pass the segment dir).
+      fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
         .filter(f => Extensions.exists(f.endsWith)).sorted
     else Seq(status.getPath.toString)
   }
@@ -167,7 +170,15 @@ final case class WarcReaderFactory(requiredColumns: Array[String], strict: Boole
             current = InternalRow.fromSeq(
               extractors.toSeq.map(f => f(idx, r)))
             true
-          case None => false
+          case None =>
+            // Lenient mode drops a malformed tail by design — but never
+            // SILENTLY: the executor log names the shard and the error.
+            reader.error.foreach { err =>
+              org.slf4j.LoggerFactory.getLogger(classOf[WarcReaderFactory])
+                .warn(s"$file: malformed tail dropped after " +
+                  s"${reader.recordCount} records ($err)")
+            }
+            false
         }
       }
       override def get(): InternalRow = current

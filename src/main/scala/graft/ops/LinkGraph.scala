@@ -78,9 +78,12 @@ object LinkGraph {
     * sweep is eagerly localCheckpoint'ed, the same lineage-truncation
     * discipline as [[Dedup.connectedComponents]]' label propagation
     * (on a real cluster: a reliable checkpoint dir). Rank overflow is
-    * structurally impossible below ~10¹² nodes at the default unit
-    * (total mass never exceeds nodes·unit, and 85·mass must stay
-    * under 2⁶³).
+    * structurally impossible below ~10¹¹ nodes at the default unit:
+    * any node's in-contribution sum is bounded by the total mass
+    * nodes·unit, and dampingPct·mass must stay under 2⁶³ —
+    * 85 · 10¹¹ · 10⁶ ≈ 8.5·10¹⁸ < 2⁶³. (Domain-level web graphs are
+    * ~10⁸; shrink `unit` if you ever rank page-level graphs beyond
+    * 10¹¹ nodes.)
     */
   def pageRankInt(edges: DataFrame, iters: Int, dampingPct: Int = 85,
       unit: Long = 1000000L): DataFrame = {

@@ -39,6 +39,8 @@ class WarcDataSourceV2Spec extends SparkSpec {
     Files.write(dir.resolve("b.warc.gz"),
       gzMembers(rec("http://b/1", "gamma"), rec("http://b/2", "delta")))
     Files.write(dir.resolve("notes.txt"), "not a shard".getBytes(UTF_8))
+    // a DIRECTORY whose name matches the extension must not be opened
+    Files.createDirectory(dir.resolve("decoy.warc"))
     dir
   }
 
