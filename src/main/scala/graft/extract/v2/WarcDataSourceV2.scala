@@ -167,8 +167,16 @@ final case class WarcReaderFactory(requiredColumns: Array[String], strict: Boole
         rec match {
           case Some(r) =>
             idx += 1
-            current = InternalRow.fromSeq(
-              extractors.toSeq.map(f => f(idx, r)))
+            // innermost scan loop: a plain array fill, no per-record
+            // wrapper collections
+            val arr = new Array[Any](extractors.length)
+            var i = 0
+            while (i < extractors.length) {
+              arr(i) = extractors(i)(idx, r)
+              i += 1
+            }
+            current =
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
             true
           case None =>
             // Lenient mode drops a malformed tail by design — but never
@@ -182,7 +190,11 @@ final case class WarcReaderFactory(requiredColumns: Array[String], strict: Boole
         }
       }
       override def get(): InternalRow = current
-      override def close(): Unit = stream.close()
+      // Close via the READER: that ends the gzip Inflater's native
+      // buffers and cascades down to the FS stream; the extra
+      // stream.close() is a harmless belt for the non-gzip path.
+      override def close(): Unit =
+        try reader.close() finally stream.close()
     }
   }
 }

@@ -66,17 +66,21 @@ object Html {
     * [[graft.ops.LinkGraph.domainEdges]] filters to absolute http(s)
     * when building the web graph). One codegen'd
     * `regexp_extract_all`, RE2-safe like every rule here; null html →
-    * null. Documented approximations: unquoted hrefs are not matched
-    * (rare, and unanchored matching would misparse `href=a>b`), and
-    * an href containing the OTHER quote character is skipped — a raw
-    * `"` is illegal in a URI (RFC 3986) and a `'` inside a
-    * double-quoted href is the one legal-but-rare case this trades
+    * null. The captured value excludes `>` as well as both quotes, so
+    * a runaway value can NEVER escape its tag: an UNTERMINATED quote
+    * (`<a href="http://a/x>…`) yields no link at all rather than a
+    * garbage URL spanning into the following markup. Documented
+    * approximations: unquoted hrefs are not matched (rare, and
+    * unanchored matching would misparse `href=a>b`), a raw `>` in an
+    * href skips it (illegal in a URI per RFC 3986), and an href
+    * containing the OTHER quote character is TRUNCATED at it — the
+    * one legal-but-rare case (`'` inside a double-quoted href) traded
     * away to keep the rule a single capture group (extract_all cannot
     * coalesce alternation groups).
     */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"),
+      lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']"),
       lit(1))
 
   /** Visible text of an HTML column per the object doc. */

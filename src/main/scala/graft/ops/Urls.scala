@@ -148,7 +148,7 @@ object Urls {
   def capPerDomain(df: DataFrame, idCol: String, urlCol: String, cap: Int,
       orderBy: Seq[Column] = Nil): DataFrame = {
     require(cap > 0, s"capPerDomain: cap must be positive, got $cap")
-    val dom = registrableDomain(hostOf(col(urlCol)))
+    val dom = registrableDomainOfUrl(col(urlCol))
     val salt = when(dom.isNull, col(idCol)).otherwise(lit(null))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(dom, salt).orderBy(orderBy :+ col(idCol): _*)
@@ -171,15 +171,15 @@ object Urls {
       s"filterBlockedDomains: blocklist needs a 'domain' column, " +
         s"got [${blocked.columns.mkString(", ")}]")
     val b = broadcast(blocked.select(lower(col("domain")).as("__url_blk")))
-    // The domain is PROJECTED to a column first, not written into the
-    // join key: a join key gets no subexpression elimination, so the
-    // host/registrable chain (which references its child ~8×) expands
-    // multiplicatively there — big enough to blow janino's 64 KB
-    // method limit and silently knock the stage to interpreted eval.
-    // A Project eliminates the shared subtrees, and the join then
-    // consumes one plain attribute.
-    df.withColumn("__url_blk_dom", registrableDomain(hostOf(col(urlCol))))
-      .join(b, col("__url_blk_dom") === col("__url_blk"), "left_anti")
-      .drop("__url_blk_dom")
+    // The join key is the NATIVE expression (one static call), not the
+    // five-regex column chain: join keys get no subexpression
+    // elimination, so the chain's ~8× self-references expanded
+    // multiplicatively there and blew janino's 64 KB method limit
+    // (silently knocking the stage to interpreted eval). The native
+    // call is immune by construction — and ~5 regex evals per row
+    // cheaper. The probe side is already lowercase (hostOf semantics),
+    // matching the lowered blocklist.
+    df.join(b, registrableDomainOfUrl(col(urlCol)) === col("__url_blk"),
+      "left_anti")
   }
 }

@@ -76,26 +76,71 @@ object Warc {
   private val MaxHeaderLine = 1 << 16
   private val MaxHeaders = 256
 
+  /** available()-exact wrapper for the gzip path.
+    * `GZIPInputStream` only looks for the NEXT concatenated member
+    * when `available() > 0` at a member trailer — and the
+    * `InputStream` contract lets a wrapped filesystem stream report 0
+    * even when bytes remain (some Hadoop FS streams do), which would
+    * silently treat every remaining member of a one-member-per-record
+    * shard as clean EOF: unauditable record loss. Peeking one byte
+    * through the pushback stream gives an exact answer; at true EOF
+    * the member probe still ends cleanly (GZIPInputStream treats a
+    * failed next-header read as end of stream).
+    */
+  private final class PeekAvailable(pb: PushbackInputStream)
+      extends java.io.FilterInputStream(pb) {
+    override def available(): Int = {
+      val a = super.available()
+      if (a > 0) a
+      else {
+        val b = pb.read()
+        if (b < 0) 0 else { pb.unread(b); 1 }
+      }
+    }
+  }
+
   /** Pull parser: `next()` yields records until clean EOF (`None`) or
     * a malformed byte — lenient mode records [[error]] and stops;
-    * strict mode throws. `materializePayload=false` consumes payload
-    * bytes without allocating them (the column-pruned file-scan path).
+    * strict mode throws. Stream-level failures (a shard truncated
+    * MID-GZIP-MEMBER, a corrupt gzip header, a CRC-mismatch trailer)
+    * follow the same rule: they are parse errors, never uncaught
+    * exceptions, or lenient mode could not survive exactly the
+    * truncated shards it exists for. `materializePayload=false`
+    * consumes payload bytes without allocating them (the
+    * column-pruned file-scan path). Callers should [[close]] when
+    * done — the gzip path holds a native Inflater that should not
+    * wait for GC.
     */
   final class WarcReader(raw: InputStream, strict: Boolean,
       materializePayload: Boolean = true) {
 
-    private val in: InputStream = {
-      val pb = new PushbackInputStream(new BufferedInputStream(raw), 2)
-      val b0 = pb.read()
-      val b1 = pb.read()
-      if (b1 >= 0) pb.unread(b1)
-      if (b0 >= 0) pb.unread(b0)
-      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb) else pb
-    }
-
     private var recs = 0
     private var failure: Option[String] = None
     private var eof = false
+
+    private val in: InputStream =
+      try {
+        val pb = new PushbackInputStream(new BufferedInputStream(raw), 2)
+        val b0 = pb.read()
+        val b1 = pb.read()
+        if (b1 >= 0) pb.unread(b1)
+        if (b0 >= 0) pb.unread(b0)
+        if (b0 == 0x1f && b1 == 0x8b)
+          new GZIPInputStream(new PeekAvailable(pb)) // reads the header here
+        else pb
+      } catch {
+        case e: java.io.IOException =>
+          val msg = s"record 0: unreadable stream: ${e.getMessage}"
+          if (strict) throw new WarcFormatException(msg)
+          failure = Some(msg)
+          eof = true
+          null
+      }
+
+    /** Releases the stream chain (and the gzip Inflater's native
+      * buffers); safe to call repeatedly.
+      */
+    def close(): Unit = if (in != null) in.close()
 
     /** Why parsing stopped early, if it did (lenient mode only). */
     def error: Option[String] = failure
@@ -152,6 +197,18 @@ object Warc {
 
     def next(): Option[Rec] = {
       if (eof) return None
+      try nextImpl()
+      catch {
+        // fail() in strict mode — pass through untouched
+        case e: WarcFormatException => throw e
+        // gzip truncation/corruption surfaces as EOFException or
+        // ZipException from the inflater, NOT as read() < 0 — route it
+        // through the same lenient-stop / strict-throw discipline
+        case e: java.io.IOException => fail(s"stream error: ${e.getMessage}")
+      }
+    }
+
+    private def nextImpl(): Option[Rec] = {
       // Skip inter-record blank lines until the version line.
       var line = readLineBytes()
       while (line != null && line.isEmpty) line = readLineBytes()
@@ -235,10 +292,12 @@ object Warc {
   def parse(bytes: Array[Byte], strict: Boolean = false): (Vector[Rec], Option[String]) = {
     if (bytes == null) return (Vector.empty, Some("null blob"))
     val r = new WarcReader(new ByteArrayInputStream(bytes), strict)
-    val out = Vector.newBuilder[Rec]
-    var rec = r.next()
-    while (rec.isDefined) { out += rec.get; rec = r.next() }
-    (out.result(), r.error)
+    try {
+      val out = Vector.newBuilder[Rec]
+      var rec = r.next()
+      while (rec.isDefined) { out += rec.get; rec = r.next() }
+      (out.result(), r.error)
+    } finally r.close() // gzip blobs: end the Inflater now, not at GC
   }
 
   private def idPayload(df: DataFrame, idCol: String,

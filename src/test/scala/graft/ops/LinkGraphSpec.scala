@@ -24,6 +24,23 @@ class LinkGraphSpec extends SparkSpec {
       None))
   }
 
+  test("extractLinks: a runaway quote never escapes the tag") {
+    // unterminated quote: no link at all, NOT a garbage URL spanning
+    // into the following markup (which would fabricate graph edges)
+    val unterminated =
+      """<a href="http://a.com/x>one</a><p>don't stop</p><a href="http://b.com/y">two</a>"""
+    val got = Seq(unterminated).toDF("h")
+      .select(Html.extractLinks(col("h")).as("l"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("http://b.com/y"), got)
+    // mismatched quote inside the value: truncated at it (documented)
+    val mismatched = """<a href="a'b">m</a>"""
+    val got2 = Seq(mismatched).toDF("h")
+      .select(Html.extractLinks(col("h")).as("l"))
+      .collect().head.getSeq[String](0)
+    assert(got2 == Seq("a"), got2)
+  }
+
   test("domainEdges: absolute http(s) only, registrable rollup, self-edges dropped, counted") {
     val df = Seq(
       ("http://www.news.co.uk/a", Seq("https://Blog.Example.com/x",

@@ -119,6 +119,52 @@ class WarcSpec extends SparkSpec {
       3L -> ((0, false))))
   }
 
+  test("gzip-level corruption is a lenient parse error, never an uncaught exception") {
+    // truncated mid-member: the inflater throws EOFException, which
+    // must surface as the same lenient-stop / strict-throw discipline
+    // as a short plain payload
+    val whole = gz(wet("http://z/1", "first"), wet("http://z/2", "second"))
+    val cut = whole.dropRight(40)
+    val (rs, err) = Warc.parse(cut)
+    assert(err.exists(_.contains("stream error")), s"got $err (rs=${rs.size})")
+    assert(rs.size < 2) // never fabricates the truncated record
+    assertThrows[Warc.WarcFormatException](Warc.parse(cut, strict = true))
+    // corrupt gzip header: magic bytes followed by garbage
+    val badHeader = Array[Byte](0x1f, 0x8b.toByte, 0x77, 0x77, 0x77, 0x77)
+    val (rs2, err2) = Warc.parse(badHeader)
+    assert(rs2.isEmpty && err2.isDefined)
+    assertThrows[Warc.WarcFormatException](Warc.parse(badHeader, strict = true))
+    // and the DataFrame ops classify, not crash
+    val audit = Warc.audit(Seq((1L, cut), (2L, badHeader)).toDF("id", "blob"),
+      "id", "blob").collect().map(a => a.id -> a.ok).toMap
+    assert(audit == Map(1L -> false, 2L -> false))
+  }
+
+  test("multi-member gzip survives an available()==0 underlying stream") {
+    // The InputStream contract allows available()==0 with bytes left;
+    // GZIPInputStream then refuses to probe for the next member unless
+    // the reader peeks (Warc.PeekAvailable). Without it, this stream
+    // yields ONE record and a clean EOF — silent, unauditable loss.
+    val bytes = gz(wet("http://m/1", "one")) ++ gz(wet("http://m/2", "two"))
+    // available()==0 AND one byte per read(): the single-byte dribble
+    // keeps BufferedInputStream's buffer empty at the member trailer,
+    // so GZIPInputStream's next-member probe really does hit the
+    // available() check instead of finding buffered bytes by luck
+    val zeroAvail = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      override def read(): Int = in.read()
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        in.read(b, off, math.min(len, 1))
+      override def available(): Int = 0
+    }
+    val r = new Warc.WarcReader(zeroAvail, strict = true)
+    try {
+      val uris = Iterator.continually(r.next()).takeWhile(_.isDefined)
+        .map(_.get.targetUri.get).toSeq
+      assert(uris == Seq("http://m/1", "http://m/2"), uris)
+    } finally r.close()
+  }
+
   test("volume: a 20k-record gzip shard streams through in one pass") {
     val out = new ByteArrayOutputStream()
     val g = new GZIPOutputStream(out)
