@@ -129,6 +129,42 @@ class PropertySpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("property: native url_registrable_domain equals the regex chain on generated URLs") {
+    // The native expression replaced the five-regex chain on every hot
+    // path this round — same precedent as CalendarAgeIso above: the
+    // rewrite must be EXACTLY equal, pinned over generated adversarial
+    // structure, not just hand-picked cases. (The one documented
+    // divergence — Locale.ROOT vs default-locale lowering — is
+    // unobservable outside tr/az/lt hosts.)
+    val scheme = Gen.oneOf("http", "https", "HTTP", "HtTpS", "ftp",
+      "a+b-c.9", "1bad", "h~x", "", "no scheme")
+    val sep = Gen.oneOf("://", ":/", "//", "")
+    val user = Gen.oneOf("", "u@", "u:p@", "a@b@", "@")
+    val label = Gen.oneOf("www", "WWW", "a", "site9", "xn--x", "", "CO",
+      "über", "a b", "ÜBER")
+    val host = Gen.chooseNum(0, 4).flatMap(n =>
+      Gen.listOfN(n, label).map(_.mkString(".")))
+    val suffix = Gen.oneOf("", ".com", ".co.uk", ".COM.au", ".", "..", ".x")
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":0080", ":")
+    val tail = Gen.oneOf("", "/", "/p?q=1#f", "?x", "#f", "/a/b/", "#")
+    val url = for {
+      s <- scheme; p <- sep; u <- user; h <- host
+      sx <- suffix; pt <- port; t <- tail
+    } yield s + p + u + h + sx + pt + t
+    val urls = (samples(url, 500) ++ samples(Gen.asciiPrintableStr, 100) ++
+      Seq(null, "")).distinct
+    val rows = urls.map(Tuple1(_)).toDF("url").select(col("url"),
+        graft.ops.Urls.registrableDomainOfUrl(col("url")).as("native"),
+        graft.ops.Urls.registrableDomain(
+          graft.ops.Urls.hostOf(col("url"))).as("chain"))
+      .collect()
+    assert(rows.length > 300) // the generator really produced variety
+    rows.foreach { r =>
+      assert(Option(r.getString(1)) == Option(r.getString(2)),
+        s"url='${r.getString(0)}' native=${r.getString(1)} chain=${r.getString(2)}")
+    }
+  }
 }
 
 object PropertySpec {
