@@ -853,6 +853,37 @@ object Dedup {
       .select(col("id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** IN-document repeated-line collapse — the MassiveText / RefinedWeb
+    * "remove duplicated lines within a document" cleaning rule
+    * (boilerplate such as cookie banners, nav text and share prompts
+    * repeats WITHIN a page long before it repeats across pages, and
+    * line-level repetition inflates LM likelihood): every line keeps
+    * only its FIRST occurrence inside its own document; survivors
+    * rejoin in original order. The cross-document sibling is
+    * [[paragraphDedup]].
+    *
+    * Scale shape: entirely ROW-LOCAL column algebra (split → indexed
+    * higher-order filter → array_join) — zero shuffles, zero state,
+    * and therefore streaming-identical by construction (apply to a
+    * streaming DataFrame as-is). Per-row cost is O(L²) line
+    * comparisons (L = lines per doc — the running-seen-set needs
+    * mutable state SQL doesn't have); for web documents (L ~ 10²)
+    * that is noise next to the TWO doc-keyed body shuffles the
+    * explode → first-occurrence → re-aggregate formulation pays.
+    *
+    * Null text stays null (the row survives); empty text is one empty
+    * line and survives unchanged; a run of blank lines collapses to
+    * one blank line (duplicate "" lines — the rule applies to them
+    * like any other line). `sep` is a LITERAL separator, not a regex.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val kept = filter(lines, (x, i) =>
+      array_position(slice(lines, lit(1), i), x) === 0)
+    df.withColumn(textCol, array_join(kept, sep))
+  }
+
   /** [[paragraphDedup]] for a STREAMING corpus: of all arrivals of an
     * identical paragraph within the watermark horizon, only the FIRST
     * survives (arrival order replaces the batch op's global

@@ -182,4 +182,81 @@ object Urls {
     df.join(b, registrableDomainOfUrl(col(urlCol)) === col("__url_blk"),
       "left_anti")
   }
+
+  /** Thresholds for [[urlQualitySignals]] — the FineWeb/RefinedWeb-style
+    * URL-shape heuristics applied before any content is even fetched:
+    * deep paths and long parameter lists mark calendar/faceted-search
+    * crawler traps, digit-heavy hosts mark auto-generated spam domains,
+    * and a word blocklist marks adult/gambling boilerplate sites.
+    * Every threshold is an integer and every decision below is integer
+    * arithmetic — no float ratio ever feeds a keep decision (the
+    * engine-stability stance used throughout the quality ops).
+    *
+    * `blockedWords` entries must be lowercase and are matched as plain
+    * substrings of the lowercased URL (no regex — so the list is
+    * trivially replayable in any oracle engine).
+    */
+  final case class UrlQualityConfig(
+      maxPathDepth: Int = 6,
+      maxParams: Int = 4,
+      maxHostDigitPermille: Int = 300,
+      maxUrlLen: Int = 200,
+      blockedWords: Seq[String] = Seq("casino", "viagra", "xxx")) {
+    require(maxPathDepth >= 0 && maxParams >= 0 && maxUrlLen > 0,
+      "urlQuality: thresholds must be non-negative (maxUrlLen positive)")
+    require(maxHostDigitPermille >= 0 && maxHostDigitPermille <= 1000,
+      s"urlQuality: maxHostDigitPermille must be in [0, 1000], got $maxHostDigitPermille")
+    require(blockedWords.forall(w => w.nonEmpty && w == w.toLowerCase),
+      "urlQuality: blockedWords must be non-empty lowercase literals")
+  }
+
+  /** URL-shape quality signals + keep decision, appended as columns:
+    *
+    *  - `path_depth`: non-empty path segments;
+    *  - `n_params`: query parameters (tracking params included — they
+    *    count toward crawler-trap shape even though [[normalizeUrl]]
+    *    would drop them);
+    *  - `host_digit_permille`: ⌊1000 · digit-chars / host-chars⌋ of
+    *    the canonical host ([[hostOf]] — userinfo/port/www noise never
+    *    inflates the ratio);
+    *  - `url_len`, `has_blocked_word`;
+    *  - `url_keep`: the conjunction — parseable host, every threshold
+    *    respected, no blocked word. The digit test cross-multiplies
+    *    (`digits·1000 ≤ permille·len`), exact at any host length.
+    *
+    * Row-local codegen'd string algebra: zero shuffles, streaming-safe
+    * as-is. Unparseable URLs (null host) get `url_keep = false` with
+    * null host-derived signals — quality pipelines drop what they
+    * cannot attribute ([[dedupByUrl]] keeps such rows because dedup
+    * has no identity to collide on; a KEEP decision is the opposite
+    * stance and must be conservative).
+    */
+  def urlQualitySignals(df: DataFrame, urlCol: String,
+      cfg: UrlQualityConfig = UrlQualityConfig()): DataFrame = {
+    val url = col(urlCol)
+    val host = hostOf(url)
+    val path = regexp_extract(url, PathRe, 1)
+    val pathDepth = size(filter(split(path, "/"), p => p =!= ""))
+    val rawQ = regexp_extract(url, "[?]([^#]*)", 1)
+    val nParams = size(filter(split(rawQ, "&"), p => p =!= ""))
+    val hostDigits = length(regexp_replace(host, "[^0-9]", ""))
+    val digitPermille = floor(hostDigits * lit(1000) / length(host))
+    val lowered = lower(url)
+    val blockedHit = cfg.blockedWords
+      .map(w => lowered.contains(lit(w)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val keep = host.isNotNull &&
+      pathDepth <= cfg.maxPathDepth &&
+      nParams <= cfg.maxParams &&
+      hostDigits * lit(1000) <= length(host) * lit(cfg.maxHostDigitPermille) &&
+      length(url) <= cfg.maxUrlLen &&
+      !blockedHit
+    df.withColumn("path_depth", when(host.isNull, lit(null)).otherwise(pathDepth))
+      .withColumn("n_params", when(host.isNull, lit(null)).otherwise(nParams))
+      .withColumn("host_digit_permille",
+        when(host.isNull, lit(null)).otherwise(digitPermille))
+      .withColumn("url_len", length(url))
+      .withColumn("has_blocked_word", blockedHit)
+      .withColumn("url_keep", coalesce(keep, lit(false)))
+  }
 }

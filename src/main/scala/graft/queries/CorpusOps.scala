@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{QualityModel, TokenBudget}
+import graft.ops.{QualityModel, Sketch, TokenBudget}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries: model-based quality filtering and
@@ -377,8 +377,46 @@ object CorpusOps {
       |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
       |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
 
+  // Distinct-token accounting via mergeable HLL sketch artifacts
+  // (ops.Sketch): per-source sketches fit once, the global row comes
+  // from MERGING those sketches (union semantics — never a rescan),
+  // and the gate ships exact counts + error-bound verdicts (sketch
+  // internals can never hash-match another engine — the
+  // q_approx_sketches convention). A broken fit OR a broken merge
+  // flips a verdict and breaks the hash.
+  private val distinctAccounting: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("source"),
+      explode(filter(split(trim(col("text")), "\\s+"), t => t =!= "")).as("tok"))
+    val perSrc = Sketch.hllFit(toks, "tok", Seq("source"))
+    val merged = Sketch.hllMerge(perSrc.withColumn("source", lit("ALL")),
+      Seq("source"))
+    val sketches = perSrc.unionByName(merged)
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("exact_tokens"))
+      .unionByName(toks.agg(countDistinct(col("tok")).as("exact_tokens"))
+        .withColumn("source", lit("ALL")))
+    sketches.join(exact, Seq("source"))
+      .select(col("source"), col("exact_tokens"),
+        Sketch.hllWithinBound(col("hll"), col("exact_tokens")).as("est_ok"))
+  }
+  private val distinctAccountingSql =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x <> '')) AS tok
+      |  FROM documents)
+      |SELECT source, exact_tokens, true AS est_ok FROM (
+      |  SELECT source, count(DISTINCT tok) AS exact_tokens
+      |  FROM toks GROUP BY source
+      |  UNION ALL
+      |  SELECT 'ALL' AS source, count(DISTINCT tok) AS exact_tokens
+      |  FROM toks)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("corpus_profile", profile, Some(profileSql)),
+    Entry("corpus_distinct_accounting", distinctAccounting,
+      Some(distinctAccountingSql)),
     Entry("text_quality_model", qualityModel, Some(qualityModelSql)),
     Entry("text_token_budget", tokenBudget, Some(tokenBudgetSql)),
     Entry("text_gopher_rules", gopher, Some(gopherSql)),

@@ -186,11 +186,83 @@ object UrlCurationOps {
        |SELECT doc_id FROM c WHERE domain NOT IN
        |  (${blockedDomains.map(b => s"'$b'").mkString(", ")})""".stripMargin
 
+  /** A second synthesized URL family for the URL-SHAPE quality
+    * heuristics ([[Urls.urlQualitySignals]]): spam markers derive from
+    * `g = doc_id % 100` by pure integer math —
+    *
+    *  - `g % 6 == 0` → a digit-heavy `42424242.` subdomain (8 digits);
+    *  - path depth `g % 9` of 2-char `/s` segments, plus `/casino`
+    *    (depth +1 AND the blocked word) when `g % 13 == 0`;
+    *  - `g % 7` query parameters (4 chars each incl. separator).
+    *
+    * The oracle derives every signal (depth, params, digit permille,
+    * total length, keep) from that attribute math alone — it never
+    * re-runs any string rule, so a parsing bug on the Spark side
+    * cannot cancel out.
+    */
+  private def synthQualityUrl = {
+    val id = col("doc_id")
+    val g = pmod(id, lit(100))
+    val tld = when(pmod(g, lit(4)) === 0, lit("com"))
+      .when(pmod(g, lit(4)) === 1, lit("org"))
+      .when(pmod(g, lit(4)) === 2, lit("co.uk"))
+      .otherwise(lit("com.au"))
+    val host = concat(
+      when(pmod(g, lit(6)) === 0, lit("42424242.")).otherwise(lit("")),
+      lit("site"), pmod(g, lit(25)).cast("string"), lit("."), tld)
+    val path = lit("/s/s/s/s/s/s/s/s")
+      .substr(lit(1), (pmod(g, lit(9)) * 2).cast("int"))
+    val casino = when(pmod(g, lit(13)) === 0, lit("/casino")).otherwise(lit(""))
+    val np = pmod(g, lit(7))
+    val qstr = when(np > 0,
+      concat(lit("?"), lit("a=1&b=1&c=1&d=1&e=1&f=1")
+        .substr(lit(1), (np * 4 - 1).cast("int")))).otherwise(lit(""))
+    concat(lit("https://"), host, path, casino, qstr)
+  }
+
+  private val quality: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    Urls.urlQualitySignals(
+        docs.select(col("doc_id"), synthQualityUrl.as("url")),
+        "url", Urls.UrlQualityConfig(maxUrlLen = 50))
+      .select(col("doc_id"),
+        col("path_depth").cast("long").as("path_depth"),
+        col("n_params").cast("long").as("n_params"),
+        col("host_digit_permille"),
+        col("url_len").cast("long").as("url_len"),
+        col("has_blocked_word"), col("url_keep"))
+  }
+  private val qualitySql =
+    """WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN g % 25 < 10 THEN 1 ELSE 2 END AS dlen,
+      |  CASE g % 4 WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 6 END AS tldlen,
+      |  CASE WHEN g % 6 = 0 THEN 1 ELSE 0 END AS spam,
+      |  g % 9 AS depth0, g % 7 AS np,
+      |  CASE WHEN g % 13 = 0 THEN 1 ELSE 0 END AS casino
+      | FROM d),
+      |t AS (SELECT doc_id,
+      |  spam * 8 + dlen AS digits,
+      |  spam * 9 + 5 + dlen + tldlen AS hostlen,
+      |  depth0 + casino AS depth, np, casino,
+      |  8 + spam * 9 + 5 + dlen + tldlen + 2 * depth0 + casino * 7 + 4 * np AS ulen
+      | FROM s)
+      |SELECT doc_id,
+      |  CAST(depth AS BIGINT) AS path_depth,
+      |  CAST(np AS BIGINT) AS n_params,
+      |  CAST(floor(digits * 1000.0 / hostlen) AS BIGINT) AS host_digit_permille,
+      |  CAST(ulen AS BIGINT) AS url_len,
+      |  casino = 1 AS has_blocked_word,
+      |  (depth <= 6 AND np <= 4 AND digits * 1000 <= hostlen * 300
+      |    AND ulen <= 50 AND casino = 0) AS url_keep
+      |FROM t""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("url_normalize", normalize, Some(normalizeSql)),
     Entry("url_dedup", dedup, Some(dedupSql)),
     Entry("url_domain_stats", domainStats, Some(domainStatsSql)),
     Entry("url_domain_cap", domainCap, Some(domainCapSql)),
     Entry("url_blocklist", blocklist, Some(blocklistSql)),
+    Entry("url_quality", quality, Some(qualitySql)),
   )
 }

@@ -87,8 +87,42 @@ object WebTextOps {
        |FROM documents""".stripMargin
   }
 
+  // ---- text_dedup_lines: in-document repeated-line collapse
+  // (graft.ops.Dedup.dedupLinesWithinDoc). The word-soup docs are one
+  // line, so line structure is synthesized: a boilerplate line is
+  // injected after every 3-word run — the classic share-prompt shape
+  // this rule exists for — giving each doc MANY copies of the same
+  // line (plus whatever natural 3-word content-line repeats occur).
+  // Only the first occurrence of each line may survive, in order.
+  private val lineBreak = "((?:\\S+ ){2}\\S+) "
+  private val boiler = "share this article"
+  private val dedupLines: Q = (s, dir) =>
+    graft.ops.Dedup.dedupLinesWithinDoc(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), lineBreak, s"$$1\n$boiler\n").as("text")),
+      "text")
+  private val dedupLinesSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text, '((?:\\S+ ){2}\\S+) ',
+       |      '\\1' || chr(10) || '$boiler' || chr(10), 'g') AS t
+       |  FROM documents),
+       |lines AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(t, chr(10))) AS line,
+       |    unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+       |  FROM docs),
+       |kept AS (
+       |  SELECT doc_id, pos, line,
+       |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+       |  FROM lines)
+       |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("text_html_extract", htmlExtract, Some(htmlExtractSql)),
     Entry("text_fix_mojibake", mojibake, Some(mojibakeSql)),
+    Entry("text_dedup_lines", dedupLines, Some(dedupLinesSql)),
   )
 }

@@ -378,6 +378,34 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == "")
   }
 
+  test("in-document line dedup keeps first occurrences in order, per doc only") {
+    val docs = Seq(
+      (1L, "alpha\nshare this\nbeta\nshare this\nalpha\ngamma"),
+      (2L, "share this\nshare this"),  // only dup lines → collapses to one
+      (3L, "alpha\nbeta"),             // doc 1's lines do NOT affect doc 3
+      (4L, ""),                        // empty text survives unchanged
+      (5L, "a\n\n\nb")                 // blank-line run collapses to one blank
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithinDoc(docs, "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha\nshare this\nbeta\ngamma")
+    assert(out(2L) == "share this")
+    assert(out(3L) == "alpha\nbeta")
+    assert(out(4L) == "")
+    assert(out(5L) == "a\n\nb")
+  }
+
+  test("in-document line dedup: null text stays null; plan is shuffle-free") {
+    val docs = Seq((1L, Option("x\nx")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithinDoc(docs, "text")
+    val got = out.as[(Long, Option[String])].collect().toMap
+    assert(got(1L) == Some("x"))
+    assert(got(2L) == None)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
   test("connected components labels every near-dup cluster by its min id") {
     // Components: {1,2,3} (chain), {10,11}, singleton edges absent.
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

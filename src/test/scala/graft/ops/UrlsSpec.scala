@@ -116,4 +116,51 @@ class UrlsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Urls.filterBlockedDomains(df, "url", blocked.toDF("host")))
   }
+
+  test("urlQualitySignals: hand-computed signals and keep decisions") {
+    val cfg = Urls.UrlQualityConfig(maxPathDepth = 3, maxParams = 2,
+      maxHostDigitPermille = 300, maxUrlLen = 60,
+      blockedWords = Seq("casino"))
+    val rows = Seq(
+      (1L, "https://site.com/a/b?x=1"),       // clean → keep
+      (2L, "https://site.com/a/b/c/d?x=1"),   // depth 4 > 3 → drop
+      (3L, "https://site.com/a?x=1&y=2&z=3"), // 3 params > 2 → drop
+      (4L, "https://42424242.site.com/a"),    // 8000/17 = 470‰ > 300 → drop
+      (5L, "https://site.com/go/casino"),     // blocked word → drop
+      (6L, "not a url"))                      // unparseable → drop, null signals
+      .toDF("id", "url")
+    val got = Urls.urlQualitySignals(rows, "url", cfg)
+      .select($"id", $"path_depth", $"n_params", $"host_digit_permille",
+        $"url_len", $"has_blocked_word", $"url_keep")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getInt(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got(1L) == ((Some(2), Some(1), Some(0L), 24, false, true)))
+    assert(got(2L) == ((Some(4), Some(1), Some(0L), 28, false, false)))
+    assert(got(3L) == ((Some(1), Some(3), Some(0L), 30, false, false)))
+    assert(got(4L) == ((Some(1), Some(0), Some(470L), 27, false, false)))
+    assert(got(5L) == ((Some(2), Some(0), Some(0L), 26, true, false)))
+    assert(got(6L) == ((None, None, None, 9, false, false)))
+  }
+
+  test("urlQualitySignals: digit ratio reads the CANONICAL host; tracking params still count") {
+    val cfg = Urls.UrlQualityConfig(maxHostDigitPermille = 300, maxParams = 1)
+    // userinfo digits and the default port must not inflate the ratio:
+    // canonical host is 42.example.com (2 digits / 14 chars = 142‰ ≤ 300)
+    // — counting '1234:p@' or ':80' would push it past the threshold.
+    val rows = Seq(
+      (1L, "http://1234:p@www.42.example.com:80/x"),
+      (2L, "https://site.com/x?utm_source=t&a=1")) // 2 params incl. tracking → drop
+      .toDF("id", "url")
+    val got = Urls.urlQualitySignals(rows, "url", cfg)
+      .select($"id", $"host_digit_permille", $"n_params", $"url_keep")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1L) == ((142L, 0, true)))
+    assert(got(2L) == ((0L, 2, false)))
+    assertThrows[IllegalArgumentException](
+      Urls.UrlQualityConfig(blockedWords = Seq("Casino")))
+    assertThrows[IllegalArgumentException](
+      Urls.UrlQualityConfig(maxHostDigitPermille = 1500))
+  }
 }

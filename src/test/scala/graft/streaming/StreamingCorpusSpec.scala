@@ -189,6 +189,39 @@ class StreamingCorpusSpec extends SparkSpec {
       "The cat sat here quietly.\nAnd the dog kept watch all night.")
   }
 
+  test("streaming in-doc line dedup + URL quality filter equal the batch run (row-local)") {
+    val cfg = graft.ops.Urls.UrlQualityConfig(maxPathDepth = 2)
+    val rows = Seq(
+      (1L, "https://a.com/x", "keep\nshare\nkeep\nbody"),
+      (2L, "https://a.com/x/y/z", "too deep"),          // depth 3 → dropped
+      (3L, "https://casino7.com/x", "blocked word"),    // host carries it
+      (4L, "https://b.org/y", "only\nonly\nonly"))
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val scored = graft.ops.Urls.urlQualitySignals(df, "url", cfg)
+        .filter(col("url_keep"))
+      graft.ops.Dedup.dedupLinesWithinDoc(scored, "text")
+        .select(col("id"), col("text"))
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(rows: _*)
+    val q = shape(mem.toDF().toDF("id", "url", "text"))
+      .writeStream.format("memory").queryName("webintake_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("webintake_stream")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = shape(rows.toDF("id", "url", "text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      1L -> "keep\nshare\nbody",
+      4L -> "only"))
+  }
+
   test("streaming contamination score: micro-batches score against a static benchmark") {
     // the continuous-ingest decontamination shape: the reference (eval
     // benchmark) set is STATIC, the corpus streams; the gram join is a
