@@ -684,6 +684,80 @@ object TextOps {
       |  FROM toks t JOIN wtok wt USING (w) GROUP BY t.doc_id) agg USING (doc_id)""".stripMargin
   }
 
+  // Unigram-LM tokenizer training + encode (ops.UnigramLm): same
+  // bounded-artifact architecture as text_bpe — the word table is the
+  // only corpus pass, Viterbi-EM runs driver-side. Iterative EM is not
+  // SQL-expressible → rows-only; semantics pinned by UnigramLmSpec and
+  // a committed golden hash (GoldenFixtureSpec).
+  private val unigram: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val words = graft.ops.Bpe.wordTable(docs, "text", maxWords = 2000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val model = graft.ops.UnigramLm.train(words, vocabSize = 60,
+      maxPieceLen = 4, seedSize = 512)
+    graft.ops.UnigramLm.encode(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_uni"))
+  }
+
+  // Unigram ENCODE with a FIXED literal piece table — the inference
+  // half, oracle-checked (training above stays rows-only). All pieces
+  // share one score, so the Viterbi optimum is the minimum-piece
+  // segmentation with the longest-last-piece tie rule; the corpus
+  // vocabulary is CLOSED (31 words at every scale), so the oracle
+  // carries each word's expected segmentation as a literal — derived
+  // offline from the DP by hand-checkable minimal splits, never by
+  // re-running the operator. The fingerprint pins token identity and
+  // order, not just counts.
+  private val unigramPieces: Seq[String] = Seq(
+    "▁a", "gg", "bat", "ch", "big", "col", "umn", "cust", "omer", "dat",
+    "dup", "fast", "fil", "ter", "gro", "up", "hash", "join", "key",
+    "line", "mer", "ge", "ord", "er", "part", "que", "ry", "row", "scan",
+    "slow", "sma", "ll", "sort", "spa", "rk", "stre", "am", "tab", "le",
+    "the", "val", "ue", "vec", "tor", "win", "dow")
+  private val unigramSegments: Seq[(String, String)] = Seq(
+    "a" -> "▁a", "agg" -> "▁a gg", "batch" -> "▁ bat ch", "big" -> "▁ big",
+    "column" -> "▁ col umn", "customer" -> "▁ cust omer",
+    "data" -> "▁ dat a", "dup" -> "▁ dup", "fast" -> "▁ fast",
+    "filter" -> "▁ fil ter", "group" -> "▁ gro up", "hash" -> "▁ hash",
+    "join" -> "▁ join", "key" -> "▁ key", "line" -> "▁ line",
+    "merge" -> "▁ mer ge", "order" -> "▁ ord er", "part" -> "▁ part",
+    "query" -> "▁ que ry", "row" -> "▁ row", "scan" -> "▁ scan",
+    "slow" -> "▁ slow", "small" -> "▁ sma ll", "sort" -> "▁ sort",
+    "spark" -> "▁ spa rk", "stream" -> "▁ stre am", "table" -> "▁ tab le",
+    "the" -> "▁ the", "value" -> "▁ val ue", "vector" -> "▁ vec tor",
+    "window" -> "▁ win dow")
+
+  private val unigramEncode: Q = (s, dir) => {
+    val singles = ("abcdefghijklmnopqrstuvwxyz".map(_.toString) :+
+      graft.ops.UnigramLm.Boundary)
+    val pieces = (singles ++ unigramPieces).map(_ -> -1000L).toMap
+    val model = graft.ops.UnigramLm.Model(pieces, maxPieceLen = 4)
+    graft.ops.UnigramLm.encode(Tables.load(s, dir, "documents"),
+        "doc_id", "text", model)
+      .select(col("doc_id"), col("n_uni"),
+        md5(concat_ws(" ", col("uni_tokens"))).as("tok_fp"))
+  }
+  private val unigramEncodeSql = {
+    val cases = unigramSegments
+      .map { case (w, seg) => s"WHEN '$w' THEN '$seg'" }
+      .mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |seg AS (
+       |  SELECT doc_id, r.p AS pos,
+       |    CASE ws[r.p] $cases ELSE '<unk>' END AS s
+       |  FROM t, unnest(range(1, len(ws) + 1)) AS r(p)),
+       |j AS (
+       |  SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS stream
+       |  FROM seg GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(string_split(j.stream, ' ')), 0) AS BIGINT) AS n_uni,
+       |  md5(coalesce(j.stream, '')) AS tok_fp
+       |FROM documents d LEFT JOIN j USING (doc_id)""".stripMargin
+  }
+
   // Token-entropy quality signal (diversity / repetition): Shannon
   // entropy of the per-document token distribution in bits, via the
   // identity H = (ln n − Σ cnt·ln cnt / n) / ln 2 — integer counts
@@ -1001,6 +1075,8 @@ object TextOps {
     Entry("text_bpe", bpe, None),
     Entry("text_compression_ratio", compressionRatio, None),
     Entry("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    Entry("text_unigram", unigram, None),
+    Entry("text_unigram_encode", unigramEncode, Some(unigramEncodeSql)),
     Entry("text_entropy", entropy, Some(entropySql)),
     Entry("text_trigram_backoff", trigramBackoff, Some(trigramBackoffSql)),
     Entry("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Urls
+import graft.ops.{Robots, Urls}
 import org.apache.spark.sql.functions._
 
 /** Harness entries for the URL-curation surface ([[graft.ops.Urls]]).
@@ -257,6 +257,59 @@ object UrlCurationOps {
       |    AND ulen <= 50 AND casino = 0) AS url_keep
       |FROM t""".stripMargin
 
+  // ---- url_robots: RFC 9309 robots.txt exclusion
+  // (graft.ops.Robots). One synthesized robots body per host, with the
+  // rule SHAPE keyed by host attribute math: an `evilbot` group that
+  // must never apply, a `graftbot` group on even-g hosts (so group
+  // selection, not just rule matching, decides half the corpus), and a
+  // `*` group cycling prefix / `$`-anchored / Allow-overrides-Disallow
+  // rules. URL paths are depth `g % 9`. The oracle derives each
+  // verdict purely from (g % 2, g % 3, g % 9) — a parser that unions
+  // groups, ignores the anchor, or breaks longest-match-wins flips
+  // verdicts and breaks the hash.
+  private def robotsTable(s: org.apache.spark.sql.SparkSession) = {
+    val g = col("id")
+    val tld = when(pmod(g, lit(4)) === 0, lit("com"))
+      .when(pmod(g, lit(4)) === 1, lit("org"))
+      .when(pmod(g, lit(4)) === 2, lit("co.uk"))
+      .otherwise(lit("com.au"))
+    val host = concat(lit("site"), pmod(g, lit(25)).cast("string"),
+      lit("."), tld)
+    val m3 = pmod(g, lit(3))
+    val star = concat(lit("User-agent: *\n"),
+      when(m3 === 0, lit("Disallow: /s\n"))
+        .when(m3 === 1, lit("Disallow: /s$\n"))
+        .otherwise(lit("Allow: /s/s\nDisallow: /s\n")))
+    val body = concat(
+      lit("# synthetic robots\nUser-agent: evilbot\nDisallow: /\n\n"),
+      when(pmod(g, lit(2)) === 0,
+        lit("User-agent: graftbot\nDisallow: /x\n\n")).otherwise(lit("")),
+      star)
+    s.range(0, 100).select(host.as("host"), body.as("robots"))
+  }
+
+  private val robots: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val g = pmod(col("doc_id"), lit(100))
+    val tld = when(pmod(g, lit(4)) === 0, lit("com"))
+      .when(pmod(g, lit(4)) === 1, lit("org"))
+      .when(pmod(g, lit(4)) === 2, lit("co.uk"))
+      .otherwise(lit("com.au"))
+    val url = concat(lit("https://site"), pmod(g, lit(25)).cast("string"),
+      lit("."), tld,
+      lit("/s/s/s/s/s/s/s/s").substr(lit(1), (pmod(g, lit(9)) * 2).cast("int")))
+    Robots.robotsDecisions(
+      docs.select(col("doc_id"), url.as("url")), "doc_id", "url",
+      robotsTable(s), "host", "robots", userAgent = "GraftBot/1.0")
+  }
+  private val robotsSql =
+    """WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN g % 2 = 0 THEN true
+      |       WHEN g % 3 = 0 THEN g % 9 = 0
+      |       ELSE g % 9 <> 1 END AS allowed
+      |FROM d""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("url_normalize", normalize, Some(normalizeSql)),
     Entry("url_dedup", dedup, Some(dedupSql)),
@@ -264,5 +317,6 @@ object UrlCurationOps {
     Entry("url_domain_cap", domainCap, Some(domainCapSql)),
     Entry("url_blocklist", blocklist, Some(blocklistSql)),
     Entry("url_quality", quality, Some(qualitySql)),
+    Entry("url_robots", robots, Some(robotsSql)),
   )
 }

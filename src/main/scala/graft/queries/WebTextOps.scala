@@ -120,9 +120,57 @@ object WebTextOps {
        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
        |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin
 
+  // ---- text_script_detect: Unicode-script profiling
+  // (graft.ops.Scripts). The docs are pure [a-z ] Latin, so non-Latin
+  // material is synthesized: doc_id % 4 picks a Cyrillic / Greek / Han
+  // rpad suffix sized from length(text). The oracle derives every
+  // count from attribute math (Latin letters = non-space chars of the
+  // base text; suffix counts = the rpad lengths) and the dominant
+  // label from the same integer comparisons — it never runs a script
+  // regex, so a wrong script class or a codepoint/codeunit confusion
+  // on the Spark side breaks the hash.
+  private val scriptDetect: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val m = pmod(col("doc_id"), lit(4))
+    val suffix = when(m === 1,
+        expr("rpad('', CAST(length(text) / 2 AS INT), 'привет')"))
+      .when(m === 2, expr("rpad('', CAST(length(text) AS INT), 'γεια')"))
+      .when(m === 3, expr("rpad('', CAST(length(text) AS INT), '你好世界')"))
+      .otherwise(lit(""))
+    graft.ops.Scripts.withScriptProfile(
+        docs.select(col("doc_id"), concat(col("text"), suffix).as("text")),
+        "text")
+      .select(col("doc_id"),
+        col("latin_n").cast("long").as("latin_n"),
+        col("cyrillic_n").cast("long").as("cyrillic_n"),
+        col("greek_n").cast("long").as("greek_n"),
+        col("han_n").cast("long").as("han_n"),
+        col("other_n").cast("long").as("other_n"),
+        col("dominant_script"))
+  }
+  private val scriptDetectSql =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 4 AS m,
+      |    length(text) AS n,
+      |    length(replace(text, ' ', '')) AS lat,
+      |    length(text) - length(replace(text, ' ', '')) AS sp
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(lat AS BIGINT) AS latin_n,
+      |  CAST(CASE WHEN m = 1 THEN n // 2 ELSE 0 END AS BIGINT) AS cyrillic_n,
+      |  CAST(CASE WHEN m = 2 THEN n ELSE 0 END AS BIGINT) AS greek_n,
+      |  CAST(CASE WHEN m = 3 THEN n ELSE 0 END AS BIGINT) AS han_n,
+      |  CAST(sp AS BIGINT) AS other_n,
+      |  CASE WHEN m = 1 AND lat < n // 2 THEN 'cyrillic'
+      |       WHEN m = 2 AND lat < n THEN 'greek'
+      |       WHEN m = 3 AND lat < n THEN 'han'
+      |       ELSE 'latin' END AS dominant_script
+      |FROM base""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("text_html_extract", htmlExtract, Some(htmlExtractSql)),
     Entry("text_fix_mojibake", mojibake, Some(mojibakeSql)),
     Entry("text_dedup_lines", dedupLines, Some(dedupLinesSql)),
+    Entry("text_script_detect", scriptDetect, Some(scriptDetectSql)),
   )
 }

@@ -4,8 +4,9 @@ import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Value-level golden pins for the two harness gates no oracle engine
-  * can express (`text_bpe`: iterative BPE merge training;
+/** Value-level golden pins for the harness gates no oracle engine can
+  * express (`text_bpe`: iterative BPE merge training; `text_unigram`:
+  * Viterbi-EM unigram tokenizer training;
   * `text_compression_ratio`: a DEFLATE codec signal). The driver's
   * gate for them counts only rows, so a regression that changes VALUES
   * but not cardinality would slip it — these committed hashes close
@@ -46,6 +47,15 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(hash == "3c772864f88b8ee129d4bb9b5368a74b",
       s"text_bpe values drifted (got $hash) — the driver gate only counts " +
         "rows for this query, so a value regression surfaces HERE first")
+  }
+
+  test("text_unigram output at sf0.01 matches its committed golden hash") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val out = SparkEntry.queries("text_unigram")(spark, sfDir)
+    val hash = canonicalMd5(out)
+    assert(hash == "3a0a0b2adace1050fba9bb5077ff7f6d",
+      s"text_unigram values drifted (got $hash) — Viterbi-EM training is " +
+        "rows-only at the driver gate, so a value regression surfaces HERE first")
   }
 
   test("text_compression_ratio buckets at sf0.01 match their committed golden hash") {
