@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** robots.txt exclusion (RFC 9309) — the crawl-politeness step between
@@ -73,7 +73,10 @@ object Robots {
         val key = line.substring(0, i).trim.toLowerCase
         val value = line.substring(i + 1).trim
         key match {
-          case "user-agent" =>
+          // an empty User-agent value is malformed — reference parsers
+          // drop the line (keeping it would mint a "" token that
+          // substring-matches EVERY agent and shadows the '*' group)
+          case "user-agent" if value.nonEmpty =>
             if (!inHeader) groups +=
               ((scala.collection.mutable.ArrayBuffer.empty[String],
                 scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]))
@@ -82,7 +85,12 @@ object Robots {
           case "allow" | "disallow" if groups.nonEmpty =>
             inHeader = false
             if (value.nonEmpty) groups.last._2 += ((key == "allow", value))
-          case _ => inHeader = false // sitemap/crawl-delay/unknown
+          // sitemap / crawl-delay / unknown lines are IGNORED — they
+          // neither split a run of consecutive User-agent lines nor end
+          // a group's rule collection (RFC 9309 §2.2.4: other records
+          // "MUST NOT interfere with the group structure"; only a rule
+          // line ends the header run)
+          case _ => ()
         }
       }
     }
@@ -113,7 +121,6 @@ object Robots {
     Some("^" + quoted + (if (anchored) "$" else ""))
   }
 
-  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val PathQRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 
   /** Per-URL verdicts: `(idCol, allowed)` — one row per input row.

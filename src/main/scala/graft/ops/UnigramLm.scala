@@ -45,6 +45,10 @@ object UnigramLm {
   /** The learned model: piece → integer milli-nat log-probability. */
   final case class Model(pieces: Map[String, Long], maxPieceLen: Int) {
     require(pieces.nonEmpty, "unigram model has no pieces")
+    // maxPieceLen <= 0 would skip the whole DP and "reconstruct" the
+    // word as one unscored pseudo-piece — fail loudly instead
+    require(maxPieceLen >= 1,
+      s"unigram model maxPieceLen must be >= 1, got $maxPieceLen")
   }
 
   private def toCps(word: String): Array[String] =

@@ -237,7 +237,10 @@ object Urls {
     val host = hostOf(url)
     val path = regexp_extract(url, PathRe, 1)
     val pathDepth = size(filter(split(path, "/"), p => p =!= ""))
-    val rawQ = regexp_extract(url, "[?]([^#]*)", 1)
+    // the query starts at the FIRST '?' BEFORE any '#': an unanchored
+    // "[?]" would treat a '?' inside the fragment (hash-routed SPA
+    // URLs) as a query and inflate n_params
+    val rawQ = regexp_extract(url, "^[^#?]*[?]([^#]*)", 1)
     val nParams = size(filter(split(rawQ, "&"), p => p =!= ""))
     val hostDigits = length(regexp_replace(host, "[^0-9]", ""))
     val digitPermille = floor(hostDigits * lit(1000) / length(host))

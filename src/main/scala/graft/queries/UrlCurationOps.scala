@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Robots, Urls}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Harness entries for the URL-curation surface ([[graft.ops.Urls]]).
@@ -200,16 +201,25 @@ object UrlCurationOps {
     * re-runs any string rule, so a parsing bug on the Spark side
     * cannot cancel out.
     */
+  /** The shared attribute-math tld / plain host of the quality and
+    * robots synth families. `url_robots` JOINS the url host against
+    * [[robotsTable]]'s host as strings — one definition, so the two
+    * sides cannot drift apart (a one-sided edit would silently turn
+    * every affected URL into the default-allow verdict).
+    */
+  private def synthTld(g: Column) = when(pmod(g, lit(4)) === 0, lit("com"))
+    .when(pmod(g, lit(4)) === 1, lit("org"))
+    .when(pmod(g, lit(4)) === 2, lit("co.uk"))
+    .otherwise(lit("com.au"))
+  private def synthPlainHost(g: Column) =
+    concat(lit("site"), pmod(g, lit(25)).cast("string"), lit("."), synthTld(g))
+
   private def synthQualityUrl = {
     val id = col("doc_id")
     val g = pmod(id, lit(100))
-    val tld = when(pmod(g, lit(4)) === 0, lit("com"))
-      .when(pmod(g, lit(4)) === 1, lit("org"))
-      .when(pmod(g, lit(4)) === 2, lit("co.uk"))
-      .otherwise(lit("com.au"))
     val host = concat(
       when(pmod(g, lit(6)) === 0, lit("42424242.")).otherwise(lit("")),
-      lit("site"), pmod(g, lit(25)).cast("string"), lit("."), tld)
+      synthPlainHost(g))
     val path = lit("/s/s/s/s/s/s/s/s")
       .substr(lit(1), (pmod(g, lit(9)) * 2).cast("int"))
     val casino = when(pmod(g, lit(13)) === 0, lit("/casino")).otherwise(lit(""))
@@ -269,12 +279,7 @@ object UrlCurationOps {
   // verdicts and breaks the hash.
   private def robotsTable(s: org.apache.spark.sql.SparkSession) = {
     val g = col("id")
-    val tld = when(pmod(g, lit(4)) === 0, lit("com"))
-      .when(pmod(g, lit(4)) === 1, lit("org"))
-      .when(pmod(g, lit(4)) === 2, lit("co.uk"))
-      .otherwise(lit("com.au"))
-    val host = concat(lit("site"), pmod(g, lit(25)).cast("string"),
-      lit("."), tld)
+    val host = synthPlainHost(g)
     val m3 = pmod(g, lit(3))
     val star = concat(lit("User-agent: *\n"),
       when(m3 === 0, lit("Disallow: /s\n"))
@@ -291,12 +296,7 @@ object UrlCurationOps {
   private val robots: Q = (s, dir) => {
     val docs = Tables.load(s, dir, "documents")
     val g = pmod(col("doc_id"), lit(100))
-    val tld = when(pmod(g, lit(4)) === 0, lit("com"))
-      .when(pmod(g, lit(4)) === 1, lit("org"))
-      .when(pmod(g, lit(4)) === 2, lit("co.uk"))
-      .otherwise(lit("com.au"))
-    val url = concat(lit("https://site"), pmod(g, lit(25)).cast("string"),
-      lit("."), tld,
+    val url = concat(lit("https://"), synthPlainHost(g),
       lit("/s/s/s/s/s/s/s/s").substr(lit(1), (pmod(g, lit(9)) * 2).cast("int")))
     Robots.robotsDecisions(
       docs.select(col("doc_id"), url.as("url")), "doc_id", "url",

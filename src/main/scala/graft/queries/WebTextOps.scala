@@ -117,8 +117,11 @@ object WebTextOps {
        |  SELECT doc_id, pos, line,
        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
        |  FROM lines)
-       |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-       |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin
+       |SELECT d.doc_id, k.text
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |  FROM kept WHERE rn = 1 GROUP BY doc_id) k
+       |USING (doc_id)""".stripMargin
 
   // ---- text_script_detect: Unicode-script profiling
   // (graft.ops.Scripts). The docs are pure [a-z ] Latin, so non-Latin
@@ -157,11 +160,15 @@ object WebTextOps {
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(lat AS BIGINT) AS latin_n,
-      |  CAST(CASE WHEN m = 1 THEN n // 2 ELSE 0 END AS BIGINT) AS cyrillic_n,
-      |  CAST(CASE WHEN m = 2 THEN n ELSE 0 END AS BIGINT) AS greek_n,
-      |  CAST(CASE WHEN m = 3 THEN n ELSE 0 END AS BIGINT) AS han_n,
+      |  CAST(CASE WHEN n IS NULL THEN NULL
+      |            WHEN m = 1 THEN n // 2 ELSE 0 END AS BIGINT) AS cyrillic_n,
+      |  CAST(CASE WHEN n IS NULL THEN NULL
+      |            WHEN m = 2 THEN n ELSE 0 END AS BIGINT) AS greek_n,
+      |  CAST(CASE WHEN n IS NULL THEN NULL
+      |            WHEN m = 3 THEN n ELSE 0 END AS BIGINT) AS han_n,
       |  CAST(sp AS BIGINT) AS other_n,
-      |  CASE WHEN m = 1 AND lat < n // 2 THEN 'cyrillic'
+      |  CASE WHEN n IS NULL THEN NULL
+      |       WHEN m = 1 AND lat < n // 2 THEN 'cyrillic'
       |       WHEN m = 2 AND lat < n THEN 'greek'
       |       WHEN m = 3 AND lat < n THEN 'han'
       |       ELSE 'latin' END AS dominant_script

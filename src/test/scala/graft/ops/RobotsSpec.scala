@@ -45,6 +45,21 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.applicableRules("", "a").isEmpty)
   }
 
+  test("non-rule lines neither split consecutive UA lines nor end rule collection; empty UA dropped") {
+    // Crawl-delay between two User-agent lines must NOT split the group
+    // — agent 'a' would otherwise silently lose every rule (allow-all)
+    val split = "User-agent: a\nCrawl-delay: 10\nUser-agent: b\nDisallow: /private\n"
+    assert(Robots.applicableRules(split, "a").map(_.pattern) == Seq("/private"))
+    assert(Robots.applicableRules(split, "b").map(_.pattern) == Seq("/private"))
+    // Sitemap between rules must not end the group either
+    val mid = "User-agent: a\nDisallow: /x\nSitemap: http://e.com/s.xml\nDisallow: /y\n"
+    assert(Robots.applicableRules(mid, "a").map(_.pattern) == Seq("/x", "/y"))
+    // a malformed empty User-agent value would mint a "" token that
+    // substring-matches EVERY agent and shadows '*' — it must be dropped
+    val empty = "User-agent:\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    assert(Robots.applicableRules(empty, "somebot").map(_.pattern) == Seq("/b"))
+  }
+
   test("wildcard and anchor translation: * spans, trailing $ anchors, regex metachars stay literal") {
     assert(Robots.translate("/plain") == None)
     assert(Robots.translate("/a*b") == Some("^\\Q/a\\E.*\\Qb\\E"))

@@ -62,6 +62,10 @@ class UnigramLmSpec extends SparkSpec {
       UnigramLm.train(Seq(("a", 1L)), vocabSize = 0))
     assertThrows[IllegalArgumentException](
       UnigramLm.train(Seq(("a", 1L)), vocabSize = 5, pruneFraction = 1.0))
+    // a hand-built model with maxPieceLen <= 0 would skip the whole DP
+    // and emit the word as one unscored pseudo-piece — must fail loudly
+    assertThrows[IllegalArgumentException](
+      UnigramLm.Model(Map("a" -> -1000L), maxPieceLen = 0))
   }
 
   test("encode: distributed segmentation equals the driver Viterbi; null text → empty") {

@@ -163,4 +163,16 @@ class UrlsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Urls.UrlQualityConfig(maxHostDigitPermille = 1500))
   }
+
+  test("urlQualitySignals: a '?' inside the fragment is not a query (hash-routed SPA URLs)") {
+    val cfg = Urls.UrlQualityConfig(maxParams = 2)
+    val rows = Seq(
+      (1L, "https://app.com/page#/search?a=1&b=2&c=3&d=4"), // fragment only → 0 params
+      (2L, "https://app.com/p?x=1#frag?y=2&z=3"))           // real query: 1 param
+      .toDF("id", "url")
+    val got = Urls.urlQualitySignals(rows, "url", cfg)
+      .select($"id", $"n_params", $"url_keep")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((0, true)), 2L -> ((1, true))))
+  }
 }
