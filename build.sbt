@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The 150+-query bench/verify mains load thousands of janino-generated
+  // classes in one JVM. The default MetaspaceSize high-water mark
+  // (~21 MB) makes EVERY expansion past it trigger a G1 concurrent
+  // cycle — observed as a class-unloading GC storm (a concurrent cycle
+  // every ~3 s, 6 marking threads busy, late queries 10-40x slower the
+  // longer the JVM lives). A high initial threshold defers the first
+  // metaspace-triggered cycle past anything the suite actually loads.
+  "-XX:MetaspaceSize=2g",
 )
