@@ -83,6 +83,38 @@ object Html {
       lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"']"),
       lit(1))
 
+  /** One anchor element: group 1 = quoted href (same value rules as
+    * [[extractLinks]]), group 2 = inner HTML up to the nearest
+    * `</a>`. Nested `<a>` is illegal in HTML, so non-greedy first-close
+    * matching is the correct recovery everywhere.
+    */
+  private val AnchorRe =
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*>(.*?)</a\\s*>"
+
+  /** `(href, anchor)` pairs of an HTML column, in document order —
+    * anchor TEXT is the retrieval signal ([[extractLinks]] keeps only
+    * the targets): inner markup stripped, entities decoded (`&amp;`
+    * last, as in [[extractText]]), whitespace collapsed. Two aligned
+    * `regexp_extract_all` passes over ONE pattern (extract_all cannot
+    * capture two groups at once; the same regex yields the same match
+    * list, so `zip_with` pairs them exactly) — row-local and
+    * codegen'd, RE2-replayable. An anchor missing its `</a>` close
+    * yields NO pair here while [[extractLinks]] still yields the bare
+    * target — the one intentional divergence, spec-pinned.
+    */
+  def extractAnchors(html: Column): Column = {
+    val hrefs = regexp_extract_all(html, lit(AnchorRe), lit(1))
+    val texts = regexp_extract_all(html, lit(AnchorRe), lit(2))
+    zip_with(hrefs, texts, (h, t) => {
+      val noTags = regexp_replace(t, TagRe, " ")
+      val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+      struct(h.as("href"),
+        trim(regexp_replace(decoded, "\\s+", " ")).as("anchor"))
+    })
+  }
+
   /** Visible text of an HTML column per the object doc. */
   def extractText(html: Column): Column = {
     val noBlocks =

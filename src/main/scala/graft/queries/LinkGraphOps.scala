@@ -138,9 +138,53 @@ object LinkGraphOps {
        |        * 2000000
        |      < LEAST(p2.pr, 2000000) * 4294967296""".stripMargin
 
+  // ---- url_anchor_stats: anchor-TEXT aggregation per target domain
+  // (Html.extractAnchors → registrable-domain rollup) — the retrieval
+  // signal a search corpus builds from the link graph. The synthesized
+  // anchors carry the extraction traps (inner markup, entities,
+  // irregular whitespace, a relative link with no domain, an UNCLOSED
+  // anchor that extractLinks would still count); expected text per
+  // target is pure attribute math.
+  private val anchorStats: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val g = pmod(col("doc_id"), lit(100))
+    val d1 = pmod(g * 7 + 11, lit(100)).cast("string")
+    val d2 = pmod(g * 13 + 29, lit(100)).cast("string")
+    val page = concat(
+      lit("<html><body><a href=\"http://d"), d1,
+      lit(".com/a\">read <b>more</b> D"), d1, lit("</a>"),
+      lit("<a href='HTTPS://WWW.D"), d2,
+      lit(".com/b'> visit &amp;  enjoy </a>"),
+      lit("<a href=\"/rel\">relative</a>"),
+      lit("<a href=\"http://unclosed.example/x\">never closed"),
+      lit("</body></html>"))
+    val pairs = docs
+      .select(explode(graft.ops.Html.extractAnchors(page)).as("p"))
+      .select(graft.ops.Urls.registrableDomainOfUrl(col("p.href")).as("domain"),
+        col("p.anchor").as("anchor"))
+      .filter(col("domain").isNotNull)
+    pairs.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("anchor")).as("n_texts"))
+  }
+  private val anchorStatsSql =
+    """WITH d AS (SELECT doc_id % 100 AS g FROM documents),
+      |a AS (
+      |  SELECT 'd' || CAST((g * 7 + 11) % 100 AS VARCHAR) || '.com' AS domain,
+      |         'read more D' || CAST((g * 7 + 11) % 100 AS VARCHAR) AS anchor
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 'd' || CAST((g * 13 + 29) % 100 AS VARCHAR) || '.com',
+      |         'visit & enjoy'
+      |  FROM d)
+      |SELECT domain, count(*) AS n_anchors,
+      |  count(DISTINCT anchor) AS n_texts
+      |FROM a GROUP BY domain""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("url_host_graph", hostGraph, Some(hostGraphSql)),
     Entry("url_domain_rank", domainRank, Some(domainRankSql)),
     Entry("pipeline_rank_sample", rankSample, Some(rankSampleSql)),
+    Entry("url_anchor_stats", anchorStats, Some(anchorStatsSql)),
   )
 }

@@ -55,4 +55,34 @@ class HtmlSpec extends SparkSpec {
       .collect().map(r => Option(r.getString(0))).toSet
     assert(got == Set(None, Some("x")))
   }
+
+  private def anchors(html: String): Seq[(String, String)] =
+    Seq(html).toDF("h")
+      .select(explode(Html.extractAnchors(col("h"))).as("p"))
+      .select(col("p.href"), col("p.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  test("extractAnchors pairs each href with its cleaned anchor text, in order") {
+    val html =
+      """<a href="http://a.com/x">read <b>more</b> here</a>
+        |<a href='http://b.org/y'> visit &amp;  enjoy </a>
+        |<a href="/rel">relative ok</a>""".stripMargin
+    assert(anchors(html) == Seq(
+      ("http://a.com/x", "read more here"),
+      ("http://b.org/y", "visit & enjoy"),
+      ("/rel", "relative ok")))
+  }
+
+  test("extractAnchors: unclosed anchors yield no pair (extractLinks still counts them)") {
+    val html = "<a href=\"http://a.com/1\">ok</a><a href=\"http://b.com/2\">never closed"
+    assert(anchors(html) == Seq(("http://a.com/1", "ok")))
+    val links = Seq(html).toDF("h")
+      .select(Html.extractLinks(col("h")).as("l"))
+      .collect().head.getSeq[String](0)
+    assert(links == Seq("http://a.com/1", "http://b.com/2"))
+    // null html → null array (no anchor identity)
+    val n = Seq(Option.empty[String]).toDF("h")
+      .select(Html.extractAnchors(col("h")).as("a")).collect().head
+    assert(n.isNullAt(0))
+  }
 }
