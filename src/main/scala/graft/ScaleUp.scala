@@ -98,18 +98,47 @@ object ScaleUp {
     write(replicate(base("events"),
       "event_id" -> eventStride, "user_id" -> userStride), "events", 16)
 
-    // Documents: near-identical replicas — replica 0 keeps the original
-    // text byte-for-byte; replicas 1+ append a short suffix token so no
-    // two replicas are byte-equal but all are high-Jaccard near-dups.
+    // Documents: near-identical replicas WITHIN a cohort of up to
+    // `cohortSize` replicas; strongly mutated ACROSS cohorts. Real
+    // corpora's duplicate-cluster size does not grow with corpus size —
+    // a 10× larger crawl has ~10× more clusters of the same size, not
+    // clusters 10× as deep — so past one cohort the generator must stop
+    // deepening clusters or every pairwise dedup op measures output
+    // explosion (pairs ~ clusterSize²) instead of data scaling.
+    //
+    //  - Cohort 0 (replicas 0..cohortSize-1) reproduces the original
+    //    sf1 shape byte-for-byte: replica 0 keeps the base text, the
+    //    rest append a short ` rep<r>` suffix — dense high-Jaccard
+    //    clusters that stress the banded-LSH caps and prefix-filter
+    //    verify pass.
+    //  - Cohorts 1+ additionally interleave a cohort-specific token
+    //    after every 6 words. Within a cohort the insertions are
+    //    identical (high Jaccard, still a near-dup cluster); across
+    //    cohorts nearly every w-gram shingle (w ≤ 7) now contains a
+    //    differing token, so cross-cohort Jaccard collapses and the
+    //    cluster depth stays capped at cohortSize.
+    val cohortSize = sys.env.getOrElse("SPARK_GRAFT_COHORT", "10").toInt
+    val cohort = (col("__replica") / cohortSize).cast("long")
+    val suffixed =
+      when(col("__replica") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" rep"), col("__replica")))
     val docs = replicate(base("documents"), "doc_id" -> docStride)
       .withColumn("text",
-        when(col("__replica") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" rep"), col("__replica"))))
+        when(cohort === 0, suffixed)
+          .otherwise(regexp_replace(suffixed,
+            lit("((\\S+\\s+){6})"), concat(lit("$1k"), cohort, lit(" ")))))
       .withColumn("n_chars", length(col("text")).cast("long"))
     write(docs, "documents", 8)
 
-    // Embeddings: per-replica epsilon on every component (1e-4 * replica)
-    // keeps cosine neighborhoods intact while breaking exact ties.
+    // Embeddings: per-replica epsilon on every component (1e-4 * the
+    // within-cohort index) keeps cosine neighborhoods intact while
+    // breaking exact ties. Cohorts 1+ add a deterministic pseudo-random
+    // per-(cohort, base-vector, component) offset of ±0.8 — large
+    // enough that cross-cohort cosine falls well below the 0.4 near-dup
+    // threshold (the cluster-depth cap again), small enough that the
+    // vectors stay unit-scale. The offset hashes the BASE vec id
+    // (pmod by docStride), never the replica, so all replicas of one
+    // cohort share it (within-cohort near-dups survive).
     // vec_id shifts by the DOCUMENT stride, not max(vec_id)+1: vec_id
     // is a foreign key into documents (the base data embeds a PREFIX
     // of the doc ids — only ~2k of 5k docs at sf0.1), and goal #1 says
@@ -118,8 +147,13 @@ object ScaleUp {
     // silently distorting every filtered/hybrid ANN rehearsal.
     val embs = replicate(base("embeddings"), "vec_id" -> docStride)
       .withColumn("embedding",
-        transform(col("embedding"),
-          x => (x + col("__replica").cast("float") * lit(1e-4f)).cast("float")))
+        transform(col("embedding"), (x, i) => {
+          val eps = (col("__replica") % cohortSize).cast("float") * lit(1e-4f)
+          val cohortOff = when(cohort === 0, lit(0.0f)).otherwise(
+            ((pmod(hash(cohort, pmod(col("vec_id"), lit(docStride)), i), lit(2001))
+              - lit(1000)).cast("float") / lit(1000.0f)) * lit(0.8f))
+          (x + eps + cohortOff).cast("float")
+        }))
     write(embs, "embeddings", 8)
   }
 }
