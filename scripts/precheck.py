@@ -6,7 +6,10 @@ sbt), then for each dumped parquet result, run the paired oracle SQL in
 DuckDB over the same testdata tables, sort columns by name, sort rows,
 and compare values. Dev tooling only — not part of the shipped library.
 
-Usage: python3 scripts/precheck.py <sfdir> <outdir>
+Usage: python3 scripts/precheck.py <sfdir> <outdir> [name-substr ...]
+Optional trailing args restrict the check to queries whose name contains
+any of the given substrings (scale-rehearsal spot checks, where running
+every quadratic oracle in DuckDB would dominate the wall clock).
 """
 import json
 import math
@@ -30,7 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sfdir: str, outdir: str) -> None:
+def main(sfdir: str, outdir: str, only: list = ()) -> None:
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata ships single-file tables; Spark-written scale
@@ -39,6 +42,9 @@ def main(sfdir: str, outdir: str) -> None:
         src = f"{path}/*.parquet" if path.is_dir() else str(path)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+    if only:
+        oracle = {n: s for n, s in oracle.items()
+                  if any(sub in n for sub in only)}
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
         pdir = Path(outdir) / name
@@ -77,4 +83,4 @@ def main(sfdir: str, outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3:])

@@ -305,6 +305,93 @@ object Multimodal {
       }
   }
 
+  final case class AudioStats(
+      id: Long, format: String, n_samples: Long, peak_abs: Long,
+      energy: Long, n_clipped: Long, zero_crossings: Long)
+
+  /** Integer-exact PCM sample statistics over WAV payloads — the
+    * "is this audio silence / clipped / dead air" curation signal a
+    * training pipeline wants before paying for a real decode. Walks
+    * the RIFF chunks like [[sniffWav]] but KEEPS the data chunk's
+    * offset and decodes the samples in place: PCM16 (signed LE) and
+    * PCM8 (unsigned, centered at 128 per the WAV spec) under format
+    * tag 1; anything else — or a malformed header — returns
+    * ("unknown", -1, …), never a throw.
+    *
+    * Stats are over the samples actually PRESENT in the buffer
+    * (min of declared data size and bytes available) — unlike
+    * [[sniffWav]]'s n_samples, which deliberately trusts the declared
+    * size for header-prefix sniffing, a statistic must never read
+    * past the buffer nor invent silence for truncated payloads.
+    * All integer math (the score-algebra stance):
+    *  - `peak_abs`: max |v|,
+    *  - `energy`: sum v² (overflows Long past ~2^33 samples ≈ 53 h of
+    *    44.1 kHz stereo — far beyond a curation-row payload),
+    *  - `n_clipped`: samples pinned to the format's rails,
+    *  - `zero_crossings`: sign flips ((v<0) change) over the flat
+    *    interleaved stream; per-channel analysis slices channels
+    *    upstream if needed.
+    * Same single-iterator-pass batch shape as [[decodeImageMeta]].
+    */
+  def pcmStats(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    idPayload(df, idCol, payloadCol)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => pcmStatsOne(id, bytes) }
+      }
+  }
+
+  private def pcmStatsOne(id: Long, bytes: Array[Byte]): AudioStats = {
+    val bad = AudioStats(id, "unknown", -1L, -1L, -1L, -1L, -1L)
+    if (bytes == null || bytes.length < 12) return bad
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
+      return bad
+    if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return bad
+    var p = 12L
+    var fmtTag = -1; var bits = -1
+    var dataOff = -1L; var dataLen = -1L
+    // Same unsigned-size / long-cursor discipline as sniffWav: a lying
+    // chunk size must terminate the walk, not hang or read OOB.
+    while (p + 8 <= bytes.length && (fmtTag < 0 || dataOff < 0)) {
+      val cid = new String(bytes, p.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val clen = le32(bytes, p.toInt + 4)
+      val body = p + 8
+      if (cid == "fmt ") {
+        if (clen < 16 || body + 16 > bytes.length) return bad
+        fmtTag = le16(bytes, body.toInt)
+        bits = le16(bytes, body.toInt + 14)
+      } else if (cid == "data") {
+        dataOff = body
+        dataLen = clen
+      }
+      p = body + clen + (clen & 1L)
+    }
+    if (fmtTag != 1 || dataOff < 0) return bad
+    if (bits != 16 && bits != 8) return bad
+    val avail = math.max(0L, math.min(dataLen, bytes.length - dataOff))
+    val n = if (bits == 16) avail / 2 else avail
+    var i = 0L
+    var peak = 0L; var energy = 0L; var clipped = 0L; var crossings = 0L
+    var prevNeg = false
+    val (lo, hi) = if (bits == 16) (-32768L, 32767L) else (-128L, 127L)
+    while (i < n) {
+      val v: Long =
+        if (bits == 16) le16(bytes, (dataOff + i * 2).toInt).toShort.toLong
+        else (bytes((dataOff + i).toInt) & 0xff).toLong - 128L
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      energy += v * v
+      if (v == lo || v == hi) clipped += 1
+      val neg = v < 0
+      if (i > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      i += 1
+    }
+    AudioStats(id, "wav", n, peak, energy, clipped, crossings)
+  }
+
   private def be64(b: Array[Byte], i: Int): Long =
     (be32(b, i) << 32) | be32(b, i + 4)
 

@@ -186,6 +186,61 @@ object MultimodalOps {
       |    AS n_samples
       |FROM documents""".stripMargin
 
+  // ---- mm_audio_stats: integer-exact PCM sample statistics
+  // (Multimodal.pcmStats) over synthesized mono PCM16 WAVs whose 8
+  // samples are pure attribute math (u_j = (doc_id*31 + j*97) mod
+  // 65536, decoded signed), so the oracle derives peak/energy/
+  // clipping/zero-crossings independently — a byte-order, sign or
+  // offset error on either side breaks the hash. Every 9th doc gets
+  // a non-WAV payload, pinning the malformed path at the gate.
+  private val audioStats: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val samples = concat((0 until 8).map { j =>
+      le16(pmod(col("doc_id") * 31 + lit(j * 97), lit(65536)))
+    }: _*)
+    val wav = concat(
+      lit("52494646"), le32(lit(52)), lit("57415645"),
+      lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+      le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+      lit("64617461"), le32(lit(16)), samples)
+    val payload =
+      when(pmod(col("doc_id"), lit(9)) === 0, lit("DEADBEEF")).otherwise(wav)
+    Multimodal.pcmStats(
+        docs.select(col("doc_id"), unhex(payload).as("payload")),
+        "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"), col("format"), col("n_samples"),
+        col("peak_abs"), col("energy"), col("n_clipped"),
+        col("zero_crossings"))
+  }
+  private val audioStatsSql =
+    """WITH e AS (SELECT doc_id, unnest(range(0, 8)) AS j FROM documents),
+      |s AS (SELECT doc_id, j,
+      |  CASE WHEN (doc_id * 31 + j * 97) % 65536 >= 32768
+      |       THEN (doc_id * 31 + j * 97) % 65536 - 65536
+      |       ELSE (doc_id * 31 + j * 97) % 65536 END AS v FROM e),
+      |w AS (SELECT doc_id, j, v,
+      |  lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM s),
+      |g AS (SELECT doc_id,
+      |  max(abs(v)) AS peak_abs, sum(v * v) AS energy,
+      |  sum(CASE WHEN v IN (-32768, 32767) THEN 1 ELSE 0 END) AS n_clipped,
+      |  sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+      |      THEN 1 ELSE 0 END) AS zero_crossings
+      |  FROM w GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 9 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE 8 END AS BIGINT)
+      |    AS n_samples,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE peak_abs END AS BIGINT)
+      |    AS peak_abs,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE energy END AS BIGINT)
+      |    AS energy,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE n_clipped END AS BIGINT)
+      |    AS n_clipped,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE zero_crossings END
+      |    AS BIGINT) AS zero_crossings
+      |FROM g""".stripMargin
+
   // MP4 sample-table frame index over SYNTHESIZED minimal MP4s:
   // ftyp + mdat (variable frame count/sizes from doc attributes) +
   // moov/trak/mdia(hdlr=vide)/minf/stbl with genuine stsz (per-sample
@@ -294,6 +349,7 @@ object MultimodalOps {
     Entry("mm_resize_plan", resize, Some(resizeSql)),
     Entry("mm_frame_sample", frames, Some(framesSql)),
     Entry("mm_audio_meta", audio, Some(audioSql)),
+    Entry("mm_audio_stats", audioStats, Some(audioStatsSql)),
     Entry("mm_mp4_index", mp4, Some(mp4Sql)),
   )
 }

@@ -174,10 +174,84 @@ object WebTextOps {
       |       ELSE 'latin' END AS dominant_script
       |FROM base""".stripMargin
 
+  // ---- web_boilerplate_lines: per-site frequency-threshold
+  // boilerplate removal (graft.ops.Boilerplate.domainBoilerplate),
+  // the RefinedWeb rule the in-doc/global siblings can't express.
+  // Line structure is synthesized per SOURCE (the site key): a
+  // newsletter line in 100% of the site's docs (removed), the doc's
+  // own soup (kept), a promo line in ~1/3 of docs (kept, under the
+  // 500-milli threshold) and a footer line in ~3/5 (removed). The
+  // oracle replays the frequency DEFINITION over line bodies in
+  // DuckDB — the Spark side works on md5 digests and a different
+  // join topology, so a threshold, distinct-doc or reassembly error
+  // breaks the hash.
+  private val boilerLines: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val l0 = concat(lit("subscribe "), col("source"), lit(" newsletter"))
+    val l2 = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("promo "), col("source")))
+    val l3 = when(pmod(col("doc_id"), lit(5)) < 3,
+      concat(lit("footer "), col("source")))
+    graft.ops.Boilerplate.domainBoilerplate(
+        docs.select(col("doc_id"), col("source"),
+          concat_ws("\n", l0, col("text"), l2, l3).as("text")),
+        "doc_id", "source", "text")
+      .select(col("id").as("doc_id"), col("text"))
+  }
+  private val boilerLinesWith =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    list_filter([
+      |      'subscribe ' || source || ' newsletter',
+      |      text,
+      |      CASE WHEN doc_id % 3 = 0 THEN 'promo ' || source END,
+      |      CASE WHEN doc_id % 5 < 3 THEN 'footer ' || source END
+      |    ], x -> x IS NOT NULL) AS ls
+      |  FROM documents),
+      |e AS (SELECT doc_id, source, unnest(ls) AS line,
+      |      unnest(range(1, len(ls) + 1)) AS pos FROM d),
+      |f AS (SELECT source, line, count(DISTINCT doc_id) AS df
+      |      FROM e GROUP BY 1, 2),
+      |n AS (SELECT source, count(*) AS docs FROM d GROUP BY 1),
+      |b AS (SELECT f.source, f.line FROM f JOIN n USING (source)
+      |      WHERE df >= 2 AND df * 1000 >= 500 * docs)""".stripMargin
+  private val boilerLinesSql =
+    s"""$boilerLinesWith,
+       |kept AS (SELECT e.doc_id, e.pos, e.line FROM e
+       |         ANTI JOIN b ON e.source = b.source AND e.line = b.line)
+       |SELECT d.doc_id, coalesce(k.text, '') AS text
+       |FROM d LEFT JOIN (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin
+
+  // ---- web_boilerplate_set: the audit artifact — WHICH lines are a
+  // site's boilerplate, with frequencies (same threshold rule).
+  private val boilerSet: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val l0 = concat(lit("subscribe "), col("source"), lit(" newsletter"))
+    val l2 = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("promo "), col("source")))
+    val l3 = when(pmod(col("doc_id"), lit(5)) < 3,
+      concat(lit("footer "), col("source")))
+    graft.ops.Boilerplate.domainBoilerplateSet(
+        docs.select(col("doc_id"), col("source"),
+          concat_ws("\n", l0, col("text"), l2, l3).as("text")),
+        "doc_id", "source", "text")
+      .withColumnRenamed("domain", "source")
+  }
+  private val boilerSetSql =
+    s"""$boilerLinesWith
+       |SELECT b.source, b.line,
+       |  f.df AS doc_freq, n.docs AS domain_docs
+       |FROM b JOIN f ON b.source = f.source AND b.line = f.line
+       |JOIN n ON b.source = n.source""".stripMargin
+
   def entries: Seq[Entry] = Seq(
     Entry("text_html_extract", htmlExtract, Some(htmlExtractSql)),
     Entry("text_fix_mojibake", mojibake, Some(mojibakeSql)),
     Entry("text_dedup_lines", dedupLines, Some(dedupLinesSql)),
     Entry("text_script_detect", scriptDetect, Some(scriptDetectSql)),
+    Entry("web_boilerplate_lines", boilerLines, Some(boilerLinesSql)),
+    Entry("web_boilerplate_set", boilerSet, Some(boilerSetSql)),
   )
 }

@@ -920,6 +920,39 @@ class OpsSpec extends SparkSpec {
       "64617461 FF000000 0011")) == ("wav", 8000, 1, 16, 127L))
   }
 
+  test("pcmStats: hand-computed PCM16/PCM8 stats; malformed and truncated payloads") {
+    // PCM16 mono, 4 samples: +1 (0100), -1 (FFFF), +32767 (FF7F),
+    // -32768 (0080) → peak 32768, energy 1+1+32767²+32768² =
+    // 2147418115, clipped 2 (both rails), crossings 3 (+,-,+,-).
+    val pcm16 = hex("52494646 28000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 08000000 0100 FFFF FF7F 0080")
+    // PCM8 mono, 3 samples: 0x80→0, 0xFF→127, 0x00→-128 → peak 128,
+    // energy 0+16129+16384=32513, clipped 2, crossings 1 (0 counts
+    // as non-negative, so only 127→-128 flips).
+    val pcm8 = hex("52494646 23000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800" +
+      "64617461 03000000 80FF00 00")
+    // data chunk DECLARES 8 bytes but only 2 are present: stats over
+    // the one sample actually readable (+1), never past the buffer.
+    val truncated = hex("52494646 28000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 08000000 0100")
+    // float WAV (fmtTag 3) and garbage: both "unknown"
+    val floatWav = hex("52494646 28000000 57415645" +
+      "666D7420 10000000 0300 0100 401F0000 00FA0000 0400 2000" +
+      "64617461 04000000 00000000")
+    val df = Seq((1L, pcm16), (2L, pcm8), (3L, truncated),
+      (4L, floatWav), (5L, hex("DEADBEEF"))).toDF("id", "payload")
+    val out = Multimodal.pcmStats(df, "id", "payload")
+      .collect().map(s => s.id -> s).toMap
+    assert(out(1L) == Multimodal.AudioStats(1L, "wav", 4, 32768, 2147418115L, 2, 3))
+    assert(out(2L) == Multimodal.AudioStats(2L, "wav", 3, 128, 32513L, 2, 1))
+    assert(out(3L) == Multimodal.AudioStats(3L, "wav", 1, 1, 1L, 0, 0))
+    assert(out(4L).format == "unknown" && out(4L).n_samples == -1)
+    assert(out(5L).format == "unknown")
+  }
+
   test("multimodal sniff parses golden PNG/GIF/BMP/JPEG headers") {
     // PNG 640×480: signature + IHDR with BE32 dims.
     assert(Multimodal.sniff(hex(

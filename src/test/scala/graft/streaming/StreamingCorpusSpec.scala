@@ -524,6 +524,45 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed == Seq(2L, 4L, 5L))
   }
 
+  test("streaming boilerplate removal against the offline artifact equals batch") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2025-01-01 10:00:00")
+    val docs = Seq(
+      (1L, t0, "a.com", "subscribe now\nunique one"),
+      (2L, t0, "a.com", "subscribe now\nunique two"),
+      (3L, t0, "a.com", "subscribe now"),             // fully boilerplate
+      (4L, t0, "b.com", "subscribe now\nother site")) // threshold is per-domain
+    val corpusDf = docs.toDF("doc_id", "ts", "domain", "text")
+    // the threshold decision is fit OFFLINE (batch), exactly once
+    val artifact = graft.ops.Boilerplate.domainBoilerplateSet(
+      corpusDf, "doc_id", "domain", "text").cache()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = graft.ops.Boilerplate.domainBoilerplateStream(
+        mem.toDF().toDF("doc_id", "ts", "domain", "text"), artifact,
+        "doc_id", "ts", "domain", "text")
+      .writeStream.format("memory").queryName("boiler_stream")
+      .outputMode("append").start()
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    mem.addData((99L, Timestamp.valueOf("2025-01-01 13:00:00"), "c.com", "flush"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("boiler_stream")
+      .filter(col("id") =!= 99).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = graft.ops.Boilerplate.domainBoilerplate(
+        corpusDf, "doc_id", "domain", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (1L, "unique one"), (2L, "unique two"), (3L, ""),
+      (4L, "subscribe now\nother site")))
+  }
+
   test("streaming crawl intake equals the batch pipeline (WARC -> HTTP -> HTML -> mojibake)") {
     import java.nio.charset.{Charset, StandardCharsets}
     import graft.ops.{Html, Mojibake, Warc}
