@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** JSON string escape for error messages riding the artifact line:
+    * backslash, quote, and ALL control chars (<0x20) — an exception
+    * message with an embedded newline or tab would otherwise corrupt
+    * the one-line JSON the driver parses.
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,46 +26,93 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Shuffle files are reclaimed only when their ShuffleDependency is
+      // GC'd (ContextCleaner hooks weak references): a large heap means
+      // rare full GCs, so a 163-query suite in one JVM otherwise
+      // accumulates every query's dead shuffle blocks on disk until the
+      // disk fills — the r8 sf10 bench died exactly this way (67 GB of
+      // dead blocks, then a cascade of "No space left on device"). The
+      // periodic driver GC is the backstop; the per-query System.gc()
+      // below is the primary reclamation point.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    /** One query execution with cause capture. Returns Right(seconds) or
+      * Left(class+message) — a crashed query must carry WHY into the
+      * artifact, never an innocuous-looking time or a bare null.
+      */
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse("").take(300)
+        Left(s"${e.getClass.getName}: $msg")
+      }
+    }
+
     // Untimed warmup pass over every query: JIT, whole-stage-codegen
     // compilation, file-index and shuffle-service caches. The timed
     // pass then measures steady-state execution, not session startup.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      if (!spark.sparkContext.isStopped) { runOne(fn); () }
     }
-    // A crashed query must be visibly failed in the JSON, never an
-    // innocuous-looking elapsed time: its per-query value is null and
-    // it is listed under "failed".
-    //
+    System.gc()
+
     // Each query is timed as the MEDIAN of `passes` runs (default 3):
     // a single contention burst on a shared box then pollutes at most
     // one pass, not the committed artifact. Failure semantics stay
     // per-pass — the median is taken over successful passes only, and
-    // a query is "failed" only when every pass failed.
+    // a query is "failed" only when every pass failed (its recorded
+    // error is the last pass's cause).
+    //
+    // If the SparkContext dies mid-suite, the remaining queries are
+    // NOT run and NOT recorded as their own failures: one dead session
+    // must read as ONE line ("session died at query X because Y"),
+    // never as 100+ identical meaningless cascade rows.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
-      if (times.isEmpty) (name, 0.0, false)
-      else {
-        val s = times.sorted
-        (name, s(s.length / 2), true)
+    var diedAt: Option[(String, String)] = None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (diedAt.nonEmpty) None
+      else if (spark.sparkContext.isStopped) {
+        diedAt = Some((name, "SparkContext stopped before this query"))
+        None
+      } else {
+        val runs = (1 to passes).map(_ => runOne(fn))
+        // Dead shuffle dependencies become unreachable as soon as the
+        // query's DataFrames go out of scope; an explicit GC here lets
+        // ContextCleaner delete their block files BEFORE the next
+        // query allocates its own — disk usage stays bounded by the
+        // largest single query, not the suite's sum.
+        System.gc()
+        if (spark.sparkContext.isStopped && runs.forall(_.isLeft)) {
+          diedAt = Some((name, runs.last.left.getOrElse("unknown")))
+          None
+        } else {
+          val times = runs.collect { case Right(t) => t }.sorted
+          val err = runs.collect { case Left(e) => e }.lastOption
+          Some((name, times.lift(times.length / 2), err))
+        }
       }
     }
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "null")
+
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errs = results.collect { case (k, None, Some(e)) =>
+      s""""$k":${jstr(e)}"""
+    }.mkString("{", ",", "}")
+    val died = diedAt
+      .map { case (n, e) => s""","session_died_at":"$n","session_death_cause":${jstr(e)}""" }
+      .getOrElse("")
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.flatMap(_._2).sum
     // "failed"/"value" (the total) go LAST on the line: the driver
     // archives only the final 2000 chars of stdout, so trailing keys
     // survive truncation even when the per-query map outgrows it.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs$died,"failed":$failed,"value":$total}"""
     println(line)
     // The stdout tail loses the head of the per-query map once it
     // outgrows 2000 chars, so the COMPLETE line is also written to a
@@ -60,6 +123,6 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only CWD: stdout still has the line
-    spark.stop()
+    if (!spark.sparkContext.isStopped) spark.stop()
   }
 }
