@@ -430,12 +430,31 @@ object Dedup {
     * path's recall bound, stated for counting instead of candidates.
     *
     * Use [[ngramJaccardJoin]] to pick the regime by threshold.
+    *
+    * `maxPairBudget` bounds the ENUMERATION ITSELF: the co-occurrence
+    * join emits exactly Σ_g df_g·(df_g−1)/2 rows, so a corpus of many
+    * mid-df grams (boilerplate-heavy crawls: df ≈ 100 everywhere —
+    * `maxGramDocs` never bites) can write an unbounded shuffle until
+    * the disk dies, with a perfectly healthy-looking plan. The budget
+    * is enforced by the same honest-degradation stance as `maxBucket`/
+    * `maxCluster`: compute the exact per-df workload from the gram-df
+    * histogram (one aggregate; the collect is bounded — k distinct df
+    * values satisfy k(k+1)/2 ≤ |sh|, so k ≤ √(2|sh|): ~1.4 M rows even
+    * at 10¹² shingles), then drop the HIGHEST-df grams first (they
+    * carry the least Jaccard information per enumeration row — the
+    * `maxGramDocs` rationale, applied adaptively) until the planned
+    * enumeration fits. Cap semantics are identical to `maxGramDocs`
+    * (dropped grams are excluded from `n_common`, denominators stay
+    * true); the cut is observable via the "jaccard_pair_budget"
+    * observation (dropped rows, df cutoff, planned dropped pair mass).
     */
   def ngramJaccardCountPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxGramDocs: Int = Int.MaxValue): DataFrame = {
+      maxGramDocs: Int = Int.MaxValue,
+      maxPairBudget: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(maxGramDocs > 0, "maxGramDocs must be positive")
+    require(maxPairBudget > 0, "maxPairBudget must be positive")
     val eps = 1e-9 // same one-ulp slack as the prefix path: only ADMITS
     val sh = shingleRows(df, idCol, textCol, n)
     // True set size rides every gram row via an id-window (partitions
@@ -445,8 +464,8 @@ object Dedup {
     val sized = sh.withColumn("n_sh",
       count(lit(1)).over(Window.partitionBy(col("id"))))
     val kept =
-      if (maxGramDocs == Int.MaxValue) sized
-      else {
+      if (maxGramDocs == Int.MaxValue && maxPairBudget == Long.MaxValue) sized
+      else if (maxPairBudget == Long.MaxValue) {
         // Pigeonhole-bounded hot list (≤ |sh| / maxGramDocs grams), same
         // broadcast anti-join as the prefix path: over-cap occurrence
         // rows never ride the g-exchange.
@@ -458,6 +477,32 @@ object Dedup {
         sized.join(
           broadcast(gramDf.filter(col("__df") > maxGramDocs).select(col("g"))),
           Seq("g"), "left_anti")
+      } else {
+        // Budget path: one eager histogram aggregate (this op is a
+        // planner+executor, like planBands) → driver cutoff → a g-window
+        // filter on the SAME key as the self-join, so the df filter adds
+        // no exchange beyond the one the join needs anyway. The hot list
+        // is unbounded here (a budget-derived cutoff can be small —
+        // |sh|/cutoff grams over it), so the broadcast anti-join shape
+        // of the maxGramDocs path would not be safe.
+        val hist = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+          .groupBy(col("__df")).agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val plan = planPairBudget(hist, maxPairBudget, maxGramDocs)
+        val droppedPairsLong =
+          if (plan.droppedPairs > BigInt(Long.MaxValue)) Long.MaxValue
+          else plan.droppedPairs.toLong
+        sized
+          .withColumn("__gdf",
+            count(lit(1)).over(Window.partitionBy(col("g"))))
+          .observe(s"jaccard_pair_budget_${ObsId.next()}",
+            sum(when(col("__gdf") > plan.cutoff, 1L).otherwise(0L))
+              .as("dropped_gram_rows"),
+            max(col("__gdf")).as("max_gram_docs"),
+            max(lit(plan.cutoff)).as("df_cutoff"),
+            max(lit(droppedPairsLong)).as("dropped_pairs"))
+          .filter(col("__gdf") <= plan.cutoff)
+          .drop("__gdf")
       }
     kept.as("x")
       .join(kept.as("y"),
@@ -471,6 +516,45 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** A chosen enumeration budget cut for [[ngramJaccardCountPairs]]:
+    * grams with document frequency ≤ `cutoff` are kept; `keptPairs` /
+    * `droppedPairs` are the EXACT co-occurrence rows the cut admits /
+    * removes (Σ df·(df−1)/2 per side); `droppedGrams` counts distinct
+    * grams cut. BigInt because the un-budgeted workload is the quantity
+    * that overflows — that's the point of planning it.
+    */
+  final case class PairBudgetPlan(cutoff: Long, keptPairs: BigInt,
+      droppedPairs: BigInt, droppedGrams: Long)
+
+  /** Pick the largest df cutoff whose total co-occurrence enumeration
+    * fits `maxPairBudget`, from a (df → #grams) histogram. Admission is
+    * ascending in df (drop the highest-df grams first — they cost
+    * df²/2 rows each and carry the least Jaccard signal); levels above
+    * `maxGramDocs` are never admitted. Monotone: a single cutoff value,
+    * never a partial level, so the cut is deterministic and replayable.
+    * df=1 grams cost nothing and are always kept (cutoff ≥ 1).
+    */
+  def planPairBudget(hist: Seq[(Long, Long)], maxPairBudget: Long,
+      maxGramDocs: Int = Int.MaxValue): PairBudgetPlan = {
+    require(maxPairBudget > 0, "maxPairBudget must be positive")
+    var left = BigInt(maxPairBudget)
+    var cutoff = 1L
+    var kept = BigInt(0)
+    var dropped = BigInt(0)
+    var droppedGrams = 0L
+    var admitting = true
+    hist.sortBy(_._1).foreach { case (df, nGrams) =>
+      val cost = BigInt(df) * BigInt(df - 1) / 2 * BigInt(nGrams)
+      if (admitting && df <= maxGramDocs && cost <= left) {
+        left -= cost; kept += cost; cutoff = math.max(cutoff, df)
+      } else if (df > 1) {
+        admitting = false // monotone cut: everything above is out
+        dropped += cost; droppedGrams += nGrams
+      }
+    }
+    PairBudgetPlan(cutoff, kept, dropped, droppedGrams)
   }
 
   /** Threshold at and above which [[ngramJaccardJoin]] routes to the
@@ -508,10 +592,12 @@ object Dedup {
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxGramDocs: Int = Int.MaxValue): DataFrame =
+      maxGramDocs: Int = Int.MaxValue,
+      maxPairBudget: Long = Long.MaxValue): DataFrame =
     if (threshold >= JaccardPrefixRegimeThreshold)
       ngramJaccardPrefixPairs(df, idCol, textCol, n, threshold, maxGramDocs)
-    else ngramJaccardCountPairs(df, idCol, textCol, n, threshold, maxGramDocs)
+    else ngramJaccardCountPairs(df, idCol, textCol, n, threshold, maxGramDocs,
+      maxPairBudget)
 
   /** Exact Jaccard for given (id_a, id_b) pairs from shingle rows:
     * |intersection| via a g-equi-join restricted to the pairs,

@@ -114,9 +114,16 @@ object DedupOps {
   // verify re-join would dwarf it — the sf1 rehearsal measured that at
   // 622 s / disk-filling spill; this plan enumerates each shared gram
   // exactly once). Oracle is the identical quadratic join.
+  // maxPairBudget = 4e9 enumeration rows ≈ 100 GB-of-shuffle ceiling:
+  // far above every honest rehearsal (sf10's capped-cohort corpus plans
+  // ~0.7 B rows) yet an order of magnitude below the un-guarded r8 sf10
+  // regime (~69 B rows — it filled the 77 GB disk and killed the whole
+  // bench). At the oracle gates the histogram's total workload is tiny,
+  // so the cutoff never bites and the quadratic oracle stays exact.
   private val jaccardGrams: Q = (s, dir) =>
     Dedup.ngramJaccardCountPairs(
-      Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3)
+      Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3,
+      maxPairBudget = 4000000000L)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   private val jaccardGramsSql = quadraticJaccardSql(0.3)
 

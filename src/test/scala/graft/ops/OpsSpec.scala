@@ -811,6 +811,58 @@ class OpsSpec extends SparkSpec {
     assert(!capped.contains((1L, 2L))) // similarity rode only the hot gram
   }
 
+  test("planPairBudget: highest-df grams cut first, monotone, exact accounting") {
+    // 100 grams at df=2 (100 pairs), 10 at df=5 (100 pairs), 1 at df=100
+    // (4950 pairs); df=1 mass is free.
+    val hist = Seq((1L, 1000L), (2L, 100L), (5L, 10L), (100L, 1L))
+    val all = Dedup.planPairBudget(hist, Long.MaxValue)
+    assert(all.cutoff >= 100L && all.droppedPairs == 0 && all.droppedGrams == 0)
+    assert(all.keptPairs == BigInt(100 + 100 + 4950))
+    // budget admits df=2 and df=5 levels but not the df=100 gram
+    val mid = Dedup.planPairBudget(hist, 300L)
+    assert(mid.cutoff == 5L)
+    assert(mid.keptPairs == BigInt(200) && mid.droppedPairs == BigInt(4950))
+    assert(mid.droppedGrams == 1L)
+    // a level that does not fit ENTIRELY is dropped entirely (monotone),
+    // and so is everything above it even if it would fit alone
+    val tight = Dedup.planPairBudget(hist, 150L)
+    assert(tight.cutoff == 2L && tight.keptPairs == BigInt(100))
+    assert(tight.droppedPairs == BigInt(100 + 4950) && tight.droppedGrams == 11L)
+    // even df=2 unaffordable → only df=1 grams survive (zero pairs) —
+    // honest degradation, never a crash
+    val none = Dedup.planPairBudget(hist, 50L)
+    assert(none.cutoff == 1L && none.keptPairs == 0)
+    // maxGramDocs composes: levels above it never admitted even in-budget
+    val gd = Dedup.planPairBudget(hist, Long.MaxValue, maxGramDocs = 5)
+    assert(gd.cutoff == 5L && gd.droppedPairs == BigInt(4950))
+    // workloads beyond Long range must not overflow the planner
+    val huge = Dedup.planPairBudget(Seq((3000000000L, 10L)), 1000L)
+    assert(huge.cutoff == 1L && huge.droppedPairs > BigInt(Long.MaxValue))
+  }
+
+  test("count-based jaccard: maxPairBudget drops highest-df grams first " +
+      "and is result-invisible when the workload fits") {
+    // Boilerplate gram "x y" in 10 docs (45 enumeration pairs); rare
+    // gram pairs cost 1 each. Docs 1,2 share ONLY boilerplate; docs
+    // 20,21 share a rare tail.
+    val docs = (Seq(
+      (1L, "x y p q r"), (2L, "x y s t u"),
+      (20L, "rare tail here one"), (21L, "rare tail here two")) ++
+      (10 until 18).map(i => (i.toLong, s"x y only$i here now"))).toDF("doc_id", "text")
+    val roomy = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.1, maxPairBudget = 1000000L)
+    val uncapped = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.1)
+    assert(roomy.except(uncapped).isEmpty && uncapped.except(roomy).isEmpty)
+    // budget below the boilerplate gram's cost: the (1,2) pair (rides
+    // only "x y") vanishes; the rare-tail pair (20,21) survives.
+    val tight = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.1, maxPairBudget = 30L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!tight.contains((1L, 2L)))
+    assert(tight.contains((20L, 21L)))
+  }
+
   test("leakage-safe split keeps every near-dup component in one split") {
     val docs = (0 until 400).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     // chain components: (0,1,2), (3,4,5), ... via pair rows
