@@ -314,10 +314,18 @@ object Similarity {
     // aggregate + semi-join, exactly the minhashLshPairs shape.
     val banded = base.select(col("neighbor_id"),
       posexplode(array(buckets.map(f => f(col("__v"))): _*)).as(Seq("__t", "__bk")))
+    // n_buckets rides the same observation so the VACUOUS-RUN condition
+    // — dropped_buckets == n_buckets, i.e. the cap silently discarded
+    // 100% of buckets and the "result" is an empty frame that means
+    // nothing — is detectable from the metrics alone. A fixed shape
+    // tuned at small scale hits exactly this at 100×: at 500 k vectors
+    // a 4-bit table's 16 buckets hold ~12.5 k rows each, all over a
+    // 4096 cap. Size the shape with [[planSignBits]] instead.
     val sizes = banded.groupBy(col("__t"), col("__bk"))
       .agg(count(lit(1)).as("__bsz"))
       .observe(s"embedding_lsh_buckets_${ObsId.next()}",
         sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        count(lit(1)).as("n_buckets"),
         max(col("__bsz")).as("max_bucket"))
     val capped = banded.join(sizes.filter(col("__bsz") <= maxBucket),
       Seq("__t", "__bk"), "left_semi")

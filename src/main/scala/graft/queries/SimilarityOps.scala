@@ -220,6 +220,31 @@ object SimilarityOps {
       |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b2 ON b2.vec_id = id_b)
       |SELECT id_a, id_b, round(cs, 5) AS cos_sim FROM out WHERE cs >= 0.4""".stripMargin
 
+  // planSignBits-parameterized twin of dedup_embedding_lsh — the
+  // REHEARSAL shape. The fixed gate shape (4 bits × 8 tables, cap 4096)
+  // is exactly right for the oracle gates but VACUOUS at 100×: at
+  // ~500 k vectors every 16-value bucket holds ~12.5 k rows, the cap
+  // drops 100% of buckets, and the run returns an empty frame that
+  // proves nothing (the r8 sf10 rehearsal did precisely this,
+  // silently). This twin re-derives (bits, tables) from the corpus
+  // count at run time, so the SAME query stays non-vacuous from
+  // sf0.001 to sf10 — scaling the shape with the corpus is the whole
+  // point of planSignBits, and the thing a fixed-parameter harness
+  // entry cannot demonstrate.
+  //
+  // Random-hyperplane buckets (seeded, deterministic) are not
+  // SQL-expressible, so there is no DuckDB oracle: the gate is a
+  // committed golden hash (GoldenFixtureSpec) plus the recall spec in
+  // OpsSpec — same stance as text_bpe/text_unigram.
+  private val nearDupLshPlanned: Q = (s, dir) => {
+    val emb = Tables.load(s, dir, "embeddings")
+    val plan = Similarity.planSignBits(
+      math.max(emb.count(), 2L), threshold = 0.4)
+    Similarity.embeddingNearDupLsh(emb, "vec_id", "embedding",
+      threshold = 0.4, bits = plan.bits, tables = plan.tables)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 5).as("cos_sim"))
+  }
+
   private val bruteSql =
     """WITH q AS (
       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -463,5 +488,6 @@ object SimilarityOps {
     Entry("ann_ivf_topk", ivf, Some(ivfSql)),
     Entry("dedup_embedding_exact", nearDupExact, Some(nearDupExactSql)),
     Entry("dedup_embedding_lsh", nearDupLsh, Some(nearDupLshSql)),
+    Entry("dedup_embedding_lsh_planned", nearDupLshPlanned, None),
   )
 }

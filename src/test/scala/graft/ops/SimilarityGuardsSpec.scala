@@ -89,6 +89,73 @@ class SimilarityGuardsSpec extends SparkSpec {
     assert(pairs.columns.toSeq == Seq("id_a", "id_b", "cos_sim"))
   }
 
+  test("planSignBits-shaped near-dup run is non-vacuous with recall >= 0.9 vs exact") {
+    // 200 base vectors + a high-cosine twin for each (the planted pair
+    // set); the planned (bits, tables) shape must keep buckets under
+    // the cap AND recover nearly all exact pairs — the property the
+    // fixed-shape harness entry loses at 100×.
+    // Seeded Gaussian directions: near-uniform on the sphere, so bucket
+    // occupancy matches the planner's model (a trig-lattice corpus is
+    // pathologically clustered and exercises the CAP, not the recall —
+    // that's the next test's job).
+    val rows = (0 until 200).flatMap { i =>
+      val rng = new scala.util.Random(i)
+      val base = Array.fill(16)(rng.nextGaussian())
+      val twin = base.map(x => x + 0.05 * rng.nextGaussian())
+      Seq((i.toLong, base), (i + 1000L, twin))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.embeddingNearDupExact(rows, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 200, "planted twins must be exact near-dups")
+    val plan = Similarity.planSignBits(400L, threshold = 0.9, targetBucket = 64)
+    val approx = Similarity.embeddingNearDupLsh(rows, "vec_id", "embedding",
+        threshold = 0.9, bits = plan.bits, tables = plan.tables)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty, "planned shape must not be vacuous")
+    assert(approx.subsetOf(exact), "every LSH pair is exact-rescored")
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below the plan's target")
+  }
+
+  test("embedding LSH reports the vacuous-run condition: dropped_buckets == n_buckets") {
+    // A fixed small shape on a corpus bigger than bits can spread puts
+    // EVERY bucket over the cap — the result is empty and means nothing.
+    // The r8 sf10 rehearsal hit exactly this silently (bits=4/tables=8/
+    // cap=4096 at 500k vectors → all 16-value buckets ~12.5k deep); the
+    // observation must make it detectable from the metrics alone.
+    val big = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d * 1.3)))
+    }.toDF("vec_id", "embedding")
+    var observed: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.collectFirst {
+          case (name, row) if name.startsWith("embedding_lsh_buckets") =>
+            (row.getAs[Long]("dropped_buckets"), row.getAs[Long]("n_buckets"))
+        }.foreach(m => observed = Some(m))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // AQE's empty-relation propagation would prune the pruned-to-empty
+    // candidate subtree INCLUDING its CollectMetrics node (same caveat
+    // as the minhash mega-bucket spec).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = Similarity.embeddingNearDupLsh(big, "vec_id", "embedding",
+        threshold = 0.4, bits = 1, tables = 2, maxBucket = 20)
+      assert(pairs.count() == 0) // every bucket over cap → empty result
+      val deadline = System.currentTimeMillis() + 10000
+      while (observed.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(observed.exists { case (dropped, total) => dropped == total && total > 0 },
+        s"expected dropped_buckets == n_buckets > 0, observed $observed")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("hashSample at fraction 1.0 keeps every row (no ffffffff cap)") {
     assert(Sampling.samplePredicate(lit("x"), 1.0).toString === "true",
       "fraction 1.0 must short-circuit, not compare against ffffffff")

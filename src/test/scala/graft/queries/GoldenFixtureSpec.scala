@@ -58,6 +58,16 @@ class GoldenFixtureSpec extends SparkSpec {
         "rows-only at the driver gate, so a value regression surfaces HERE first")
   }
 
+  test("dedup_embedding_lsh_planned output at sf0.01 matches its committed golden hash") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val out = SparkEntry.queries("dedup_embedding_lsh_planned")(spark, sfDir)
+    val hash = canonicalMd5(out)
+    assert(hash == "d5ba1ff292436cd1e3c7cc6978d3f832",
+      s"dedup_embedding_lsh_planned values drifted (got $hash) — the planned " +
+        "shape uses seeded random hyperplanes (not SQL-expressible), so the " +
+        "driver gate only counts rows; a value regression surfaces HERE first")
+  }
+
   test("text_compression_ratio buckets at sf0.01 match their committed golden hash") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     val out = SparkEntry.queries("text_compression_ratio")(spark, sfDir)
