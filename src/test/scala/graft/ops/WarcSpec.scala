@@ -91,6 +91,78 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("property: random truncation × plain/gzip × strict/lenient — lenient " +
+      "keeps exactly the complete-prefix records, strict throws iff lenient errs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Adversarial payloads: separator traps, header-looking bytes,
+    // non-ASCII (multi-byte UTF-8 straddles cuts), empties.
+    val payloadGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(40)),
+      Gen.const(""),
+      Gen.const("trap\r\n\r\nWARC/1.0\r\nFake: x\r\n\r\n tail"),
+      Gen.const("Content-Length: 999"),
+      Gen.const("héllo ✓ przykład żółć"),
+      Gen.listOfN(25, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+    val caseGen = for {
+      n <- Gen.choose(1, 6)
+      ps <- Gen.listOfN(n, payloadGen)
+      gzip <- Gen.oneOf(true, false)
+      cutFrac <- Gen.choose(0.0, 1.0)
+    } yield (ps, gzip, cutFrac)
+    val cases = (0 until 120).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+    cases.zipWithIndex.foreach { case ((ps, gzip, cutFrac), i) =>
+      val recs = ps.zipWithIndex.map { case (p, j) =>
+        rec(p.getBytes(UTF_8), "WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> s"http://t/$j")
+      }
+      val plain = recs.flatten.toArray
+      // end-of-payload offsets: a cut at or past this point leaves the
+      // record complete (EOF inside the \r\n\r\n separator is fine)
+      val payloadEnds = recs.scanLeft(0)(_ + _.length).zip(recs)
+        .map { case (start, r) => start + r.length - 4 }
+      val full = if (gzip) gz(recs: _*) else plain
+      val cut = math.max(1, math.min(full.length, (full.length * cutFrac).toInt))
+      val truncated = full.take(cut)
+
+      val (kept, err) = Warc.parse(truncated)
+      if (!gzip) {
+        // PLAIN: exact — record j survives iff the cut covers its
+        // payload. One modeled lenience: readLineBytes accepts an
+        // EOF-terminated "\r" as a line, so an EMPTY-payload record
+        // whose header blank line lost only its final \n is complete
+        // one byte before its payload end.
+        val expect = payloadEnds.zip(ps).count { case (pe, p) =>
+          cut >= (if (p.isEmpty) pe - 1 else pe) }
+        assert(kept.size == expect,
+          s"case $i: cut=$cut/${full.length} kept=${kept.size} expect=$expect")
+      } else {
+        // GZIP: the cut member's deflate data may or may not flush its
+        // record before the trailer dies — exact below, +1 above.
+        val memberEnds = recs.map(r => gz(r).length).scanLeft(0)(_ + _).tail
+        val fullMembers = memberEnds.count(_ <= cut)
+        assert(kept.size >= fullMembers && kept.size <= fullMembers + 1,
+          s"case $i: cut=$cut kept=${kept.size} fullMembers=$fullMembers")
+      }
+      // whatever survives is the exact PREFIX, byte-equal payloads
+      kept.zipWithIndex.foreach { case (r, j) =>
+        assert(r.targetUri.contains(s"http://t/$j"), s"case $i: order broke at $j")
+        assert(java.util.Arrays.equals(r.payload, ps(j).getBytes(UTF_8)),
+          s"case $i: payload $j not byte-equal")
+      }
+      // strict ⇔ lenient consistency: strict throws exactly when the
+      // lenient walk reported a truncation error, else agrees exactly
+      if (err.isDefined)
+        intercept[Warc.WarcFormatException](Warc.parse(truncated, strict = true))
+      else {
+        val (strictRecs, strictErr) = Warc.parse(truncated, strict = true)
+        assert(strictErr.isEmpty && strictRecs.size == kept.size)
+      }
+    }
+  }
+
   test("EOF right after the final payload is a complete record") {
     val full = wet("http://e/1", "done")
     val noTrailer = full.dropRight(4) // strip the \r\n\r\n separator

@@ -524,6 +524,55 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamed == Seq(2L, 4L, 5L))
   }
 
+  test("streaming rank-weighted intake against the offline PageRank artifact " +
+      "equals batch") {
+    // The intake tail of pipeline_rank_sample as a stream: centrality
+    // is fit OFFLINE (batch PageRank over the static link graph,
+    // exactly once — the keepBestOfClusterStream artifact shape), then
+    // the document stream joins it (stream-static broadcast) and keeps
+    // rank-proportionally via the stateless integer
+    // cross-multiplication draw. Completes the crawl-intake streaming
+    // story: extract → rank artifact → rank-weighted keep.
+    val edges = Seq(
+      ("a.com", "b.com"), ("c.com", "b.com"),
+      ("a.com", "c.com"), ("d.com", "a.com")).toDF("src", "dst")
+    val rank = graft.ops.LinkGraph.pageRankInt(edges, iters = 2)
+      .withColumnRenamed("id", "domain").cache()
+    val docs = (0 until 40).map { i =>
+      val dom = Seq("a.com", "b.com", "c.com", "d.com")(i % 4)
+      (i.toLong, s"http://www.$dom/p/$i")
+    }
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val withDom = df.select(col("doc_id"),
+        graft.ops.Urls.registrableDomainOfUrl(col("url")).as("domain"))
+      graft.ops.Sampling.weightedHashSample(
+          withDom.join(broadcast(rank), Seq("domain")),
+          "doc_id", "rank", unit = 2000000L)
+        .select(col("doc_id"), col("domain"), col("rank"))
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = shape(mem.toDF().toDF("doc_id", "url"))
+      .writeStream.format("memory").queryName("rank_intake_stream")
+      .outputMode("append").start()
+    mem.addData(docs.take(17): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(17): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("rank_intake_stream")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val batch = shape(docs.toDF("doc_id", "url"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "the rank-weighted draw must keep documents")
+    // the keep is rank-PROPORTIONAL: every surviving doc carries its
+    // domain's artifact rank, and high-rank b.com docs survive
+    assert(streamed.exists(_._2 == "b.com"))
+  }
+
   test("streaming boilerplate removal against the offline artifact equals batch") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("2025-01-01 10:00:00")
