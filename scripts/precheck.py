@@ -41,7 +41,13 @@ def main(sfdir: str, outdir: str, only: list = ()) -> None:
         path = Path(f"{sfdir}/{t}.parquet")
         src = f"{path}/*.parquet" if path.is_dir() else str(path)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-    oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+    # Spot-check dumps (Verify with name filters) write a suffixed
+    # oracle file so they can never clobber a full run's oracle_sql.json
+    # in the same outdir; prefer it when this is itself a filtered check.
+    spot = Path(f"{outdir}/oracle_sql.spotcheck.json")
+    oracle_path = spot if (only and spot.exists()) \
+        else Path(f"{outdir}/oracle_sql.json")
+    oracle = json.loads(oracle_path.read_text())
     if only:
         oracle = {n: s for n, s in oracle.items()
                   if any(sub in n for sub in only)}

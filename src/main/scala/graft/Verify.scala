@@ -42,7 +42,15 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A SPOT-CHECK dump (name filters given) must never clobber a full
+    // run's oracle_sql.json in the same outdir: a later full precheck
+    // over that outdir would then silently verify only the subset while
+    // stale parquet dumps from the earlier full run sit unchecked —
+    // reading as full coverage. Filtered runs write a suffixed file;
+    // precheck.py is pointed at it explicitly for spot checks.
+    val oracleFile =
+      if (only.isEmpty) "oracle_sql.json" else "oracle_sql.spotcheck.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

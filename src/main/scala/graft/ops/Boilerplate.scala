@@ -160,6 +160,11 @@ object Boilerplate {
       sep: String = "\n"): DataFrame = {
     require(ratioMilli > 0 && ratioMilli <= 1000,
       s"ratioMilli must be in (0, 1000], got $ratioMilli")
+    // Same guard as domainBoilerplate: a minDocs <= 0 would silently
+    // disable the small-domain floor in the ARTIFACT builder, letting a
+    // streaming side build a set the batch op would loudly reject —
+    // breaking the streaming==batch twin guarantee without an error.
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     val rows = df.select(col(idCol).as("id"), col(domainCol).as("domain"),
       explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as("line"))

@@ -177,6 +177,16 @@ object WebTextOps {
   // ---- web_boilerplate_lines: per-site frequency-threshold
   // boilerplate removal (graft.ops.Boilerplate.domainBoilerplate),
   // the RefinedWeb rule the in-doc/global siblings can't express.
+  //
+  // ORACLE COUPLING: the oracle's line list keeps the document's own
+  // `text` as ONE atomic element, while the Spark side splits the
+  // concatenated text on \n. Equality holds because driver testdata
+  // text contains no embedded newlines (word-soup lines) — text WITH
+  // newlines would change line granularity/positions/frequencies on
+  // the Spark side only. The coupling fails LOUD (hash mismatch), and
+  // this pin is the early warning if the driver ever regenerates
+  // testdata with multi-line documents.
+  //
   // Line structure is synthesized per SOURCE (the site key): a
   // newsletter line in 100% of the site's docs (removed), the doc's
   // own soup (kept), a promo line in ~1/3 of docs (kept, under the
