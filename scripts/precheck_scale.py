@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Scale-rehearsal variant of precheck.py: per-oracle wall-clock budget.
+
+Same compare as the driver gate (columns sorted by name, stringified,
+rows sorted), but each DuckDB oracle runs in its own subprocess with a
+timeout: at 10x-100x data a handful of oracles are DOCUMENTED quadratic
+twins (exact all-pairs cosine, recursive-CTE components) whose DuckDB
+replay is out of its regime by design — they must show up as an honest
+per-query TIMEOUT line in the artifact, not hang the whole check or get
+silently skipped. Dev tooling only — not part of the shipped library.
+
+Usage: python3 scripts/precheck_scale.py <sfdir> <outdir> [timeout_sec]
+"""
+import json
+import multiprocessing as mp
+import sys
+import time
+from pathlib import Path
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    df = df.astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def check_one(sfdir, outdir, name, sql, q):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        path = Path(f"{sfdir}/{t}.parquet")
+        src = f"{path}/*.parquet" if path.is_dir() else str(path)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    pdir = Path(outdir) / name
+    if not pdir.exists():
+        q.put(("MISSING", "no spark output"))
+        return
+    try:
+        spark_df = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").df()
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        q.put(("ERROR", str(e)[:200]))
+        return
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        q.put(("SCHEMA", f"spark={list(a.columns)} duck={list(b.columns)}"))
+    elif len(a) != len(b):
+        q.put(("ROWS", f"spark={len(a)} duck={len(b)}"))
+    elif not a.equals(b):
+        neq = (a != b).any(axis=1)
+        q.put(("VALUES", f"{int(neq.sum())}/{len(a)} rows differ"))
+    else:
+        q.put(("OK", f"{len(a)} rows"))
+
+
+def main(sfdir, outdir, timeout=900):
+    oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+    counts = {"OK": 0, "TIMEOUT": 0, "BAD": 0}
+    for name, sql in sorted(oracle.items()):
+        t0 = time.time()
+        q = mp.Queue()
+        p = mp.Process(target=check_one, args=(sfdir, outdir, name, sql, q))
+        p.start()
+        p.join(timeout)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            print(f"TIMEOUT  {name} (oracle exceeded {timeout}s)", flush=True)
+            counts["TIMEOUT"] += 1
+            continue
+        status, detail = q.get() if not q.empty() else ("ERROR", "worker died")
+        dt = time.time() - t0
+        print(f"{status:8} {name} ({detail}) [{dt:.0f}s]", flush=True)
+        if status == "OK":
+            counts["OK"] += 1
+        else:
+            counts["BAD"] += 1
+    print(f"\n{counts['OK']} ok, {counts['BAD']} bad, "
+          f"{counts['TIMEOUT']} oracle-timeout")
+    sys.exit(1 if counts["BAD"] else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 900)

@@ -52,13 +52,37 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name substrings to
+    // restrict the suite — the isolation knob for attributing a
+    // multi-hour scale run's failure to one query in a fresh JVM.
+    val onlySubs = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => onlySubs.forall(_.exists(n.contains)) }
+
     // Untimed warmup pass over every query: JIT, whole-stage-codegen
     // compilation, file-index and shuffle-service caches. The timed
     // pass then measures steady-state execution, not session startup.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      if (!spark.sparkContext.isStopped) { runOne(fn); () }
+    // The stderr marker BEFORE each query is the post-mortem trail: a
+    // fatal that kills the JVM mid-warmup (task OOM → uncaught-handler
+    // shutdown) leaves the culprit's name as the log's last marker —
+    // without it an 80-minute scale run dies anonymously.
+    // Per-query GC applies to the WARMUP too: without it, a heavy
+    // query's dead shuffle blocks sit on disk until the next periodic
+    // GC tick, and the very next warmup query inherits a nearly-full
+    // disk (measured: a query failed on no-space SECONDS after its
+    // predecessor's abort, from the predecessor's leftovers).
+    queries.foreach { case (name, fn) =>
+      if (!spark.sparkContext.isStopped) {
+        System.err.println(s"[bench] warmup $name")
+        runOne(fn) match {
+          case Left(e) => System.err.println(s"[bench] warmup $name FAILED: $e")
+          case Right(_) => ()
+        }
+        System.gc()
+      }
     }
-    System.gc()
 
     // Each query is timed as the MEDIAN of `passes` runs (default 3):
     // a single contention burst on a shared box then pollutes at most
@@ -73,12 +97,13 @@ object Bench {
     // never as 100+ identical meaningless cascade rows.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     var diedAt: Option[(String, String)] = None
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (diedAt.nonEmpty) None
       else if (spark.sparkContext.isStopped) {
         diedAt = Some((name, "SparkContext stopped before this query"))
         None
       } else {
+        System.err.println(s"[bench] timing $name")
         val runs = (1 to passes).map(_ => runOne(fn))
         // Dead shuffle dependencies become unreachable as soon as the
         // query's DataFrames go out of scope; an explicit GC here lets

@@ -288,9 +288,10 @@ object Dedup {
     */
   def ngramJaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
-      maxGramDocs: Int = Int.MaxValue): DataFrame =
+      maxGramDocs: Int = Int.MaxValue,
+      maxPairBudget: Long = Long.MaxValue): DataFrame =
     ngramJaccardPrefixPairsManaged(df, idCol, textCol, n, threshold,
-      maxGramDocs)._1
+      maxGramDocs, maxPairBudget)._1
 
   /** As [[ngramJaccardPrefixPairs]], plus the unpersist thunk for the
     * internal shingle cache (read by the prefix pass and all three
@@ -300,9 +301,11 @@ object Dedup {
     */
   def ngramJaccardPrefixPairsManaged(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      maxGramDocs: Int = Int.MaxValue): (DataFrame, () => Unit) = {
+      maxGramDocs: Int = Int.MaxValue,
+      maxPairBudget: Long = Long.MaxValue): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(maxGramDocs > 0, "maxGramDocs must be positive")
+    require(maxPairBudget > 0, "maxPairBudget must be positive")
     // Epsilon on every float boundary below: t·|S| for integer-valued
     // t·|S| can land one ulp HIGH in binary (0.3 × 10 = 3.0000…04),
     // which would wrongly prune a boundary pair. The slack only ever
@@ -368,6 +371,43 @@ object Dedup {
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
       .select(col("id"), col("g"), col("n_sh"), col("__r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidate-volume budget: the self-join below emits exactly
+    // Σ_g C(prefixDf(g), 2) rows, and in a duplicate-dense corpus that
+    // grows linearly with the corpus but can exceed a single box's
+    // shuffle disk long before the verify stage runs (measured at the
+    // 100× rehearsal: ~1.7 B candidate rows — disk-full in the
+    // candidate DISTINCT, with the plan otherwise healthy). Same
+    // honest-degradation design as the count path's `maxPairBudget`:
+    // plan the exact workload from the PREFIX-occurrence df histogram
+    // (the prefixes cache is already hot; the collect is bounded by
+    // √(2·|prefix rows|)), cut the highest-prefix-df grams first, and
+    // surface the cut via the "jaccard_prefix_budget" observation.
+    // Recall bound shifts accordingly: a pair is missed only when
+    // EVERY prefix gram it shares sits above the cut; surviving pairs
+    // still verify against FULL gram sets, so reported jaccard values
+    // remain exact.
+    val prefixesKept =
+      if (maxPairBudget == Long.MaxValue) prefixes
+      else {
+        val hist = prefixes.groupBy(col("g")).agg(count(lit(1)).as("__pdf"))
+          .groupBy(col("__pdf")).agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val plan = planPairBudget(hist, maxPairBudget)
+        val droppedPairsLong =
+          if (plan.droppedPairs > BigInt(Long.MaxValue)) Long.MaxValue
+          else plan.droppedPairs.toLong
+        prefixes
+          .withColumn("__pdf",
+            count(lit(1)).over(Window.partitionBy(col("g"))))
+          .observe(s"jaccard_prefix_budget_${ObsId.next()}",
+            sum(when(col("__pdf") > plan.cutoff, 1L).otherwise(0L))
+              .as("dropped_prefix_rows"),
+            max(col("__pdf")).as("max_prefix_df"),
+            max(lit(plan.cutoff)).as("df_cutoff"),
+            max(lit(droppedPairsLong)).as("dropped_pairs"))
+          .filter(col("__pdf") <= plan.cutoff)
+          .drop("__pdf")
+      }
     // position filter: at the FIRST gram a truly-similar pair shares,
     // overlap ≤ min(suffix lengths incl. the gram) must still clear the
     // t/(1+t)·(|Sx|+|Sy|) intersection bound — rows for later shared
@@ -375,8 +415,8 @@ object Dedup {
     // does too (distinct below).
     val minOverlap = (lit(threshold) / (lit(1.0) + lit(threshold))) *
       (col("x.n_sh") + col("y.n_sh")) - lit(eps)
-    val cand = prefixes.as("x")
-      .join(prefixes.as("y"),
+    val cand = prefixesKept.as("x")
+      .join(prefixesKept.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
           col("y.n_sh") * lit(threshold) <= col("x.n_sh") + lit(eps) &&
           col("x.n_sh") * lit(threshold) <= col("y.n_sh") + lit(eps) &&
@@ -385,13 +425,37 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
       .distinct()
-    // sizes ride the candidates — the verify pass needs only the
-    // common-gram count, not another counts aggregate + two joins
+    // Verify pass: per-pair ARRAY INTERSECT over hashed gram sets, not
+    // a gram-exploded re-join. The exploded form (cand ⋈ sh on id_a,
+    // then ⋈ sh on (id_b, g)) shuffles candidates × |S| string-keyed
+    // rows — measured at the 100× rehearsal as the registry's one
+    // disk-filling stage (~10⁹ rows × ~50 B: duplicate-dense corpora
+    // make candidates plentiful even at t=0.8, and each candidate paid
+    // its FULL gram set through two exchanges). Here each doc's gram
+    // set ships once per candidate pair as one bounded array of 64-bit
+    // hashes (8 B/gram vs an exploded row per gram), and n_common is
+    // computed row-locally. Hashing keeps exactness for all practical
+    // purposes: a within-pair xxhash64 collision (~|S|²/2⁶⁴ ≈ 10⁻¹⁵)
+    // is the only approximation, and it UNDERcounts the intersection.
+    // Arrays are per-document bounded (the gram set of one doc), never
+    // per-gram funnels — a multi-MB document costs its own pairs more,
+    // nothing else.
+    // SHUFFLE_HASH, not sort-merge, for both array joins: SMJ would
+    // SORT rows carrying the ~KB gram-set arrays (measured as
+    // SPILL_OUT_OF_MEMORY at the 100× rehearsal — 32 concurrent sorts
+    // of fat rows), while a shuffled hash join builds its table from
+    // the gramSets side only (corpus/numPartitions rows per task,
+    // ~10 MB here) and STREAMS the fat pair rows through unsorted.
+    val gramSets = sh.groupBy(col("id"))
+      .agg(collect_list(xxhash64(col("g"))).as("__gh"))
+      .hint("shuffle_hash")
     val common = cand
-      .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(gramSets.select(col("id").as("id_a"), col("__gh").as("__ga")),
+        Seq("id_a"))
+      .join(gramSets.select(col("id").as("id_b"), col("__gh").as("__gb")),
+        Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
@@ -595,25 +659,38 @@ object Dedup {
       maxGramDocs: Int = Int.MaxValue,
       maxPairBudget: Long = Long.MaxValue): DataFrame =
     if (threshold >= JaccardPrefixRegimeThreshold)
-      ngramJaccardPrefixPairs(df, idCol, textCol, n, threshold, maxGramDocs)
+      ngramJaccardPrefixPairs(df, idCol, textCol, n, threshold, maxGramDocs,
+        maxPairBudget)
     else ngramJaccardCountPairs(df, idCol, textCol, n, threshold, maxGramDocs,
       maxPairBudget)
 
   /** Exact Jaccard for given (id_a, id_b) pairs from shingle rows:
-    * |intersection| via a g-equi-join restricted to the pairs,
-    * |union| = n_a + n_b − |intersection|. Codegen'd joins/aggregates
-    * only — no array intersection ops.
+    * per-pair ARRAY INTERSECT over hashed gram sets, |union| = n_a +
+    * n_b − |intersection|.
+    *
+    * Same verify-stage engineering as [[ngramJaccardPrefixPairsManaged]]
+    * and for the same 100×-measured reason: the old gram-exploded form
+    * (pairs ⋈ sh on id_a, then ⋈ sh on (id_b, g)) shuffles pairs × |S|
+    * string-keyed rows — LSH at a low threshold admits tens of millions
+    * of candidates, so that re-join alone filled the rehearsal disk.
+    * One bounded hash-array per doc ships per candidate pair instead
+    * (8 B/gram), n_common is row-local, and both joins are SHUFFLE_HASH
+    * so no sort ever buffers the fat array rows. A within-pair
+    * xxhash64 collision (~|S|²/2⁶⁴ ≈ 10⁻¹⁵) is the only approximation
+    * and can only UNDERcount the intersection.
     */
   private def verifiedJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = pairs
-      .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    val gramSets = sh.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sh"),
+        collect_list(xxhash64(col("g"))).as("__gh"))
+      .hint("shuffle_hash")
+    pairs
+      .join(gramSets.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("__gh").as("__ga")), Seq("id_a"))
+      .join(gramSets.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+        col("__gh").as("__gb")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))

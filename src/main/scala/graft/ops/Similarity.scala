@@ -458,24 +458,48 @@ object Similarity {
     * cap remains the hard guard — this plans the center of the
     * distribution, not the tail. Driver-side arithmetic; call once and
     * pass the result to the corpus-scale ops.
+    *
+    * `maxCandidates` bounds the PLANNED CANDIDATE VOLUME — the
+    * expected in-bucket pair enumeration Σ over tables of
+    * N·expectedBucket/2. Recall-first planning alone is a scale trap:
+    * at a low threshold the per-table collision signal is weak, so the
+    * recall target demands MANY tables, and tables × N ×
+    * expectedBucket/2 pairs is the actual shuffle the cluster must
+    * absorb (at 200 k vectors / t=0.4 the unbudgeted plan emits ~11 B
+    * candidate rows — hundreds of GB — before a single cosine is
+    * computed: the r9 sf10 rehearsal measured exactly that as a
+    * disk-filling warmup). Over budget, `bits` rises (smaller buckets
+    * → fewer pairs per table) and the honest cost is paid in
+    * `recallAtThreshold`, which reports the achieved value AT the
+    * threshold margin; pairs well above the threshold (true near-dups
+    * at cosine ≈ 1) still collide with near-certainty, which is the
+    * regime embedding dedup actually hunts.
     */
   def planSignBits(corpusSize: Long, threshold: Double,
       targetBucket: Int = 4096, targetRecall: Double = 0.9,
-      maxTables: Int = 64): SignBitPlan = {
+      maxTables: Int = 64, maxCandidates: Long = Long.MaxValue): SignBitPlan = {
     require(corpusSize > 0, "corpusSize must be positive")
     require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
     require(targetBucket > 1, "targetBucket must be > 1")
     require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0, 1)")
     require(maxTables >= 1, "maxTables must be >= 1")
-    val bits = math.max(1, math.min(30,
-      math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt))
+    require(maxCandidates > 0, "maxCandidates must be positive")
     val theta = math.acos(threshold)
-    val pTable = math.pow(1 - theta / math.Pi, bits)
-    val tables =
-      if (pTable >= 1 - 1e-12) 1
+    def pTable(bits: Int): Double = math.pow(1 - theta / math.Pi, bits)
+    def tablesFor(bits: Int): Int = {
+      val p = pTable(bits)
+      if (p >= 1 - 1e-12) 1
       else math.max(1, math.min(maxTables,
-        math.ceil(math.log(1 - targetRecall) / math.log(1 - pTable)).toInt))
-    val recall = 1 - math.pow(1 - pTable, tables)
+        math.ceil(math.log(1 - targetRecall) / math.log(1 - p)).toInt))
+    }
+    def candVolume(bits: Int): Double =
+      tablesFor(bits).toDouble * corpusSize.toDouble *
+        (corpusSize.toDouble / (1L << bits)) / 2
+    var bits = math.max(1, math.min(30,
+      math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt))
+    while (bits < 30 && candVolume(bits) > maxCandidates.toDouble) bits += 1
+    val tables = tablesFor(bits)
+    val recall = 1 - math.pow(1 - pTable(bits), tables)
     SignBitPlan(bits, tables, corpusSize.toDouble / (1L << bits), recall)
   }
 

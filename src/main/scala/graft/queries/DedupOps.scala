@@ -77,9 +77,16 @@ object DedupOps {
   // dedup_jaccard_grams below. Every near-dup pair in this corpus has
   // jaccard ≥ 0.8, so the two entries return the same rows at the
   // gate SFs — by different plans.
+  // maxPairBudget = 500 M candidate rows, same single-box rationale as
+  // dedup_jaccard_grams below: clears every oracle gate and the 10×
+  // rehearsal untouched (recall stays 1.0 there, so the plain quadratic
+  // oracle holds), bites at 100× (~1.7 B candidate rows measured uncut
+  // — a disk-filling DISTINCT), where the highest-prefix-df cut is the
+  // demonstrated honest degradation: observable, values still exact.
   private val jaccardPrefix: Q = (s, dir) =>
     Dedup.ngramJaccardPrefixPairs(
-      Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8,
+      maxPairBudget = 500000000L)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   /** Quadratic-join word-3-gram Jaccard oracle over the full documents
     * table, parameterized ONLY by threshold — the one shared shape both
@@ -114,16 +121,23 @@ object DedupOps {
   // verify re-join would dwarf it — the sf1 rehearsal measured that at
   // 622 s / disk-filling spill; this plan enumerates each shared gram
   // exactly once). Oracle is the identical quadratic join.
-  // maxPairBudget = 4e9 enumeration rows ≈ 100 GB-of-shuffle ceiling:
-  // far above every honest rehearsal (sf10's capped-cohort corpus plans
-  // ~0.7 B rows) yet an order of magnitude below the un-guarded r8 sf10
-  // regime (~69 B rows — it filled the 77 GB disk and killed the whole
-  // bench). At the oracle gates the histogram's total workload is tiny,
-  // so the cutoff never bites and the quadratic oracle stays exact.
+  // maxPairBudget = 500 M enumeration rows ≈ 25 GB of aggregate spill —
+  // what a single-box 77 GB-disk rehearsal can absorb. It clears every
+  // oracle gate untouched (sf0.01 is trivial; the 10× rehearsal's full
+  // workload is ~138 M rows, so sf1 results stay oracle-exact) and
+  // BITES at the 100× rehearsal (~2 B planned rows — measured as a
+  // disk-filling aggregate spill when run uncut), where the cut is the
+  // demonstrated honest-degradation behavior: highest-df grams drop
+  // first, observable via the jaccard_pair_budget observation, and the
+  // query completes within disk instead of killing the suite. (The
+  // un-guarded r8 regime planned ~69 B rows.) At sf10 the output is
+  // therefore intentionally NOT oracle-comparable — the budget is the
+  // documented difference; correctness of the cut semantics is pinned
+  // at the gates and in OpsSpec.
   private val jaccardGrams: Q = (s, dir) =>
     Dedup.ngramJaccardCountPairs(
       Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3,
-      maxPairBudget = 4000000000L)
+      maxPairBudget = 500000000L)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   private val jaccardGramsSql = quadraticJaccardSql(0.3)
 

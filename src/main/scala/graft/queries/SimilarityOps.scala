@@ -236,10 +236,19 @@ object SimilarityOps {
   // SQL-expressible, so there is no DuckDB oracle: the gate is a
   // committed golden hash (GoldenFixtureSpec) plus the recall spec in
   // OpsSpec — same stance as text_bpe/text_unigram.
+  // maxCandidates = 100 M planned pair rows (~4 GB of id-pair shuffle):
+  // without it the recall-first plan at 200 k vectors / t=0.4 asks for
+  // 6 bits × 36 tables = ~11 B candidate rows — the r9 sf10 warmup
+  // measured that as a disk-filling job. The budget trades recall AT
+  // the 0.4 margin (reported honestly by the planner); the ~1.0-cosine
+  // within-cohort duplicates the rehearsal plants still collide with
+  // near-certainty. Never bites at the oracle gates (≤ ~200 k planned
+  // rows there), so the golden hash is budget-invariant.
   private val nearDupLshPlanned: Q = (s, dir) => {
     val emb = Tables.load(s, dir, "embeddings")
     val plan = Similarity.planSignBits(
-      math.max(emb.count(), 2L), threshold = 0.4)
+      math.max(emb.count(), 2L), threshold = 0.4,
+      maxCandidates = 100000000L)
     Similarity.embeddingNearDupLsh(emb, "vec_id", "embedding",
       threshold = 0.4, bits = plan.bits, tables = plan.tables)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 5).as("cos_sim"))

@@ -840,6 +840,31 @@ class OpsSpec extends SparkSpec {
     assert(huge.cutoff == 1L && huge.droppedPairs > BigInt(Long.MaxValue))
   }
 
+  test("prefix jaccard: maxPairBudget cuts highest-prefix-df grams, " +
+      "result-invisible when the workload fits, surviving values exact") {
+    // 12 docs share the hot tail "x y z w" (its grams carry huge
+    // prefix-df); docs 20,21 share a rare pair-specific body.
+    val docs = ((0 until 12).map(i => (i.toLong, s"only$i here x y z w")) ++ Seq(
+      (20L, "rare shared body one two three"),
+      (21L, "rare shared body one two four"))).toDF("doc_id", "text")
+    val roomy = Dedup.ngramJaccardPrefixPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.6, maxPairBudget = 1000000L)
+    val uncapped = Dedup.ngramJaccardPrefixPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.6)
+    assert(roomy.except(uncapped).isEmpty && uncapped.except(roomy).isEmpty)
+    // budget below the hot grams' pair mass: pairs riding ONLY hot
+    // prefix grams vanish; the rare pair survives with its TRUE value
+    val tight = Dedup.ngramJaccardPrefixPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.6, maxPairBudget = 10L)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+    val tightPairs = tight.map(t => (t._1, t._2)).toSet
+    assert(tightPairs.contains((20L, 21L)))
+    assert(!tightPairs.exists { case (a, b) => a < 12 && b < 12 })
+    val j = tight.find(t => t._1 == 20L && t._2 == 21L).get._3
+    assert(math.abs(j - 4.0 / 6.0) < 1e-9, s"true jaccard preserved, got $j")
+  }
+
   test("count-based jaccard: maxPairBudget drops highest-df grams first " +
       "and is result-invisible when the workload fits") {
     // Boilerplate gram "x y" in 10 docs (45 enumeration pairs); rare

@@ -89,6 +89,31 @@ class SimilarityGuardsSpec extends SparkSpec {
     assert(pairs.columns.toSeq == Seq("id_a", "id_b", "cos_sim"))
   }
 
+  test("planSignBits candidate budget raises bits and reports the recall cost") {
+    // Unbudgeted at 200k vectors / t=0.4: a recall-first plan whose
+    // candidate volume (tables × N × expectedBucket / 2) is ~11 B pair
+    // rows — the disk-filling regime.
+    val free = Similarity.planSignBits(200000L, threshold = 0.4)
+    val freeVol = free.tables.toDouble * 200000L * free.expectedBucket / 2
+    assert(freeVol > 1e9, s"unbudgeted volume should be huge, got $freeVol")
+    // Budgeted: bits rise until the planned volume fits; the cost is
+    // paid HONESTLY in recallAtThreshold, not hidden.
+    val b = Similarity.planSignBits(200000L, threshold = 0.4,
+      maxCandidates = 100000000L)
+    val vol = b.tables.toDouble * 200000L * b.expectedBucket / 2
+    assert(vol <= 100000000.0, s"planned volume $vol over budget")
+    assert(b.bits > free.bits)
+    assert(b.recallAtThreshold < free.recallAtThreshold)
+    // pairs far above the threshold still collide with near-certainty:
+    // per-table p for cosine 0.9999 over b.bits hyperplane cuts
+    val theta = math.acos(0.9999)
+    val pHigh = math.pow(1 - theta / math.Pi, b.bits)
+    assert(1 - math.pow(1 - pHigh, b.tables) > 0.99)
+    // default budget = unbudgeted behavior (spec above unchanged)
+    val same = Similarity.planSignBits(1000000L, threshold = 0.8)
+    assert(same.bits == 8 && same.tables == 14)
+  }
+
   test("planSignBits-shaped near-dup run is non-vacuous with recall >= 0.9 vs exact") {
     // 200 base vectors + a high-cosine twin for each (the planted pair
     // set); the planned (bits, tables) shape must keep buckets under
