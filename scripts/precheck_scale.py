@@ -10,6 +10,11 @@ per-query TIMEOUT line in the artifact, not hang the whole check or get
 silently skipped. Dev tooling only — not part of the shipped library.
 
 Usage: python3 scripts/precheck_scale.py <sfdir> <outdir> [timeout_sec]
+           [shard_idx shard_count]
+
+The optional shard pair partitions the oracle map by sorted position so
+independent processes can split a multi-hour scale check; concatenate
+their outputs for the artifact.
 """
 import json
 import multiprocessing as mp
@@ -59,10 +64,16 @@ def check_one(sfdir, outdir, name, sql, q):
         q.put(("OK", f"{len(a)} rows"))
 
 
-def main(sfdir, outdir, timeout=900):
-    oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
+    # Spot-check dumps write the suffixed oracle file (see Verify);
+    # prefer it when present so a filtered scale dump self-describes.
+    spot = Path(f"{outdir}/oracle_sql.spotcheck.json")
+    path = spot if spot.exists() else Path(f"{outdir}/oracle_sql.json")
+    oracle = json.loads(path.read_text())
     counts = {"OK": 0, "TIMEOUT": 0, "BAD": 0}
-    for name, sql in sorted(oracle.items()):
+    items = [kv for i, kv in enumerate(sorted(oracle.items()))
+             if i % shard_count == shard_idx]
+    for name, sql in items:
         t0 = time.time()
         q = mp.Queue()
         p = mp.Process(target=check_one, args=(sfdir, outdir, name, sql, q))
@@ -88,4 +99,6 @@ def main(sfdir, outdir, timeout=900):
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
-         int(sys.argv[3]) if len(sys.argv) > 3 else 900)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 900,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 0,
+         int(sys.argv[5]) if len(sys.argv) > 5 else 1)
