@@ -338,10 +338,21 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // SHUFFLE_HASH, not sort-merge, for both vector pulls — the same
+    // 100×-measured lesson as Dedup.verifiedJaccard: SMJ would SORT the
+    // pair stream, and after the first pull each pair row carries a
+    // dim×8-byte vector payload (~10⁸ planned candidates × ~0.5 KB at
+    // the sf10 rehearsal = tens of GB through 32 concurrent
+    // UnsafeExternalSorters — measured as UNABLE_TO_ACQUIRE_MEMORY
+    // under suite memory pressure). The hash build side is the CORPUS
+    // (corpus/numPartitions rows per task), and the fat pair rows
+    // stream through unsorted.
     val va = base.select(col("neighbor_id").as("id_a"),
       col("__v").as("__va"), col("__nv").as("__na"))
+      .hint("shuffle_hash")
     val vb = base.select(col("neighbor_id").as("id_b"),
       col("__v").as("__vb"), col("__nv").as("__nb"))
+      .hint("shuffle_hash")
     thresholdedPairs(pairs.join(va, "id_a").join(vb, "id_b"),
       "id_a", "id_b", threshold)
   }
@@ -417,8 +428,15 @@ object Similarity {
     val judged = e.join(sizes, "__c")
     val a = judged.select(col("__c"), col("__id").as("__ida"),
       col("__v").as("__va"), col("__nv").as("__na"))
+    // SHUFFLE_HASH for the in-cluster pair join: both sides carry the
+    // vector payload, and sort-merge would sort them (the fat-row-sort
+    // failure mode measured at the 100× rehearsal — see
+    // embeddingNearDupBucketed). The build side is one partition's
+    // share of the judged vectors (~corpus/numPartitions rows); the
+    // quadratic pair expansion streams out unsorted.
     val b = judged.select(col("__c"), col("__id").as("__idb"),
       col("__v").as("__vb"), col("__nv").as("__nb"))
+      .hint("shuffle_hash")
     val dropped = thresholdedPairs(
         a.join(b, "__c").filter(col("__ida") < col("__idb")),
         "__ida", "__idb", threshold)
