@@ -750,8 +750,16 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"connectedComponents supports numeric or string ids, got $other")
     }
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // The symmetric edge set references `pairs` TWICE (once per union
+    // branch), and Spark evaluates each branch's lineage independently
+    // — an expensive pair source (the quadratic exact-cosine twin at
+    // the sf10 rehearsal: ~320 s per evaluation) would run twice.
+    // Persist the one-sided pairs first; they are released as soon as
+    // `edges` is materialized by the count below.
+    val oneSided = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = oneSided
+      .union(oneSided.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -763,7 +771,8 @@ object Dedup {
     // non-local return (scala.runtime.NonLocalReturnControl).
     val edgeCount =
       try edges.count()
-      catch { case e: Throwable => edges.unpersist(); throw e }
+      catch { case e: Throwable => oneSided.unpersist(); edges.unpersist(); throw e }
+    oneSided.unpersist()
     if (edgeCount <= driverEdgeLimit) {
       // Broadcast-sized graph: classic union-find with path compression,
       // then relabel every node by its component's minimum id.

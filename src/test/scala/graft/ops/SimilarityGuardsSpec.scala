@@ -63,6 +63,54 @@ class SimilarityGuardsSpec extends SparkSpec {
     assert(r2.count() === 0L)
   }
 
+  test("blocked exact kernel equals the cross-join twin bit-for-bit on adversarial corpora") {
+    // Adversarial corpus: duplicate ids (never self-pair), exact-dup
+    // vectors, a null vector, a zero vector, a NaN element (NaN norm
+    // passes `> 0` under Spark's NaN-largest order on BOTH paths),
+    // ragged dims, and negative components around the threshold.
+    val rnd = new scala.util.Random(20260816)
+    val rows = (1 to 120).map { i =>
+      val dim = if (i % 17 == 0) 6 else 8
+      (i.toLong % 90L, // forces some duplicate ids
+        Array.fill(dim)(rnd.nextGaussian()))
+    } ++ Seq(
+      (200L, Array.fill(8)(0.25)), (201L, Array.fill(8)(0.25)), // exact dups
+      (202L, null.asInstanceOf[Array[Double]]),
+      (203L, Array.fill(8)(0.0)),
+      (204L, Array(1.0, Double.NaN, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    val df = rows.toDF("id", "vec")
+    def canon(out: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      out.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    for (t <- Seq(-0.5, 0.2, 0.9)) {
+      // targetBlock=7 forces ~18 blocks over 125 rows: the grid path,
+      // diagonal groups, ragged tails and the 4-way tile all exercise.
+      val blocked = canon(Similarity.embeddingNearDupExact(df, "id", "vec", t, targetBlock = 7))
+      val twin = canon(Similarity.embeddingNearDupExactCrossJoin(df, "id", "vec", t))
+      assert(blocked === twin, s"blocked != crossJoin at threshold $t")
+      assert(blocked.nonEmpty, s"vacuous equality at threshold $t")
+    }
+    // single-block degenerate (targetBlock >= n) still matches
+    val one = canon(Similarity.embeddingNearDupExact(df, "id", "vec", 0.2, targetBlock = 4096))
+    assert(one === canon(Similarity.embeddingNearDupExactCrossJoin(df, "id", "vec", 0.2)))
+    // empty and all-ineligible corpora degrade to empty with the schema
+    val empty = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    assert(Similarity.embeddingNearDupExact(empty, "id", "vec", 0.5).columns.toSeq
+      === Seq("id_a", "id_b", "cos_sim"))
+    val allBad = Seq((1L, null.asInstanceOf[Array[Double]]),
+      (2L, Array(0.0, 0.0))).toDF("id", "vec")
+    assert(Similarity.embeddingNearDupExact(allBad, "id", "vec", 0.5).count() === 0L)
+    // string ids take the kernel path with UTF-8 byte order
+    val sdf = rows.map { case (i, v) => (s"doc-$i", v) }.toDF("id", "vec")
+    val sBlocked = Similarity.embeddingNearDupExact(sdf, "id", "vec", 0.2, targetBlock = 7)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val sTwin = Similarity.embeddingNearDupExactCrossJoin(sdf, "id", "vec", 0.2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(sBlocked === sTwin)
+  }
+
   test("planSignBits sizes bits with the corpus and tables with the recall target") {
     // 1M docs / 4096-target buckets → ceil(log2(244.1)) = 8 bits;
     // at cosine 0.8: θ/π = 0.20483, p_table = 0.79517^8 = 0.16017,
