@@ -66,6 +66,34 @@ object Dedup {
       .distinct()
   }
 
+  /** [[shingleRows]] with HASHED gram keys: distinct (id, xxhash64
+    * gram) rows. The token columns feed the multi-argument xxhash64
+    * directly (tokens cannot contain whitespace, so the tuple is
+    * unambiguous — no separator string ever materializes), and every
+    * downstream exchange/sort/aggregate moves an 8-byte long instead
+    * of the gram text. Same approximation contract as
+    * [[verifiedJaccard]]'s hashed-set arrays: a 64-bit collision
+    * (~10⁻¹⁹ per gram pair) can collapse two grams — acceptable
+    * everywhere the gram key is an opaque join/count key, never where
+    * gram TEXT must survive (use [[shingleRows]] there).
+    */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "shingle width out of range")
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "t")))
+      .filter(col("t") =!= "")
+    val withLeads = (1 until n).foldLeft(toks) { (acc, i) =>
+      acc.withColumn(s"t$i", lead(col("t"), i).over(byDoc))
+    }
+    val parts = col("t") +: (1 until n).map(i => col(s"t$i"))
+    withLeads
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(col("id"), xxhash64(parts: _*).as("g"))
+      .distinct()
+  }
+
   /** Streaming-safe twin of [[shingleRows]]: distinct (id, g) rows
     * built with ROW-LOCAL array lambdas instead of the posexplode +
     * window-lead pass (streaming rejects non-time windows). ~5× slower
@@ -515,12 +543,19 @@ object Dedup {
   def ngramJaccardCountPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxGramDocs: Int = Int.MaxValue,
-      maxPairBudget: Long = Long.MaxValue): DataFrame = {
+      maxPairBudget: Long = Long.MaxValue,
+      targetPairsPerSalt: Long = 4000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     require(maxGramDocs > 0, "maxGramDocs must be positive")
     require(maxPairBudget > 0, "maxPairBudget must be positive")
+    require(targetPairsPerSalt > 0, "targetPairsPerSalt must be positive")
     val eps = 1e-9 // same one-ulp slack as the prefix path: only ADMITS
-    val sh = shingleRows(df, idCol, textCol, n)
+    // Hashed gram keys: the count path never needs gram TEXT — g is an
+    // opaque equi-join/df key — so the whole pipeline (distinct, df
+    // aggregates, the g-self-join and its sort) moves 8-byte longs
+    // instead of n-token strings. 100×-measured on the sf10 rehearsal;
+    // approximation contract in [[shingleHashRows]].
+    val sh = shingleHashRows(df, idCol, textCol, n)
     // True set size rides every gram row via an id-window (partitions
     // are bounded by a document's gram count — never a hot-gram funnel)
     // so the size filter applies INSIDE the g-join and the count needs
@@ -568,9 +603,34 @@ object Dedup {
           .filter(col("__gdf") <= plan.cutoff)
           .drop("__gdf")
       }
-    kept.as("x")
-      .join(kept.as("y"),
-        col("x.g") === col("y.g") && col("x.id") < col("y.id") &&
+    // SUB-GRAM SALTING for the enumeration join. A gram's co-occurrence
+    // output is df·(df−1)/2 rows from ONE join key, and join-key skew is
+    // invisible to AQE (the skew detector sizes the join's INPUT
+    // partitions — a df=25 k gram is ~25 k input rows but 312 M output
+    // rows, all enumerated by the single task that owns the key while
+    // the rest of the cluster idles; 100×-measured as ~70% of this op's
+    // wall time). One side is salted by hash(id) mod B_g, the other is
+    // replicated to all B_g salts, with B_g ∝ df² so every (g, salt)
+    // cell enumerates ~targetPairsPerSalt rows regardless of skew.
+    // Low-df grams keep B_g = 1 — zero replication on the long tail.
+    // Pair semantics are untouched: each (a, b) meets on exactly one
+    // salt (a's), every gram contributes exactly once.
+    val withGdf = kept.withColumn("__gdf",
+      count(lit(1)).over(Window.partitionBy(col("g"))))
+    val bg = least(greatest(
+        ceil(pow(least(col("__gdf"), lit(2000000L)).cast("double"), 2.0)
+          / lit(targetPairsPerSalt.toDouble)), lit(1.0)),
+        lit(8192.0)).cast("int")
+    val x = withGdf
+      .withColumn("__salt", pmod(xxhash64(col("id")), bg.cast("long")).cast("int"))
+      .drop("__gdf")
+    val y = withGdf
+      .withColumn("__salt", explode(sequence(lit(0), bg - lit(1))))
+      .drop("__gdf")
+    x.as("x")
+      .join(y.as("y"),
+        col("x.g") === col("y.g") && col("x.__salt") === col("y.__salt") &&
+          col("x.id") < col("y.id") &&
           col("y.n_sh") * lit(threshold) <= col("x.n_sh") + lit(eps) &&
           col("x.n_sh") * lit(threshold) <= col("y.n_sh") + lit(eps))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),

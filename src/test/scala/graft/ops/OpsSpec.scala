@@ -753,6 +753,14 @@ class OpsSpec extends SparkSpec {
       val cnt = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text", n = 3, threshold = t)
       assert(cnt.count() == exact.count(), s"count at t=$t")
       assert(cnt.except(exact).isEmpty && exact.except(cnt).isEmpty, s"rows at t=$t")
+      // targetPairsPerSalt=1 forces the skew grid (B_g > 1 for every
+      // df>1 gram: salted side + replicated side) — pairs must be
+      // IDENTICAL, each meeting on exactly one salt.
+      val salted = Dedup.ngramJaccardCountPairs(docs, "doc_id", "text", n = 3,
+        threshold = t, targetPairsPerSalt = 1L)
+      assert(salted.except(cnt).isEmpty && cnt.except(salted).isEmpty,
+        s"salted grid at t=$t")
+      assert(salted.count() == cnt.count(), s"salted count at t=$t")
     }
   }
 
