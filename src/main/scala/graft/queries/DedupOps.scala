@@ -139,7 +139,45 @@ object DedupOps {
       Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.3,
       maxPairBudget = 500000000L)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  private val jaccardGramsSql = quadraticJaccardSql(0.3)
+  // BUDGET-AWARE oracle: replays planPairBudget's cut in SQL — the
+  // df-level running cost Σ ng·d·(d−1)/2 ascending in d, cutoff = the
+  // largest level prefix that fits 500 M (greedy-stop ≡ max prefix,
+  // since the running sum includes the first overflowing level), grams
+  // above the cutoff excluded from n_common while denominators keep
+  // the TRUE set sizes. Below the bite point (sf0.001–sf1) the cutoff
+  // clears max(df) and this reduces to quadraticJaccardSql exactly; at
+  // the bite point (sf10: 25.4 B uncut enumeration rows) the oracle
+  // now checks the documented degradation semantics instead of
+  // diverging from them.
+  private val jaccardGramsSql =
+    """WITH docs AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE trim(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+      |  FROM docs WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |counts AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+      |gdf AS (SELECT g, count(*) AS d FROM ex GROUP BY g),
+      |hist AS (SELECT d, count(*) AS ng FROM gdf GROUP BY d),
+      |cum AS (SELECT d, sum(ng * (d * (d - 1) // 2)) OVER (ORDER BY d) AS c FROM hist),
+      |cutoff AS (
+      |  SELECT greatest(coalesce(max(d) FILTER (WHERE c <= 500000000), 1), 1) AS co
+      |  FROM cum),
+      |kept AS (
+      |  SELECT e.doc_id, e.g FROM ex e JOIN gdf USING (g) CROSS JOIN cutoff
+      |  WHERE gdf.d <= cutoff.co),
+      |common AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_common
+      |  FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN counts a ON id_a = a.doc_id
+      |JOIN counts b ON id_b = b.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.3""".stripMargin
 
   // Leakage-safe 80/20 split: split key is the connected component of
   // the exact-duplicate graph (min doc_id per text group), so duplicate
