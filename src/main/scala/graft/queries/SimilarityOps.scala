@@ -325,6 +325,13 @@ object SimilarityOps {
       graft.ops.Similarity.signBitSketch(col("embedding"), 4), threshold = 0.4)
       .select(col("vec_id"), col("label"))
 
+  // The oracle mirrors semanticDedup's maxCluster cap (HAVING <= 4096
+  // — same cap-sharing contract as the LSH bucket oracles): over-cap
+  // clusters are unjudgeable and their members pass through KEPT. At
+  // sf10 every 4-bit cluster is over cap (~12.5 k rows each), so both
+  // sides keep all rows — correct per spec, and the vacuous-evidence
+  // condition stays observable via the "semantic_dedup_clusters"
+  // observation (skipped_clusters == n clusters).
   private val semanticSql =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -333,9 +340,12 @@ object SimilarityOps {
       |   + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
       |   + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS c
       |  FROM embeddings),
+      |ok_clusters AS (
+      |  SELECT c FROM e GROUP BY c HAVING count(*) <= 4096),
       |dropped AS (
       |  SELECT DISTINCT b.vec_id FROM e a JOIN e b
       |    ON a.c = b.c AND a.vec_id < b.vec_id
+      |  JOIN ok_clusters o ON a.c = o.c
       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
       |SELECT vec_id, label FROM embeddings
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
