@@ -107,6 +107,19 @@ object GraftExtensions {
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** All hyperplane-LSH sign buckets of one vector as array<long> —
+    * ONE constant-code-size native expression for the whole (tables ×
+    * bits) sketch; the unrolled per-plane vec_dot spelling grows the
+    * generated method linearly with the planned shape and crossed
+    * janino's 64 KB limit (silent interpreted fallback) at the 10×
+    * rehearsal. Not SQL-registered: the plane tensor is a driver-side
+    * parameter, not a literal a query could spell.
+    */
+  def lsh_sign_buckets(vec: Column, planes: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(LshSignBuckets(GraftColumnBridge.expression(vec), planes))
+  }
+
   /** RFC-822/1123 datetime parse → timestamp (null when unparseable). */
   def rfc1123_timestamp(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge

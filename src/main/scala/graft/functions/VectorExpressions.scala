@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native dot product over two `array<double>` columns.
   *
@@ -76,4 +76,130 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** ALL hyperplane-LSH sign buckets of one vector in a single native
+  * expression: element `t` of the `array<long>` result packs the sign
+  * bits of table `t`'s `bits` plane dot products (bit `b` set iff
+  * `vec · planes(t)(b) >= 0`).
+  *
+  * Why one expression and not `tables × bits` [[DotProduct]] columns:
+  * the unrolled formulation's generated code grows LINEARLY with the
+  * sketch shape, and [[graft.ops.Similarity.planSignBits]] grows the
+  * shape with the corpus — at the 10× rehearsal the planned
+  * ~200-plane projection crossed janino's 64 KB method limit and the
+  * whole stage silently fell back to interpreted execution (measured
+  * this round: every `generate_doConsume` consuming the bucket
+  * projection failed to compile). Here the planes ride along as ONE
+  * flat `double[]` reference object and the generated code is a fixed
+  * triple loop — constant code size for ANY (bits, tables, dim).
+  *
+  * Per-dot arithmetic is bit-identical to `vec_dot(vec, lit(plane))
+  * >= 0`: strictly left-to-right summation over the common prefix of
+  * (vector length, plane length). A null vector yields a null array
+  * (upstream [[graft.ops.Similarity]] sides filter null/zero-norm
+  * vectors anyway); a null ELEMENT poisons the affected dots to
+  * "not >= 0" — bit clear — exactly like the `when(vec_dot >= 0, …)
+  * .otherwise(0)` spelling it replaces.
+  */
+case class LshSignBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private val tables = planes.length
+  private val bits = if (tables == 0) 0 else planes(0).length
+  private val dim = if (bits == 0) 0 else planes(0)(0).length
+  require(tables >= 1 && bits >= 1 && bits <= 63 && dim >= 1,
+    s"lsh_sign_buckets needs a (tables >= 1) x (1 <= bits <= 63) x (dim >= 1) " +
+      s"plane tensor, got $tables x $bits x $dim")
+  require(planes.forall(t => t.length == bits && t.forall(_.length == dim)),
+    "lsh_sign_buckets plane tensor must be rectangular")
+
+  /** Flattened (t, b, k) -> planes(t)(b)(k) — one contiguous reference
+    * object for codegen instead of a nested array walk per dot.
+    */
+  private lazy val flat: Array[Double] = {
+    val out = new Array[Double](tables * bits * dim)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < bits) {
+        System.arraycopy(planes(t)(b), 0, out, (t * bits + b) * dim, dim)
+        b += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_sign_buckets requires an array<double> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "lsh_sign_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      var packed = 0L
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var s = 0.0
+        var nul = false
+        var k = 0
+        while (k < n && !nul) {
+          if (v.isNullAt(k)) nul = true
+          else { s += v.getDouble(k) * flat(off + k); k += 1 }
+        }
+        if (!nul && s >= 0) packed |= 1L << b
+        b += 1
+      }
+      out(t) = packed
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("lshPlanesFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val nul = ctx.freshName("nul")
+      val off = ctx.freshName("off")
+      val packed = ctx.freshName("packed")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $packed = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    int $off = ($t * $bits + $b) * $dim;
+         |    double $s = 0.0;
+         |    boolean $nul = false;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      if ($v.isNullAt($k)) { $nul = true; break; }
+         |      $s += $v.getDouble($k) * $flatRef[$off + $k];
+         |    }
+         |    if (!$nul && $s >= 0) $packed |= 1L << $b;
+         |  }
+         |  $out[$t] = $packed;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignBuckets =
+    copy(child = newChild)
 }

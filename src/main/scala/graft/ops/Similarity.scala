@@ -470,9 +470,14 @@ object Similarity {
       case None => // no vectors at all → no pairs, correct schema
         embeddingNearDupExact(corpus.limit(0), idCol, vecCol, threshold)
       case Some(dim) =>
+        // ONE native sketch expression for the whole (tables × bits)
+        // shape — the per-plane vec_dot spelling grows the generated
+        // method with the planned shape and silently fell back to
+        // interpreted execution past ~200 planes (janino 64 KB limit,
+        // measured at the 10× rehearsal with planSignBits shapes).
         val planes = lshPlanes(dim, bits, tables, seed)
-        embeddingNearDupBucketed(corpus, idCol, vecCol, threshold,
-          planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)), maxBucket)
+        embeddingNearDupBucketedArray(corpus, idCol, vecCol, threshold,
+          v => graft.functions.GraftExtensions.lsh_sign_buckets(v, planes), maxBucket)
     }
 
   /** [[embeddingNearDupLsh]] generalized over the bucket family: one
@@ -494,6 +499,19 @@ object Similarity {
     */
   def embeddingNearDupBucketed(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, buckets: Seq[Column => Column],
+      maxBucket: Int = 4096): DataFrame =
+    embeddingNearDupBucketedArray(corpus, idCol, vecCol, threshold,
+      v => array(buckets.map(f => f(v)): _*), maxBucket)
+
+  /** [[embeddingNearDupBucketed]] with the bucket family as ONE
+    * array<long> column (element t = table t's bucket) instead of a
+    * per-table column seq: the shape native sketch expressions emit
+    * ([[graft.functions.GraftExtensions.lsh_sign_buckets]]), whose
+    * generated code stays constant-size however large the planned
+    * sketch grows.
+    */
+  def embeddingNearDupBucketedArray(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucketsArray: Column => Column,
       maxBucket: Int = 4096): DataFrame = {
     require(maxBucket > 1, "maxBucket must allow at least one pair")
     val base = corpusSide(corpus, idCol, vecCol)
@@ -504,7 +522,7 @@ object Similarity {
     // measured 3× slower even at sf0.1). The bucket-size cap is ONE
     // aggregate + semi-join, exactly the minhashLshPairs shape.
     val banded = base.select(col("neighbor_id"),
-      posexplode(array(buckets.map(f => f(col("__v"))): _*)).as(Seq("__t", "__bk")))
+      posexplode(bucketsArray(col("__v"))).as(Seq("__t", "__bk")))
     // n_buckets rides the same observation so the VACUOUS-RUN condition
     // — dropped_buckets == n_buckets, i.e. the cap silently discarded
     // 100% of buckets and the "result" is an empty frame that means
@@ -772,9 +790,17 @@ object Similarity {
         cosineScores(corpus.limit(0), idCol, vecCol,
           queries.limit(0), qidCol, qvecCol)
       case Some(dim) =>
+        // element_at over the ONE native sketch expression: every
+        // per-table function shares the same LshSignBuckets subtree
+        // (same plane tensor reference), so subexpression elimination
+        // computes the sketch once per row and the generated code stays
+        // constant-size for any planned (bits, tables) — the unrolled
+        // per-plane spelling fell back to interpreted past ~200 planes.
         val planes = lshPlanes(dim, bits, tables, seed)
         bucketedTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
-          planes.toSeq.map(tp => (v: Column) => lshBucketFor(v, tp)))
+          (0 until tables).map(t => (v: Column) =>
+            element_at(graft.functions.GraftExtensions.lsh_sign_buckets(v, planes),
+              t + 1)))
     }
 
   /** [[lshTopK]] generalized over the bucket family (one bucket column

@@ -295,6 +295,31 @@ class NewPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("planned-size LSH sketches compile at any (bits, tables) shape") {
+    // Regression pin for the round-9 janino-64KB fallback: the unrolled
+    // per-plane vec_dot bucket projection grew linearly with the
+    // planSignBits shape and silently ran interpreted from the 10×
+    // rehearsal upward (~200+ planes). The native LshSignBuckets
+    // expression is constant-code-size; with fallback disabled a
+    // recurrence fails the job instead of silently degrading. 8×30 =
+    // 240 planes — past the shape that used to break.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = graft.ops.Similarity.embeddingNearDupLsh(
+        vecs(300), "vec_id", "embedding", threshold = 0.4,
+        bits = 8, tables = 30)
+      out.write.mode("overwrite").format("noop").save()
+      // and the same shape through the top-k path (element_at over the
+      // shared sketch subtree — CSE must keep it one evaluation)
+      graft.ops.Similarity.lshTopK(
+        vecs(300), "vec_id", "embedding",
+        vecs(300).filter($"vec_id" < 2), "vec_id", "embedding",
+        k = 3, bits = 8, tables = 30)
+        .write.mode("overwrite").format("noop").save()
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("native vec_dot keeps brute-force scoring inside WholeStageCodegen") {
     val df = vecs(200)
     val q = df.filter($"vec_id" < 2)
