@@ -747,7 +747,15 @@ object TextOps {
        |  FROM documents WHERE text IS NOT NULL),
        |seg AS (
        |  SELECT doc_id, r.p AS pos,
-       |    CASE ws[r.p] $cases ELSE '<unk>' END AS s
+       |    -- Words outside the closed 31-word corpus vocabulary (the
+       |    -- scale generators' replica/cohort tokens: rep<d+>, k<d+>)
+       |    -- degrade to boundary + per-codepoint pieces, exactly the
+       |    -- engine's OOV rule. Valid because those tokens contain no
+       |    -- multi-codepoint piece as a substring — a cheaper DP path
+       |    -- the char split couldn't see.
+       |    CASE ws[r.p] $cases
+       |      ELSE '▁ ' || array_to_string(string_split(ws[r.p], ''), ' ')
+       |    END AS s
        |  FROM t, unnest(range(1, len(ws) + 1)) AS r(p)),
        |j AS (
        |  SELECT doc_id, string_agg(s, ' ' ORDER BY pos) AS stream

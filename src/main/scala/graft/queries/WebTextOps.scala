@@ -151,28 +151,44 @@ object WebTextOps {
         col("other_n").cast("long").as("other_n"),
         col("dominant_script"))
   }
+  // The oracle counts by the SAME Unicode script properties as the
+  // engine (RE2's \p{Latin} ≙ java.regex's \p{IsLatin} on BMP text —
+  // the Scripts scaladoc contract), not by a letters-plus-spaces
+  // dataset assumption: the scale generators append digit-bearing
+  // replica/cohort tokens (" rep7", "k3") which are OTHER, not Latin,
+  // and the earlier analytic shortcut miscounted exactly those rows
+  // at the 10× rehearsal.
   private val scriptDetectSql =
-    """WITH base AS (
-      |  SELECT doc_id, doc_id % 4 AS m,
-      |    length(text) AS n,
-      |    length(replace(text, ' ', '')) AS lat,
-      |    length(text) - length(replace(text, ' ', '')) AS sp
-      |  FROM documents)
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || CASE doc_id % 4
+      |      -- // not /: DuckDB's double→INT cast ROUNDS half-up where
+      |      -- Spark's truncates, so an odd length(text) would pad one
+      |      -- extra Cyrillic codepoint on the oracle side only.
+      |      WHEN 1 THEN rpad('', CAST(length(text) // 2 AS INT), 'привет')
+      |      WHEN 2 THEN rpad('', CAST(length(text) AS INT), 'γεια')
+      |      WHEN 3 THEN rpad('', CAST(length(text) AS INT), '你好世界')
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, length(t) AS n,
+      |    length(t) - length(regexp_replace(t, '\p{Latin}+', '', 'g')) AS lat,
+      |    length(t) - length(regexp_replace(t, '\p{Cyrillic}+', '', 'g')) AS cyr,
+      |    length(t) - length(regexp_replace(t, '\p{Greek}+', '', 'g')) AS grk,
+      |    length(t) - length(regexp_replace(t, '\p{Han}+', '', 'g')) AS han
+      |  FROM aug)
       |SELECT doc_id,
       |  CAST(lat AS BIGINT) AS latin_n,
-      |  CAST(CASE WHEN n IS NULL THEN NULL
-      |            WHEN m = 1 THEN n // 2 ELSE 0 END AS BIGINT) AS cyrillic_n,
-      |  CAST(CASE WHEN n IS NULL THEN NULL
-      |            WHEN m = 2 THEN n ELSE 0 END AS BIGINT) AS greek_n,
-      |  CAST(CASE WHEN n IS NULL THEN NULL
-      |            WHEN m = 3 THEN n ELSE 0 END AS BIGINT) AS han_n,
-      |  CAST(sp AS BIGINT) AS other_n,
+      |  CAST(cyr AS BIGINT) AS cyrillic_n,
+      |  CAST(grk AS BIGINT) AS greek_n,
+      |  CAST(han AS BIGINT) AS han_n,
+      |  CAST(n - lat - cyr - grk - han AS BIGINT) AS other_n,
       |  CASE WHEN n IS NULL THEN NULL
-      |       WHEN m = 1 AND lat < n // 2 THEN 'cyrillic'
-      |       WHEN m = 2 AND lat < n THEN 'greek'
-      |       WHEN m = 3 AND lat < n THEN 'han'
-      |       ELSE 'latin' END AS dominant_script
-      |FROM base""".stripMargin
+      |       WHEN lat >= cyr AND lat >= grk AND lat >= han THEN 'latin'
+      |       WHEN cyr >= grk AND cyr >= han THEN 'cyrillic'
+      |       WHEN grk >= han THEN 'greek'
+      |       ELSE 'han' END AS dominant_script
+      |FROM c""".stripMargin
 
   // ---- web_boilerplate_lines: per-site frequency-threshold
   // boilerplate removal (graft.ops.Boilerplate.domainBoilerplate),
