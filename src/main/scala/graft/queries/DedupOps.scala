@@ -257,15 +257,39 @@ object DedupOps {
   // verify join all SQL-expressible — the oracle recomputes the full
   // pipeline (one md5 per gram + integer mixing per seed; see
   // HashFamily for why this halves the gate's hashing cost).
-  private val minhash: Q = (s, dir) =>
-    Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-      "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.05,
+  //
+  // CALIBRATED banding (planBands(0.5, 32) = 8 bands × 4 rows), hunting
+  // the J ≈ 0.9+ near-duplicates the corpus actually carries: seeded
+  // marker dups at the gate scales (the jaccard-entry pattern — a gate
+  // that can't tell a correct plan from `LIMIT 0` is not a gate) and
+  // the scale generator's replica clusters at sf1/sf10. The previous
+  // shape (16 × 2 at t = 0.05) measured an UNCALIBRATED regime on the
+  // 31-word-vocabulary corpus: a 2-row band agrees on accidental
+  // 3-gram overlap (P ≈ J²) often enough that band buckets grow with
+  // the corpus and in-bucket pair expansion turns quadratic — 36.9×
+  // wall at 10× data, all spent verifying sub-threshold candidates.
+  // 4-row bands put accidental agreement at J⁴ (ppm-level) while the
+  // planted J ≈ 0.9 clusters still collide with P ≈ 0.9998.
+  private val minhash: Q = (s, dir) => {
+    val src = Tables.load(s, dir, "documents")
+    val seeded = src.unionByName(
+      src.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
+    Dedup.minhashLshPairs(seeded,
+      "doc_id", "text", n = 3, numHashes = 32, bands = 8, threshold = 0.5,
       family = Md5Mix32Family)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
   private val minhashSql =
-    s"""WITH docs AS (
+    s"""WITH raw AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text || ' graft dup marker' FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |docs AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
-      |  FROM documents WHERE trim(text) <> ''),
+      |  FROM raw WHERE trim(text) <> ''),
       |shl AS (
       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
@@ -281,8 +305,8 @@ object DedupOps {
       |banded AS (
       |  SELECT doc_id, b,
       |    ('0x' || substr(md5(b || ':' ||
-      |       array_to_string(sig[b*2+1 : b*2+2], ',')), 1, 15))::BIGINT AS bh
-      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs),
+      |       array_to_string(sig[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs),
       |ok_buckets AS (
       |  SELECT b, bh FROM banded GROUP BY b, bh
       |  HAVING count(*) BETWEEN 2 AND 1024),
@@ -302,7 +326,7 @@ object DedupOps {
       |FROM common
       |JOIN counts a ON id_a = a.doc_id
       |JOIN counts b ON id_b = b.doc_id
-      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.05""".stripMargin
+      |WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5""".stripMargin
 
   // SimHash fingerprints (md5 bit-sign family for the oracle; the
   // 64-bit value ships as two 32-bit halves so the SQL side never
