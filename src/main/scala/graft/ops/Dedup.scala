@@ -1116,6 +1116,89 @@ object Dedup {
     df.withColumn(textCol, array_join(kept, sep))
   }
 
+  /** EXACT-SUBSTRING dedup with KEEP-FIRST semantics (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" rule,
+    * position-level): every k-token window that occurs MORE THAN ONCE
+    * in the corpus keeps only its globally first occurrence — smallest
+    * (id, position) — and every token covered by a non-first
+    * duplicated window is REMOVED from its document. A duplicated run
+    * of length ≥ k is thereby stripped from all but the first document
+    * carrying it (mirrored articles, quoted passages), while runs
+    * shorter than k never match a window and survive.
+    *
+    * Sibling, NOT a twin, of [[SpanDedup.audit]]: SpanDedup is span
+    * EXCISION — it cuts every occurrence of a cross-document duplicated
+    * gram from every document (the boilerplate-removal stance, where
+    * the span itself is unwanted); this op is span DEDUP — exactly one
+    * copy of the duplicated content survives in the corpus (the
+    * training-data stance, where the content is wanted once). The
+    * execution shapes differ to match: SpanDedup rides doc-keyed
+    * window leads and a semi-join against the tiny post-threshold dup
+    * list; keep-first needs each occurrence ranked against the global
+    * first, so the gram-keyed exchange here carries every occurrence
+    * once and comes back as a bounded per-doc position list.
+    *
+    * Granularity caveat (the position-level approximation): keep-first
+    * is decided PER WINDOW, not per maximal span, so when two long
+    * duplicated runs overlap in different ways across documents the
+    * preserved copy of each window is its own first occurrence — a
+    * document can keep a prefix of a run whose suffix was first seen
+    * elsewhere. Same stance as suffix-array implementations that cut
+    * at 50-token boundaries: the removed set is exact, the kept copy's
+    * location is a policy choice.
+    *
+    * Scale shape (one body-sized gram exchange, everything else
+    * bounded):
+    *  1. positioned gram keys are ROW-LOCAL array lambdas over the
+    *     token array (no window/lead shuffle);
+    *  2. the first-occurrence mark is one groupBy(gram) min-aggregate
+    *     (map-side combinable) plus an equi-join back on the gram key —
+    *     a hot boilerplate gram fans 1:df linearly, never
+    *     quadratically;
+    *  3. coverage returns to the document as ONE collect_list of
+    *     marked positions (bounded by the doc's own gram count), and
+    *     token filtering is a row-local indexed lambda — O(n·m) per
+    *     document, the [[dedupLinesWithinDoc]] trade.
+    *
+    * `family` picks the gram key hash: xxhash64 (default; 64-bit
+    * collisions ~10⁻¹⁹ per gram pair can only OVER-remove — same
+    * contract as [[shingleHashRows]]) or [[Md5Family]] for
+    * SQL-replayable gates. Null-text rows are excluded (the [[exact]]
+    * rule); kept_text is whitespace-normalized (tokens re-joined with
+    * single spaces). Returns (id, kept_text, n_toks, n_removed).
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int, family: HashFamily = XxHash64Family): DataFrame = {
+    require(k >= 2 && k <= 64, "substring window k out of range")
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+    val grams = when(size(col("__tk")) >= k,
+      transform(sequence(lit(0), size(col("__tk")) - k),
+        i => family.hashString(0, concat_ws(" ",
+          slice(col("__tk"), i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val occ = docs.select(col("id"), posexplode(grams).as(Seq("p", "gh")))
+    // Global first occurrence per gram key: min over the (id, p) struct
+    // (lexicographic — Catalyst struct ordering). An occurrence is
+    // marked iff it is not the min; a unique gram's only occurrence IS
+    // the min, so df > 1 needs no separate count.
+    val firsts = occ.groupBy(col("gh"))
+      .agg(min(struct(col("id"), col("p"))).as("__first"))
+    val marked = occ.join(firsts, "gh")
+      .filter(struct(col("id"), col("p")) =!= col("__first"))
+      .select(col("id"), col("p"))
+    val markedPerDoc = marked.groupBy(col("id"))
+      .agg(collect_list(col("p")).as("__mp"))
+    val mp = coalesce(col("__mp"), array().cast("array<int>"))
+    val kept = filter(col("__tk"), (_, q) =>
+      !exists(mp, p => p.between(q - lit(k - 1), q)))
+    docs.join(markedPerDoc, Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ", kept).as("kept_text"),
+        size(col("__tk")).cast("long").as("n_toks"),
+        (size(col("__tk")) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** [[paragraphDedup]] for a STREAMING corpus: of all arrivals of an
     * identical paragraph within the watermark horizon, only the FIRST
     * survives (arrival order replaces the batch op's global

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * document — boilerplate headers, license blocks, templated
   * navigation text — leaving the surrounding prose in place. This is
   * span surgery WITHIN documents; whole-document near-dup removal is
-  * [[Dedup]]'s job.
+  * [[Dedup]]'s job, and the KEEP-FIRST variant (exactly one copy of
+  * the duplicated content survives — the training-data dedup stance,
+  * vs the excision here where the span itself is unwanted) is
+  * [[Dedup.substringDedup]].
   *
   * Semantics (token space, whitespace tokenization):
   *  - a length-`n` token gram is DUPLICATED if it occurs in at least

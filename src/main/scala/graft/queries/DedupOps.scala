@@ -661,9 +661,70 @@ object DedupOps {
       |  p.clean_text
       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
 
+  // KEEP-FIRST exact-substring dedup (Dedup.substringDedup — the Lee
+  // et al. rule; dedup_span_removal above is the cut-ALL-occurrences
+  // excision sibling). Every 5th doc gets a fixed 12-token licence
+  // header prepended identically on both sides: its first carrier
+  // keeps it, every later carrier loses exactly those tokens — a gate
+  // that exercises the keep-first rank, not just coverage. k = 8 so
+  // the 31-word word-soup body contributes no accidental windows at
+  // the gate scales. Md5Family gram keys make the whole
+  // rank-and-cover pipeline SQL-replayable (minhash-gate pattern).
+  private val substringSeed =
+    "standard corpus licence header text repeated across every fifth document intake here"
+  private val substringKeepFirst: Q = (s, dir) => {
+    val seeded = Tables.load(s, dir, "documents")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(substringSeed + " "), col("text")))
+          .otherwise(col("text")))
+    Dedup.substringDedup(seeded, "doc_id", "text", k = 8, family = Md5Family)
+      .select(col("id").as("doc_id"), col("n_toks"), col("n_removed"),
+        md5(col("kept_text")).as("kept_fp"))
+  }
+  private val substringKeepFirstSql =
+    s"""WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN '$substringSeed ' || text
+      |         ELSE text END AS text
+      |  FROM documents),
+      |docs AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+      |  FROM raw WHERE text IS NOT NULL),
+      |occ AS (
+      |  SELECT doc_id, CAST(r.i AS INT) AS p,
+      |    ('0x' || substr(md5('0:' || array_to_string(tk[r.i+1 : r.i+8], ' ')), 1, 15))::BIGINT AS gh
+      |  FROM docs, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+      |mk AS (
+      |  SELECT doc_id, p FROM (
+      |    SELECT doc_id, p,
+      |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+      |    FROM occ) WHERE rn > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p + r.j AS q
+      |  FROM mk, unnest(range(0, 8)) AS r(j)),
+      |ts AS (
+      |  SELECT doc_id, t.q AS q, tk[CAST(t.q AS INT) + 1] AS tok
+      |  FROM docs, unnest(range(0, len(tk))) AS t(q)),
+      |kt AS (
+      |  SELECT ts.doc_id, ts.q, ts.tok
+      |  FROM ts LEFT JOIN cov c ON c.doc_id = ts.doc_id AND c.q = ts.q
+      |  WHERE c.doc_id IS NULL),
+      |j AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY q) AS kept
+      |  FROM kt GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(d.tk) AS BIGINT) AS n_toks,
+      |  CAST(len(d.tk) - coalesce(j.n_kept, 0) AS BIGINT) AS n_removed,
+      |  md5(coalesce(j.kept, '')) AS kept_fp
+      |FROM docs d LEFT JOIN j USING (doc_id)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
     Entry("dedup_span_removal", spans, Some(spansSql)),
+    Entry("dedup_substring_keepfirst", substringKeepFirst, Some(substringKeepFirstSql)),
     Entry("dedup_incremental", incremental, Some(incrementalSql)),
     Entry("dedup_incremental_neardup", incrementalNear, Some(incrementalNearSql)),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),

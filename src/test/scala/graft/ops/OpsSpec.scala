@@ -1400,4 +1400,57 @@ class OpsSpec extends SparkSpec {
     assert(recall.impliedThreshold < small.impliedThreshold)
     assert(recall.estFalseNeg < small.estFalseNeg)
   }
+
+  test("substringDedup strips non-first duplicated k-token runs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),              // first carrier of the run
+      (2L, "x y a b c d e f g h i j z"),        // run duplicated mid-doc
+      (3L, "p q r s t u v"),                    // 7 tokens < k: untouched
+      (4L, "solo  words   with    spaces")      // normalization only
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is every window's first occurrence — fully kept
+    assert(out(1L) == (("a b c d e f g h i j", 10L, 0L)))
+    // doc 2 loses exactly the 10 duplicated tokens, keeps its unique rim
+    assert(out(2L) == (("x y z", 13L, 10L)))
+    assert(out(3L) == (("p q r s t u v", 7L, 0L)))
+    assert(out(4L) == (("solo words with spaces", 4L, 0L)))
+  }
+
+  test("substringDedup removes within-doc repetition and excludes null text") {
+    val docs = Seq(
+      (1L, Some("m n o p q r s t m n o p q r s t")), // 8-token run twice
+      (2L, None),
+      (3L, Some(""))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the second copy of the run is covered by its duplicated window
+    assert(out(1L) == (("m n o p q r s t", 16L, 8L)))
+    assert(!out.contains(2L)) // null text excluded (the exact() rule)
+    assert(out(3L) == (("", 0L, 0L)))
+  }
+
+  test("substringDedup is hash-family invariant on collision-free corpora") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "zero one two three four five six seven eight nine ten"),
+      (3L, "ten nine eight seven six five four three two one")
+    ).toDF("doc_id", "text")
+    val a = Dedup.substringDedup(docs, "doc_id", "text", k = 4)
+      .orderBy("id").collect().toSeq
+    val b = Dedup.substringDedup(docs, "doc_id", "text", k = 4,
+      family = Md5Family)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // and the duplicated interior run really moved: doc 2 keeps only its
+    // unique rim around doc 1's span, doc 3 (reversed) is untouched
+    val m = a.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "one two three four five six seven eight nine")
+    assert(m(2L) == "zero ten")
+    assert(m(3L) == "ten nine eight seven six five four three two one")
+  }
 }
