@@ -41,11 +41,24 @@ object Bench {
     /** One query execution with cause capture. Returns Right(seconds) or
       * Left(class+message) — a crashed query must carry WHY into the
       * artifact, never an innocuous-looking time or a bare null.
+      *
+      * The action is a `noop`-sink write, NOT count(): count() lets
+      * Catalyst prune every output column, and for entries whose last
+      * operator is a left join back to the input (the rewritten-text
+      * dedup family) the join's aggregate side has unique keys, so the
+      * optimizer eliminates the JOIN TOO and the "benchmark" times a
+      * bare scan (measured: dedup_substring_keepfirst "ran" in 0.6 s at
+      * sf10 while its real pipeline takes ~40 s). The noop sink
+      * evaluates every output row and column end-to-end and writes
+      * nothing — work can't hide behind pruning.
       */
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      }
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse("").take(300)
         Left(s"${e.getClass.getName}: $msg")
