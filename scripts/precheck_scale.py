@@ -38,6 +38,12 @@ def canon(df):
 def check_one(sfdir, outdir, name, sql, q):
     import duckdb
     con = duckdb.connect()
+    # Let big oracles spill instead of dying: at 100x data a handful of
+    # sketch-pipeline replays (the minhash oracle's per-seed min over
+    # ~100M gram rows x 32 seeds) exceed RAM; without a temp directory
+    # DuckDB's allocator kills the worker mid-query.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         path = Path(f"{sfdir}/{t}.parquet")
         src = f"{path}/*.parquet" if path.is_dir() else str(path)
@@ -85,7 +91,17 @@ def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
             print(f"TIMEOUT  {name} (oracle exceeded {timeout}s)", flush=True)
             counts["TIMEOUT"] += 1
             continue
-        status, detail = q.get() if not q.empty() else ("ERROR", "worker died")
+        # A worker that died without reporting (typically the oracle
+        # engine OOM-killed mid-query) cannot testify either way: it is
+        # an ORACLE-RESOURCE failure, counted with the timeouts, not a
+        # value mismatch. An explicit ("ERROR", ...) from check_one (a
+        # broken oracle SQL) stays BAD — that is a builder bug.
+        if q.empty():
+            print(f"ORACLE-DIED {name} (oracle worker crashed, resources) "
+                  f"[{time.time() - t0:.0f}s]", flush=True)
+            counts["TIMEOUT"] += 1
+            continue
+        status, detail = q.get()
         dt = time.time() - t0
         print(f"{status:8} {name} ({detail}) [{dt:.0f}s]", flush=True)
         if status == "OK":
@@ -93,7 +109,7 @@ def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
         else:
             counts["BAD"] += 1
     print(f"\n{counts['OK']} ok, {counts['BAD']} bad, "
-          f"{counts['TIMEOUT']} oracle-timeout")
+          f"{counts['TIMEOUT']} oracle-timeout-or-died")
     sys.exit(1 if counts["BAD"] else 0)
 
 

@@ -1170,23 +1170,51 @@ object Dedup {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int, family: HashFamily = XxHash64Family): DataFrame = {
     require(k >= 2 && k <= 64, "substring window k out of range")
-    val docs = df.filter(col(textCol).isNotNull)
+    val docs = tokenizedDocs(df, idCol, textCol)
+    val occ = positionedGramOcc(docs, k, family)
+    coverAndRewrite(docs, nonFirstOccurrences(occ), k)
+  }
+
+  /** (id, __tk) token-array side of the substring family (null text
+    * excluded — the [[exact]] rule).
+    */
+  private def tokenizedDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+
+  /** Positioned gram-key occurrences (id, p, gh) — row-local array
+    * lambdas, no window/lead shuffle; documents shorter than k emit
+    * nothing.
+    */
+  private def positionedGramOcc(docs: DataFrame, k: Int,
+      family: HashFamily): DataFrame = {
     val grams = when(size(col("__tk")) >= k,
       transform(sequence(lit(0), size(col("__tk")) - k),
         i => family.hashString(0, concat_ws(" ",
           slice(col("__tk"), i + lit(1), lit(k))))))
       .otherwise(array().cast("array<bigint>"))
-    val occ = docs.select(col("id"), posexplode(grams).as(Seq("p", "gh")))
-    // Global first occurrence per gram key: min over the (id, p) struct
-    // (lexicographic — Catalyst struct ordering). An occurrence is
-    // marked iff it is not the min; a unique gram's only occurrence IS
-    // the min, so df > 1 needs no separate count.
+    docs.select(col("id"), posexplode(grams).as(Seq("p", "gh")))
+  }
+
+  /** Occurrences that are NOT their gram's global first: min over the
+    * (id, p) struct (lexicographic — Catalyst struct ordering). A
+    * unique gram's only occurrence IS the min, so df > 1 needs no
+    * separate count. Returns (id, p).
+    */
+  private def nonFirstOccurrences(occ: DataFrame): DataFrame = {
     val firsts = occ.groupBy(col("gh"))
       .agg(min(struct(col("id"), col("p"))).as("__first"))
-    val marked = occ.join(firsts, "gh")
+    occ.join(firsts, "gh")
       .filter(struct(col("id"), col("p")) =!= col("__first"))
       .select(col("id"), col("p"))
+  }
+
+  /** Shared rewrite tail: marked (id, p) window starts → one bounded
+    * per-doc position list → row-local indexed token filter. Returns
+    * (id, kept_text, n_toks, n_removed).
+    */
+  private def coverAndRewrite(docs: DataFrame, marked: DataFrame,
+      k: Int): DataFrame = {
     val markedPerDoc = marked.groupBy(col("id"))
       .agg(collect_list(col("p")).as("__mp"))
     val mp = coalesce(col("__mp"), array().cast("array<int>"))
@@ -1197,6 +1225,59 @@ object Dedup {
         concat_ws(" ", kept).as("kept_text"),
         size(col("__tk")).cast("long").as("n_toks"),
         (size(col("__tk")) - size(kept)).cast("long").as("n_removed"))
+  }
+
+  /** Corpus k-gram-key ARTIFACT for [[substringDedupIncremental]]:
+    * the distinct gram keys of the already-ingested corpus, with the
+    * build parameters travelling as constant columns (free under
+    * parquet RLE — the [[minhashArtifact]] convention) so a match run
+    * can verify compatibility instead of silently matching nothing.
+    * One row per distinct gram key: (gh, k, hash_family).
+    */
+  def substringArtifact(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, family: HashFamily = XxHash64Family): DataFrame = {
+    require(k >= 2 && k <= 64, "substring window k out of range")
+    positionedGramOcc(tokenizedDocs(corpus, idCol, textCol), k, family)
+      .select(col("gh")).distinct()
+      .withColumn("k", lit(k))
+      .withColumn("hash_family", lit(family.tag))
+  }
+
+  /** Incremental [[substringDedup]] — the continuous-crawl shape: a
+    * new shard is cleaned (a) against the whole ingested corpus via
+    * its [[substringArtifact]] WITHOUT rescanning corpus text, and
+    * (b) within itself with the keep-first rule. A shard window is
+    * removed when its gram key is in the artifact (the corpus already
+    * carries that content — the corpus always wins) or when an earlier
+    * shard occurrence exists. Equivalent to batch [[substringDedup]]
+    * over corpus-then-shard whenever every corpus id orders before
+    * every shard id (spec-pinned).
+    *
+    * Scale shape: the artifact join is a semi-join on 8-byte gram keys
+    * (shard-side occurrences × distinct corpus grams — never corpus
+    * text); everything else is the batch op's bounded pipeline.
+    *
+    * @note pass a MATERIALIZED artifact (loaded from storage /
+    *       persisted): the parameter check is an eager head(1), so an
+    *       unmaterialized artifact plan would execute twice — the
+    *       [[incrementalNearDupMatches]] contract.
+    */
+  def substringDedupIncremental(shard: DataFrame, idCol: String, textCol: String,
+      artifact: DataFrame, k: Int,
+      family: HashFamily = XxHash64Family): DataFrame = {
+    require(k >= 2 && k <= 64, "substring window k out of range")
+    artifact.select(col("k"), col("hash_family")).head(1).foreach { r =>
+      require(r.getInt(0) == k && r.getString(1) == family.tag,
+        s"substring artifact was built with (k=${r.getInt(0)}, " +
+          s"family=${r.getString(1)}) but match was called with " +
+          s"(k=$k, family=${family.tag}) — different hash families never collide")
+    }
+    val docs = tokenizedDocs(shard, idCol, textCol)
+    val occ = positionedGramOcc(docs, k, family)
+    val corpusHit = occ.join(artifact.select(col("gh")), Seq("gh"), "left_semi")
+      .select(col("id"), col("p"))
+    val marked = corpusHit.unionByName(nonFirstOccurrences(occ)).distinct()
+    coverAndRewrite(docs, marked, k)
   }
 
   /** [[paragraphDedup]] for a STREAMING corpus: of all arrivals of an

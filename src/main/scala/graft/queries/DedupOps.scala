@@ -721,10 +721,88 @@ object DedupOps {
       |  md5(coalesce(j.kept, '')) AS kept_fp
       |FROM docs d LEFT JOIN j USING (doc_id)""".stripMargin
 
+  // Incremental substring dedup — the continuous-crawl shape: the src0
+  // shard is cleaned against the rest-of-corpus gram ARTIFACT (corpus
+  // text never rescanned) plus within-shard keep-first. The licence
+  // header is seeded into every 7th corpus doc and every 5th shard doc
+  // identically on both sides, so the gate exercises the corpus-wins
+  // rule (shard headers vanish even where the shard saw them first)
+  // AND the within-shard rank.
+  private val substringIncremental: Q = (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    def seeded(df: org.apache.spark.sql.DataFrame, every: Int) =
+      df.withColumn("text",
+        when(pmod(col("doc_id"), lit(every)) === 0,
+          concat(lit(substringSeed + " "), col("text")))
+          .otherwise(col("text")))
+    val corpus = seeded(docs.filter(col("source") =!= "src0"), 7)
+    val shard = seeded(docs.filter(col("source") === "src0"), 5)
+    val art = Dedup.substringArtifact(corpus, "doc_id", "text", k = 8,
+      family = Md5Family)
+    Dedup.substringDedupIncremental(shard, "doc_id", "text", art, k = 8,
+        family = Md5Family)
+      .select(col("id").as("doc_id"), col("n_toks"), col("n_removed"),
+        md5(col("kept_text")).as("kept_fp"))
+  }
+  private val substringIncrementalSql =
+    s"""WITH corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '$substringSeed ' || text
+      |         ELSE text END AS text
+      |  FROM documents WHERE source <> 'src0'),
+      |shard AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN '$substringSeed ' || text
+      |         ELSE text END AS text
+      |  FROM documents WHERE source = 'src0'),
+      |cdocs AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+      |  FROM corpus WHERE text IS NOT NULL),
+      |cart AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5('0:' || array_to_string(tk[r.i+1 : r.i+8], ' ')), 1, 15))::BIGINT AS gh
+      |  FROM cdocs, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+      |docs AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+      |  FROM shard WHERE text IS NOT NULL),
+      |occ AS (
+      |  SELECT doc_id, CAST(r.i AS INT) AS p,
+      |    ('0x' || substr(md5('0:' || array_to_string(tk[r.i+1 : r.i+8], ' ')), 1, 15))::BIGINT AS gh
+      |  FROM docs, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+      |mk AS (
+      |  SELECT doc_id, p FROM occ SEMI JOIN cart USING (gh)
+      |  UNION
+      |  SELECT doc_id, p FROM (
+      |    SELECT doc_id, p,
+      |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+      |    FROM occ) WHERE rn > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p + r.j AS q
+      |  FROM mk, unnest(range(0, 8)) AS r(j)),
+      |ts AS (
+      |  SELECT doc_id, t.q AS q, tk[CAST(t.q AS INT) + 1] AS tok
+      |  FROM docs, unnest(range(0, len(tk))) AS t(q)),
+      |kt AS (
+      |  SELECT ts.doc_id, ts.q, ts.tok
+      |  FROM ts LEFT JOIN cov c ON c.doc_id = ts.doc_id AND c.q = ts.q
+      |  WHERE c.doc_id IS NULL),
+      |j AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY q) AS kept
+      |  FROM kt GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(d.tk) AS BIGINT) AS n_toks,
+      |  CAST(len(d.tk) - coalesce(j.n_kept, 0) AS BIGINT) AS n_removed,
+      |  md5(coalesce(j.kept, '')) AS kept_fp
+      |FROM docs d LEFT JOIN j USING (doc_id)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("dedup_exact", exact, Some(exactSql)),
     Entry("dedup_span_removal", spans, Some(spansSql)),
     Entry("dedup_substring_keepfirst", substringKeepFirst, Some(substringKeepFirstSql)),
+    Entry("dedup_substring_incremental", substringIncremental, Some(substringIncrementalSql)),
     Entry("dedup_incremental", incremental, Some(incrementalSql)),
     Entry("dedup_incremental_neardup", incrementalNear, Some(incrementalNearSql)),
     Entry("dedup_ngram_jaccard", jaccard, Some(jaccardSql)),

@@ -1434,6 +1434,38 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == (("", 0L, 0L)))
   }
 
+  test("substringDedupIncremental == batch when corpus ids order first") {
+    val corpus = Seq(
+      (1L, "common licence header tokens one two three four tail alpha"),
+      (2L, "unrelated corpus prose with its own words entirely")
+    ).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "front matter common licence header tokens one two three four tail rest"),
+      (11L, "fresh shard run only here five six seven eight nine ten"),
+      (12L, "fresh shard run only here five six seven eight nine ten") // dup of 11 within shard
+    ).toDF("doc_id", "text")
+    val art = Dedup.substringArtifact(corpus, "doc_id", "text", k = 6)
+      .persist()
+    val inc = Dedup.substringDedupIncremental(shard, "doc_id", "text", art, k = 6)
+      .orderBy("id").collect().toSeq
+    // batch over corpus-then-shard, restricted to shard ids
+    val batch = Dedup.substringDedup(corpus.unionByName(shard),
+        "doc_id", "text", k = 6)
+      .filter(col("id") >= 10L).orderBy("id").collect().toSeq
+    art.unpersist()
+    assert(inc == batch)
+    val m = inc.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // corpus-carried run stripped from doc 10, unique rim kept
+    assert(m(10L)._1.startsWith("front matter") && m(10L)._2 > 0)
+    // within-shard keep-first: 11 keeps, 12 loses everything
+    assert(m(11L)._2 == 0L && m(12L)._1 == "")
+    // parameter mismatch fails loudly, never silently matches nothing
+    intercept[IllegalArgumentException] {
+      Dedup.substringDedupIncremental(shard, "doc_id", "text",
+        Dedup.substringArtifact(corpus, "doc_id", "text", k = 6), k = 7)
+    }
+  }
+
   test("substringDedup is hash-family invariant on collision-free corpora") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine"),
