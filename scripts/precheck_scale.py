@@ -44,6 +44,13 @@ def check_one(sfdir, outdir, name, sql, q):
     # DuckDB's allocator kills the worker mid-query.
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     con.execute("SET max_temp_directory_size='40GiB'")
+    # Bound each worker's memory (sharded runs put several DuckDB
+    # processes on one box; the default 80%-of-RAM limit per process
+    # invites the OS OOM killer — the worker then "crashes" without
+    # ever reaching its own spill path).
+    con.execute("SET memory_limit='"
+                + __import__("os").environ.get("PRECHECK_DUCKDB_MEM", "14GiB")
+                + "'")
     for t in TABLES:
         path = Path(f"{sfdir}/{t}.parquet")
         src = f"{path}/*.parquet" if path.is_dir() else str(path)
