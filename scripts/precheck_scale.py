@@ -37,12 +37,18 @@ def canon(df):
 
 def check_one(sfdir, outdir, name, sql, q):
     import duckdb
+    import os
+    import shutil
     con = duckdb.connect()
     # Let big oracles spill instead of dying: at 100x data a handful of
     # sketch-pipeline replays (the minhash oracle's per-seed min over
     # ~100M gram rows x 32 seeds) exceed RAM; without a temp directory
-    # DuckDB's allocator kills the worker mid-query.
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # DuckDB's allocator kills the worker mid-query. The directory must
+    # be per-worker unique: DuckDB temp file names (duckdb_temp_storage-N
+    # .tmp) are not process-unique, so the sharded run's concurrent
+    # workers would clobber each other's spill blocks in a shared dir.
+    spill = f"/tmp/duckdb_spill_{os.getpid()}"
+    con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET max_temp_directory_size='40GiB'")
     # Bound each worker's memory (sharded runs put several DuckDB
     # processes on one box; the default 80%-of-RAM limit per process
@@ -55,26 +61,30 @@ def check_one(sfdir, outdir, name, sql, q):
         path = Path(f"{sfdir}/{t}.parquet")
         src = f"{path}/*.parquet" if path.is_dir() else str(path)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
-    pdir = Path(outdir) / name
-    if not pdir.exists():
-        q.put(("MISSING", "no spark output"))
-        return
     try:
-        spark_df = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").df()
-        duck_df = con.execute(sql).df()
-    except Exception as e:
-        q.put(("ERROR", str(e)[:200]))
-        return
-    a, b = canon(spark_df), canon(duck_df)
-    if list(a.columns) != list(b.columns):
-        q.put(("SCHEMA", f"spark={list(a.columns)} duck={list(b.columns)}"))
-    elif len(a) != len(b):
-        q.put(("ROWS", f"spark={len(a)} duck={len(b)}"))
-    elif not a.equals(b):
-        neq = (a != b).any(axis=1)
-        q.put(("VALUES", f"{int(neq.sum())}/{len(a)} rows differ"))
-    else:
-        q.put(("OK", f"{len(a)} rows"))
+        pdir = Path(outdir) / name
+        if not pdir.exists():
+            q.put(("MISSING", "no spark output"))
+            return
+        try:
+            spark_df = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").df()
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            q.put(("ERROR", str(e)[:200]))
+            return
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            q.put(("SCHEMA", f"spark={list(a.columns)} duck={list(b.columns)}"))
+        elif len(a) != len(b):
+            q.put(("ROWS", f"spark={len(a)} duck={len(b)}"))
+        elif not a.equals(b):
+            neq = (a != b).any(axis=1)
+            q.put(("VALUES", f"{int(neq.sum())}/{len(a)} rows differ"))
+        else:
+            q.put(("OK", f"{len(a)} rows"))
+    finally:
+        con.close()
+        shutil.rmtree(spill, ignore_errors=True)
 
 
 def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
@@ -103,12 +113,16 @@ def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
         # an ORACLE-RESOURCE failure, counted with the timeouts, not a
         # value mismatch. An explicit ("ERROR", ...) from check_one (a
         # broken oracle SQL) stays BAD — that is a builder bug.
-        if q.empty():
+        # q.empty() immediately after join() is documented-unreliable
+        # (the feeder thread may not have flushed); a blocking get with
+        # a grace timeout never drops a verdict the worker DID put.
+        try:
+            status, detail = q.get(timeout=5)
+        except Exception:
             print(f"ORACLE-DIED {name} (oracle worker crashed, resources) "
                   f"[{time.time() - t0:.0f}s]", flush=True)
             counts["TIMEOUT"] += 1
             continue
-        status, detail = q.get()
         dt = time.time() - t0
         print(f"{status:8} {name} ({detail}) [{dt:.0f}s]", flush=True)
         if status == "OK":

@@ -1266,7 +1266,18 @@ object Dedup {
       artifact: DataFrame, k: Int,
       family: HashFamily = XxHash64Family): DataFrame = {
     require(k >= 2 && k <= 64, "substring window k out of range")
-    artifact.select(col("k"), col("hash_family")).head(1).foreach { r =>
+    // distinct() rather than head(1): an artifact accidentally built as
+    // a UNION of mixed-(k, family) builds would pass a first-row check
+    // and then silently never collide on the other build's rows — the
+    // constant-column convention the artifact pays for exists exactly
+    // so this aggregate stays one row. Still an eager action: pass a
+    // MATERIALIZED artifact (the class contract above).
+    val params = artifact.select(col("k"), col("hash_family")).distinct().collect()
+    require(params.length == 1,
+      s"substring artifact carries ${params.length} distinct (k, hash_family) " +
+        "parameter rows — it was built as a union of incompatible builds; " +
+        "grams from different parameterizations never collide")
+    params.foreach { r =>
       require(r.getInt(0) == k && r.getString(1) == family.tag,
         s"substring artifact was built with (k=${r.getInt(0)}, " +
           s"family=${r.getString(1)}) but match was called with " +
@@ -1442,15 +1453,24 @@ object Dedup {
     val famCol =
       if (artifact.columns.contains("hash_family")) col("hash_family")
       else lit(XxHash64Family.tag)
-    artifact.select(col("n"), col("num_hashes"), col("bands"), famCol.as("hash_family"))
-      .head(1).foreach { r =>
-        require(r.getInt(0) == n && r.getInt(1) == numHashes && r.getInt(2) == bands &&
-            r.getString(3) == family.tag,
-          s"artifact was built with (n=${r.getInt(0)}, numHashes=${r.getInt(1)}, " +
-            s"bands=${r.getInt(2)}, family=${r.getString(3)}) but match was called " +
-            s"with (n=$n, numHashes=$numHashes, bands=$bands, family=${family.tag}) " +
-            "— different hash families never collide")
-      }
+    // distinct() rather than head(1): a mixed-parameter union artifact
+    // must fail loudly, not pass on its first row (see
+    // substringDedupIncremental for the full rationale).
+    val params = artifact
+      .select(col("n"), col("num_hashes"), col("bands"), famCol.as("hash_family"))
+      .distinct().collect()
+    require(params.length == 1,
+      s"minhash artifact carries ${params.length} distinct (n, numHashes, bands, " +
+        "hash_family) parameter rows — it was built as a union of incompatible " +
+        "builds; signatures from different parameterizations never collide")
+    params.foreach { r =>
+      require(r.getInt(0) == n && r.getInt(1) == numHashes && r.getInt(2) == bands &&
+          r.getString(3) == family.tag,
+        s"artifact was built with (n=${r.getInt(0)}, numHashes=${r.getInt(1)}, " +
+          s"bands=${r.getInt(2)}, family=${r.getString(3)}) but match was called " +
+          s"with (n=$n, numHashes=$numHashes, bands=$bands, family=${family.tag}) " +
+          "— different hash families never collide")
+    }
     val rows = numHashes / bands
     val sig = minhashSignatures(shingleRows(shard, idCol, textCol, n), numHashes, family)
     val banded = sig.select(col("id").as("shard_id"), col("sig").as("__ssig"),

@@ -15,6 +15,28 @@ import graft.functions.GraftExtensions.{lower_root => lowerRoot}
 object DedupOps {
   import Catalog.{Entry, Q}
 
+  /** Seeds re-keyed marker NEAR-duplicates (every 5th doc, suffix-
+    * mutated, shifted by 10M) — the non-vacuity device the jaccard and
+    * minhash gates share. The shift must clear every real doc_id: a
+    * collision would silently MERGE two documents' gram sets, and
+    * differently in Spark (global (id, gram) dedup) than in the
+    * per-row oracle SQL. Nothing upstream pins the generator's id
+    * range, so the gate asserts it LOUDLY here instead of drifting:
+    * if the corpus ever outgrows the constant, the query throws and
+    * the gate goes red rather than quietly changing pair semantics.
+    */
+  private def seedMarkerDups(src: org.apache.spark.sql.DataFrame) = {
+    val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 10000000L,
+      s"marker-dup re-key offset 10000000 no longer clears the corpus id " +
+        s"range (max doc_id = $maxId) — seeded ids would collide with real " +
+        "documents and silently change the gate's pair semantics")
+    src.unionByName(
+      src.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
+  }
+
   private val exact: Q = (s, dir) =>
     Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
   private val exactSql =
@@ -36,10 +58,7 @@ object DedupOps {
   // globally, than in the per-row oracle SQL).
   private val jaccard: Q = (s, dir) => {
     val src0 = Tables.load(s, dir, "documents").filter(col("source") === "src0")
-    val seeded = src0.unionByName(
-      src0.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .withColumn("doc_id", col("doc_id") + lit(10000000L))
-        .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
+    val seeded = seedMarkerDups(src0)
     Dedup.ngramJaccardCountPairs(seeded, "doc_id", "text", n = 3, threshold = 0.05)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -272,10 +291,7 @@ object DedupOps {
   // planted J ≈ 0.9 clusters still collide with P ≈ 0.9998.
   private val minhash: Q = (s, dir) => {
     val src = Tables.load(s, dir, "documents")
-    val seeded = src.unionByName(
-      src.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .withColumn("doc_id", col("doc_id") + lit(10000000L))
-        .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
+    val seeded = seedMarkerDups(src)
     Dedup.minhashLshPairs(seeded,
       "doc_id", "text", n = 3, numHashes = 32, bands = 8, threshold = 0.5,
       family = Md5Mix32Family)
