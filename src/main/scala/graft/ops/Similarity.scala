@@ -742,6 +742,32 @@ object Similarity {
       }
     }
 
+  /** Engine-PORTABLE plane tensor — the [[graft.ops.Md5Family]] stance
+    * applied to hyperplanes: plane(t)(b)(d) is derived from
+    * md5("lshp:t:b:d") so ANY engine with an md5 can regenerate the
+    * tensor bit-identically and replay the whole bucket pipeline in
+    * SQL (the `dedup_embedding_lsh_planned` oracle does exactly that;
+    * splitmix64's wrapping 64-bit multiplies are not expressible in
+    * engines whose integer ops trap on overflow). Exactness argument:
+    * the 13-hex (52-bit) prefix h is exactly representable in a
+    * double, h − 2^51 is exact (magnitude < 2^52), and dividing by
+    * 2^51 is a power-of-two scale — so every plane value, hence every
+    * left-to-right dot sum, is bit-identical across IEEE-754 engines.
+    * Production callers keep [[lshPlanes]] (cheaper, wider state).
+    */
+  def lshPlanesPortable(dim: Int, bits: Int, tables: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits) { (t, b) =>
+      Array.tabulate(dim) { d =>
+        md.reset()
+        val hex = md.digest(s"lshp:$t:$b:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+        (h.toDouble - 2251799813685248.0) / 2251799813685248.0 // 2^51
+      }
+    }
+  }
+
   /** Packed sign-bit bucket for one table's planes: `bits` native dots. */
   def lshBucketFor(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>

@@ -232,27 +232,89 @@ object SimilarityOps {
   // point of planSignBits, and the thing a fixed-parameter harness
   // entry cannot demonstrate.
   //
-  // Random-hyperplane buckets (seeded, deterministic) are not
-  // SQL-expressible, so there is no DuckDB oracle: the gate is a
-  // committed golden hash (GoldenFixtureSpec) plus the recall spec in
-  // OpsSpec — same stance as text_bpe/text_unigram.
+  // The gate runs the md5-PORTABLE plane family (lshPlanesPortable —
+  // every plane value and hence every left-to-right dot sum is
+  // bit-identical across IEEE engines), so the ENTIRE pipeline —
+  // planSignBits shape arithmetic, plane tensor, sign buckets, cap,
+  // candidate join, cosine verify — replays in DuckDB and the row is
+  // hash-checked like any other. The splitmix production default
+  // (lshPlanes — wrapping 64-bit multiplies, inexpressible in engines
+  // whose integer ops trap on overflow) keeps its recall spec in
+  // OpsSpec; this is the Md5Family-for-gates stance the minhash and
+  // simhash entries already take.
   // maxCandidates = 100 M planned pair rows (~4 GB of id-pair shuffle):
   // without it the recall-first plan at 200 k vectors / t=0.4 asks for
   // 6 bits × 36 tables = ~11 B candidate rows — the r9 sf10 warmup
   // measured that as a disk-filling job. The budget trades recall AT
   // the 0.4 margin (reported honestly by the planner); the ~1.0-cosine
   // within-cohort duplicates the rehearsal plants still collide with
-  // near-certainty. Never bites at the oracle gates (≤ ~200 k planned
-  // rows there), so the golden hash is budget-invariant.
+  // near-certainty.
   private val nearDupLshPlanned: Q = (s, dir) => {
     val emb = Tables.load(s, dir, "embeddings")
     val plan = Similarity.planSignBits(
       math.max(emb.count(), 2L), threshold = 0.4,
       maxCandidates = 100000000L)
-    Similarity.embeddingNearDupLsh(emb, "vec_id", "embedding",
-      threshold = 0.4, bits = plan.bits, tables = plan.tables)
+    val planes = Similarity.lshPlanesPortable(64, plan.bits, plan.tables)
+    Similarity.embeddingNearDupBucketedArray(emb, "vec_id", "embedding",
+      threshold = 0.4,
+      v => graft.functions.GraftExtensions.lsh_sign_buckets(v, planes))
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 5).as("cos_sim"))
   }
+
+  // The oracle replays the planner in SQL (bits = first b ≥
+  // ceil(log2(n/4096)) whose candidate volume fits the 100 M budget;
+  // tables from the Goemans–Williamson collision bound, capped at 64)
+  // and regenerates the md5 plane tensor inline. list_reduce keeps the
+  // dot's left-to-right order (a GROUP-BY SUM over doubles would not);
+  // the bucket pack itself is an exact integer sum, order-free. The
+  // ceil() calls sit far from integer boundaries at every tested n
+  // (2.31 at the gate), so libm ulp drift cannot flip the shape.
+  private val nearDupLshPlannedSql =
+    """WITH nn AS (SELECT CAST(greatest(count(*), 2) AS DOUBLE) AS n FROM embeddings),
+      |cand_b AS (
+      |  SELECT b, n,
+      |    CASE WHEN pow(1 - acos(0.4)/pi(), b) >= 1 - 1e-12 THEN 1
+      |         ELSE greatest(1, least(64,
+      |           CAST(ceil(ln(1 - 0.9) / ln(1 - pow(1 - acos(0.4)/pi(), b))) AS INT)))
+      |    END AS tbl
+      |  FROM (SELECT unnest(range(1, 31)) AS b), nn),
+      |b0 AS (SELECT greatest(1, least(30,
+      |         CAST(ceil(ln(n / 4096) / ln(2)) AS INT))) AS b0 FROM nn),
+      |shape AS (
+      |  SELECT coalesce(
+      |    (SELECT min(c.b) FROM cand_b c, b0
+      |     WHERE c.b >= b0.b0
+      |       AND c.tbl * c.n * (c.n / pow(2, c.b)) / 2 <= 100000000.0),
+      |    30) AS bits),
+      |tbls AS (SELECT c.tbl AS tables FROM cand_b c, shape WHERE c.b = shape.bits),
+      |pl AS (
+      |  SELECT t.t, bb.bb,
+      |    list_transform(range(0, 64), d ->
+      |      (('0x' || substr(md5('lshp:' || t.t || ':' || bb.bb || ':' || d), 1, 13))::BIGINT
+      |        - 2251799813685248.0) / 2251799813685248.0) AS pv
+      |  FROM (SELECT unnest(range(0, (SELECT tables FROM tbls))) AS t) t,
+      |       (SELECT unnest(range(0, (SELECT bits FROM shape))) AS bb) bb),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+      |bkt AS (
+      |  SELECT e.vec_id, pl.t,
+      |    SUM(CASE WHEN list_reduce(
+      |                    list_transform(range(1, 65), d -> e.v[d] * pl.pv[d]),
+      |                    (x, y) -> x + y) >= 0
+      |             THEN (CAST(1 AS BIGINT) << pl.bb) ELSE 0 END) AS bk
+      |  FROM e CROSS JOIN pl
+      |  GROUP BY e.vec_id, pl.t),
+      |ok AS (SELECT t, bk FROM bkt GROUP BY t, bk HAVING count(*) <= 4096),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM bkt x
+      |  JOIN bkt y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id
+      |  JOIN ok ON x.t = ok.t AND x.bk = ok.bk),
+      |out AS (
+      |  SELECT id_a, id_b, list_cosine_similarity(a.v, b2.v) AS cs
+      |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b2 ON b2.vec_id = id_b)
+      |SELECT id_a, id_b, round(cs, 5) AS cos_sim FROM out WHERE cs >= 0.4""".stripMargin
 
   private val bruteSql =
     """WITH q AS (
@@ -507,6 +569,6 @@ object SimilarityOps {
     Entry("ann_ivf_topk", ivf, Some(ivfSql)),
     Entry("dedup_embedding_exact", nearDupExact, Some(nearDupExactSql)),
     Entry("dedup_embedding_lsh", nearDupLsh, Some(nearDupLshSql)),
-    Entry("dedup_embedding_lsh_planned", nearDupLshPlanned, None),
+    Entry("dedup_embedding_lsh_planned", nearDupLshPlanned, Some(nearDupLshPlannedSql)),
   )
 }

@@ -62,10 +62,10 @@ class GoldenFixtureSpec extends SparkSpec {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     val out = SparkEntry.queries("dedup_embedding_lsh_planned")(spark, sfDir)
     val hash = canonicalMd5(out)
-    assert(hash == "d5ba1ff292436cd1e3c7cc6978d3f832",
-      s"dedup_embedding_lsh_planned values drifted (got $hash) — the planned " +
-        "shape uses seeded random hyperplanes (not SQL-expressible), so the " +
-        "driver gate only counts rows; a value regression surfaces HERE first")
+    assert(hash == "ff056065e7d253fa9956b58a6a666788",
+      s"dedup_embedding_lsh_planned values drifted (got $hash) — this entry " +
+        "is ALSO oracle-checked since the gate moved to the md5-portable " +
+        "plane family; the golden pin stays as a faster first tripwire")
   }
 
   test("text_compression_ratio buckets at sf0.01 match their committed golden hash") {
