@@ -25,7 +25,7 @@ object DedupOps {
     * if the corpus ever outgrows the constant, the query throws and
     * the gate goes red rather than quietly changing pair semantics.
     */
-  private def seedMarkerDups(src: org.apache.spark.sql.DataFrame) = {
+  private[queries] def seedMarkerDups(src: org.apache.spark.sql.DataFrame) = {
     val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
     require(maxId < 10000000L,
       s"marker-dup re-key offset 10000000 no longer clears the corpus id " +
@@ -261,14 +261,15 @@ object DedupOps {
 
   // The Md5Mix32Family constants, interpolated into the oracle SQL so
   // both engines run the SAME (a·x + b) mod p mixer — see HashFamily.
-  private def mixConstsCte(n: Int): String = {
+  // Shared with the pretrain-corpus capstone oracle (PipelineOps).
+  private[queries] def mixConstsCte(n: Int): String = {
     val as = (0 until n).map(Md5Mix32Family.a).mkString("[", ", ", "]")
     val bs = (0 until n).map(Md5Mix32Family.b).mkString("[", ", ", "]")
     s"""consts AS (SELECT unnest(range(0, $n)) AS seed,
        |  unnest($as) AS a,
        |  unnest($bs) AS b)""".stripMargin
   }
-  private val mixHash =
+  private[queries] val mixHash =
     s"(a * ('0x' || substr(md5(g), 1, 8))::BIGINT + b) % ${Md5Mix32Family.P}"
 
   // MinHash + LSH near-dup candidates, Jaccard-verified. The md5-mix

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Dedup
 import org.apache.spark.sql.functions._
 
 /** Composed end-to-end pipeline queries — the "whole workflow" proof
@@ -116,7 +117,193 @@ object PipelineOps {
        |WHERE epoch < fw OR md5(doc_id || ':' || epoch) < cut""".stripMargin
   }
 
+  // ---- pipeline_pretrain_corpus — the crawl-to-training-corpus
+  // CAPSTONE: every stage below is an individually oracle-checked gate
+  // entry; this query is their composition as ONE plan under ONE hash —
+  // the product a pretraining data team actually ships.
+  //
+  //   raw docs → seeded duplication (re-keyed ~J0.9 marker twins +
+  //   licence headers — each dedup stage must have real prey, the
+  //   non-vacuity stance every dedup gate takes)
+  //   → WARC response intake (byte-exact record walk, status + mime
+  //     gates, HTML strip, mojibake repair)      [pipeline_warc_intake]
+  //   → Gopher quality battery                   [text_gopher_rules]
+  //   → MinHash-LSH near-dup removal, keep-min-id [dedup_minhash_lsh]
+  //   → keep-first exact-substring dedup  [dedup_substring_keepfirst]
+  //   → token accounting + greedy sequence packing [text_pack_sequences]
+  //
+  // Stage ORDER is the scale design: intake and quality are scan-local
+  // codegen'd work that shrinks the corpus before the first shuffle;
+  // near-dup removal runs BEFORE substring dedup (substring stripping
+  // mutates twin texts and would destroy the J≥0.5 signal minhash
+  // hunts); packing's window runs over the smallest frame of all.
+  private val pretrainHdr =
+    "standard corpus licence header text repeated across every seventh document intake here"
+
+  private val pretrainT = graft.ops.GopherRules.Thresholds(
+    minWords = 15, maxWords = 105, minMeanWordLen = 2, maxMeanWordLen = 14,
+    minStopwords = 0)
+
+  private val pretrainCorpus: Q = (s, dir) => {
+    val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val seeded = DedupOps.seedMarkerDups(base)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(pretrainHdr + " "), col("text")))
+          .otherwise(col("text")))
+    val clean = WarcOps.intakeCleanDocs(seeded)
+    val q = clean.filter(
+      graft.ops.GopherRules.signals(col("clean"), pretrainT)("keep"))
+    val pairs = Dedup.minhashLshPairs(q, "doc_id", "clean",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.5,
+      family = graft.ops.Md5Mix32Family)
+    val kept = q.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val sub = Dedup.substringDedup(kept, "doc_id", "clean",
+      k = 8, family = graft.ops.Md5Family)
+    graft.ops.Packing.packSequences(
+      sub.select(col("id").as("doc_id"),
+        (col("n_toks") - col("n_removed")).as("n_final"),
+        md5(col("kept_text")).as("fp")),
+      "doc_id", "n_final", budget = 2000L, shards = 8)
+      .select(col("doc_id"), col("shard"), col("pack"),
+        col("n_final").as("n_toks"), col("fp"))
+  }
+
+  // The oracle is the stage-by-stage composition of the individual
+  // gates' proven CTEs, parameterized by the upstream CTE name. The
+  // intake stage replays as `text || suffix` (the pipeline_warc_intake
+  // oracle's device: expected output derives from doc attributes alone,
+  // so a single miscounted byte anywhere in the record walk breaks the
+  // hash of every downstream stage).
+  //
+  // `del AS MATERIALIZED` is load-bearing: inlined, DuckDB plans the
+  // whole minhash subtree inside the NOT-IN mark join and holds its
+  // intermediates concurrently with the substring stage — measured
+  // > 40 GiB unspillable peak at sf1 (the composed query OOMs where
+  // its two halves run fine split). Materialized, the same data point
+  // completes in 37 s under the precheck's default 14 GiB limit.
+  private val pretrainCorpusSql = {
+    val suffixCases = WarcOps.intakePhrases.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN ' ${p.replace("'", "''")}'" }
+      .mkString(" ")
+    s"""WITH raw0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text || ' graft dup marker' FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |hdr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN '$pretrainHdr ' || text
+       |         ELSE text END AS text
+       |  FROM raw0),
+       |clean AS (
+       |  SELECT doc_id,
+       |    text || (CASE doc_id % 4 $suffixCases ELSE ' plain' END) AS t
+       |  FROM hdr),
+       |q AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, t,
+       |      list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS ws,
+       |      CAST(coalesce(len(t) - len(replace(t, '#', '')), 0) AS BIGINT)
+       |        + CAST(coalesce((len(t) - len(replace(t, '...', ''))) / 3, 0) AS BIGINT)
+       |        AS symbol_hits
+       |    FROM clean) c
+       |  WHERE len(ws) BETWEEN ${pretrainT.minWords} AND ${pretrainT.maxWords}
+       |    AND len(ws) > 0
+       |    AND list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+       |          >= ${pretrainT.minMeanWordLen} * len(ws)
+       |    AND list_aggregate(list_transform(ws, w -> len(w)), 'sum')
+       |          <= ${pretrainT.maxMeanWordLen} * len(ws)
+       |    AND symbol_hits * ${pretrainT.maxSymbolWordRatio._2}
+       |          <= len(ws) * ${pretrainT.maxSymbolWordRatio._1}
+       |    AND len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+       |          * ${pretrainT.minAlphaWordFrac._2}
+       |          >= len(ws) * ${pretrainT.minAlphaWordFrac._1}),
+       |mdocs AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x <> '') AS toks
+       |  FROM q WHERE trim(t) <> ''),
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+       |  FROM mdocs WHERE len(toks) >= 3),
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+       |counts AS (SELECT doc_id, len(sh) AS n_sh FROM shl),
+       |${DedupOps.mixConstsCte(32)},
+       |minh AS (
+       |  SELECT doc_id, seed, min(${DedupOps.mixHash}) AS v
+       |  FROM ex CROSS JOIN consts
+       |  GROUP BY doc_id, seed),
+       |sig AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM minh GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b,
+       |    ('0x' || substr(md5(b || ':' ||
+       |       array_to_string(sig[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs),
+       |ok_buckets AS (
+       |  SELECT b, bh FROM banded GROUP BY b, bh
+       |  HAVING count(*) BETWEEN 2 AND 1024),
+       |mcand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x
+       |  JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |  JOIN ok_buckets o ON x.b = o.b AND x.bh = o.bh),
+       |mcommon AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM mcand c
+       |  JOIN ex x ON x.doc_id = c.id_a
+       |  JOIN ex y ON y.doc_id = c.id_b AND y.g = x.g
+       |  GROUP BY 1, 2),
+       |del AS MATERIALIZED (
+       |  SELECT DISTINCT id_b FROM mcommon
+       |  JOIN counts a ON id_a = a.doc_id
+       |  JOIN counts b ON id_b = b.doc_id
+       |  WHERE CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) >= 0.5),
+       |kept2 AS (
+       |  SELECT doc_id, t FROM q WHERE doc_id NOT IN (SELECT id_b FROM del)),
+       |sdocs AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x <> '') AS tk
+       |  FROM kept2),
+       |socc AS (
+       |  SELECT doc_id, CAST(r.i AS INT) AS p,
+       |    ('0x' || substr(md5('0:' || array_to_string(tk[r.i+1 : r.i+8], ' ')), 1, 15))::BIGINT AS gh
+       |  FROM sdocs, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+       |smk AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p,
+       |      row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+       |    FROM socc) WHERE rn > 1),
+       |scov AS (
+       |  SELECT DISTINCT doc_id, p + r.j AS cq
+       |  FROM smk, unnest(range(0, 8)) AS r(j)),
+       |sts AS (
+       |  SELECT doc_id, tq.cq AS cq, tk[CAST(tq.cq AS INT) + 1] AS tok
+       |  FROM sdocs, unnest(range(0, len(tk))) AS tq(cq)),
+       |skt AS (
+       |  SELECT sts.doc_id, sts.cq, sts.tok
+       |  FROM sts LEFT JOIN scov c ON c.doc_id = sts.doc_id AND c.cq = sts.cq
+       |  WHERE c.doc_id IS NULL),
+       |sj AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY cq) AS kept
+       |  FROM skt GROUP BY doc_id),
+       |manifest AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(sj.n_kept, 0) AS BIGINT) AS n_final,
+       |    md5(coalesce(sj.kept, '')) AS fp
+       |  FROM sdocs d LEFT JOIN sj USING (doc_id))
+       |SELECT doc_id, doc_id % 8 AS shard,
+       |  CAST(floor(coalesce(
+       |    sum(n_final) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) / 2000) AS BIGINT) AS pack,
+       |  n_final AS n_toks, fp
+       |FROM manifest""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("pipeline_corpus_prep", corpusPrep, Some(corpusPrepSql)),
-    Entry("pipeline_curriculum_mix", curriculumMix, Some(curriculumMixSql)))
+    Entry("pipeline_curriculum_mix", curriculumMix, Some(curriculumMixSql)),
+    Entry("pipeline_pretrain_corpus", pretrainCorpus, Some(pretrainCorpusSql)))
 }

@@ -58,8 +58,10 @@ object WarcOps {
   /** Mojibake suffixes for the intake pipeline, keyed by doc_id % 4
     * (branch 3 stays clean). Every char's UTF-8 byte image avoids the
     * five cp1252-undefined bytes, so the corruption is invertible.
+    * Shared with the pretrain-corpus capstone, whose oracle replays
+    * the same suffix CASE.
     */
-  private val intakePhrases = Seq("café", "Grüße", "€9 “ok„")
+  private[queries] val intakePhrases = Seq("café", "Grüße", "€9 “ok„")
 
   // ---- pipeline_warc_intake: the raw-crawl intake pipeline under ONE
   // hash — response records parse out of shard blobs, the HTTP message
@@ -67,9 +69,21 @@ object WarcOps {
   // text through every stripper trap, and the cp1252 mojibake repairs.
   // Non-ASCII suffixes make the WARC Content-Length differ from the
   // char count, so byte-exact record walking is load-bearing here too.
-  private val intake: Q = (s, dir) => {
+  private val intake: Q = (s, dir) =>
+    intakeResponses(Tables.load(s, dir, "documents"))
+      .select(col("target_uri"),
+        Mojibake.fixMojibake(
+          Html.extractText(col("body").cast("string"))).as("clean"))
+
+  /** The raw-crawl intake stage over an arbitrary (doc_id, text) frame
+    * — synthesizes the per-doc WARC response records, walks them back
+    * out byte-exactly, and applies the status + mime gates. Reused by
+    * the pretrain-corpus capstone so the intake semantics are defined
+    * ONCE.
+    */
+  private[queries] def intakeResponses(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cp1252 = Charset.forName("windows-1252")
-    val docs = Tables.load(s, dir, "documents")
     val g = pmod(col("doc_id"), lit(4))
     val suffix = intakePhrases.zipWithIndex.foldLeft(lit(" plain")) {
       case (acc, (p, i)) =>
@@ -90,12 +104,20 @@ object WarcOps {
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
       lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
       octet_length(http).cast("string"), lit("\r\n\r\n"), http, lit("\r\n\r\n"))
-    val responses = Warc.httpResponses(shardBlobs(docs, rec), "g", "blob")
+    Warc.httpResponses(shardBlobs(docs, rec), "g", "blob")
+      .toDF()
       .filter(col("http_status") === 200 && col("mime") === "text/html")
-    responses.select(col("target_uri"),
+  }
+
+  /** [[intakeResponses]] keyed back to doc_id with the stripped +
+    * repaired text — the composed-pipeline entry point: (doc_id, clean).
+    */
+  private[queries] def intakeCleanDocs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    intakeResponses(docs).select(
+      element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
       Mojibake.fixMojibake(
         Html.extractText(col("body").cast("string"))).as("clean"))
-  }
   private val intakeSql = {
     val cases = intakePhrases.zipWithIndex
       .map { case (p, i) => s"WHEN $i THEN ' ${p.replace("'", "''")}'" }

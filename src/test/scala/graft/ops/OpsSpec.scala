@@ -1485,4 +1485,41 @@ class OpsSpec extends SparkSpec {
     assert(m(2L) == "zero ten")
     assert(m(3L) == "ten nine eight seven six five four three two one")
   }
+
+  test("substringDedup at the published k=50 over long documents") {
+    // Lee et al. (2022) run exact-substring dedup at 50-token windows;
+    // the gate uses a small k for oracle tractability, so the window
+    // math (p .. p+k-1 coverage), the per-doc marked-position list at
+    // its largest realistic size, and the k-boundary edges are pinned
+    // HERE at the published parameterization.
+    def w(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val run = w("r", 120)     // the shared 120-token run (> 2k)
+    val selfRun = w("s", 120) // docD's OWN run (disjoint from `run`)
+    val runHead49 = run.take(49) // one token short of a window
+    val docA = w("a", 30) ++ run ++ w("z", 30)         // first carrier
+    val docB = w("b", 40) ++ run ++ w("y", 40)         // full run dup
+    val docC = w("c", 25) ++ runHead49 ++ w("x", 25)   // sub-window overlap
+    val docD = selfRun ++ selfRun ++ selfRun           // 3 copies in ONE doc
+    val docs = Seq(
+      (1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+      (3L, docC.mkString(" ")), (4L, docD.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", k = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 holds every run window's first occurrence — fully kept
+    assert(out(1L) == ((docA.mkString(" "), 180L, 0L)))
+    // doc 2: duplicated windows start at positions 40..110 (71 marks);
+    // their union covers exactly the 120 run tokens — both rims survive
+    assert(out(2L) == (((w("b", 40) ++ w("y", 40)).mkString(" "), 200L, 120L)))
+    // doc 3: 49 shared tokens never form a 50-window — untouched
+    assert(out(3L) == ((docC.mkString(" "), 99L, 0L)))
+    // doc 4: its own run is period-120 cyclic, so window p equals
+    // window p' iff p ≡ p' (mod 120); first occurrences are p=0..119,
+    // every p in 120..310 is marked (191 marks — the largest per-doc
+    // marked-position list in the suite) → tokens 120..359 covered →
+    // exactly the first copy survives.
+    assert(out(4L) == ((selfRun.mkString(" "), 360L, 240L)))
+  }
 }
