@@ -49,7 +49,12 @@ def check_one(sfdir, outdir, name, sql, q):
     # workers would clobber each other's spill blocks in a shared dir.
     spill = f"/tmp/duckdb_spill_{os.getpid()}"
     con.execute(f"SET temp_directory='{spill}'")
-    con.execute("SET max_temp_directory_size='40GiB'")
+    # Per-worker spill budget is env-tunable: N concurrent shard workers
+    # each claim this much of the SAME disk, so the product must stay
+    # under the box's free space (3 x 40GiB on a 38GiB-free disk filled
+    # it mid-oracle at the sf10 rehearsal).
+    con.execute("SET max_temp_directory_size='"
+                + os.environ.get("PRECHECK_DUCKDB_TMP", "40GiB") + "'")
     # Bound each worker's memory (sharded runs put several DuckDB
     # processes on one box; the default 80%-of-RAM limit per process
     # invites the OS OOM killer — the worker then "crashes" without
@@ -70,7 +75,17 @@ def check_one(sfdir, outdir, name, sql, q):
             spark_df = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").df()
             duck_df = con.execute(sql).df()
         except Exception as e:
-            q.put(("ERROR", str(e)[:200]))
+            msg = str(e)
+            # Resource exhaustion INSIDE the oracle engine (its own
+            # memory limit, or the spill disk filling) is the same
+            # evidence class as an OOM-killed worker: the oracle cannot
+            # testify either way — counted with the timeouts. Genuinely
+            # broken oracle SQL stays ERROR/BAD: a builder bug.
+            if ("Out of Memory" in msg or "No space left" in msg
+                    or "max_temp_directory_size" in msg):
+                q.put(("RESOURCE", msg[:200]))
+            else:
+                q.put(("ERROR", msg[:200]))
             return
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
@@ -127,6 +142,8 @@ def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
         print(f"{status:8} {name} ({detail}) [{dt:.0f}s]", flush=True)
         if status == "OK":
             counts["OK"] += 1
+        elif status == "RESOURCE":
+            counts["TIMEOUT"] += 1
         else:
             counts["BAD"] += 1
     print(f"\n{counts['OK']} ok, {counts['BAD']} bad, "
