@@ -51,10 +51,12 @@ def check_one(sfdir, outdir, name, sql, q):
     con.execute(f"SET temp_directory='{spill}'")
     # Per-worker spill budget is env-tunable: N concurrent shard workers
     # each claim this much of the SAME disk, so the product must stay
-    # under the box's free space (3 x 40GiB on a 38GiB-free disk filled
-    # it mid-oracle at the sf10 rehearsal).
+    # under the box's free space (2 x 40GiB on a 38GiB-free disk filled
+    # it mid-oracle at the r10 sf10 rehearsal — the default now fits a
+    # single worker on that measured floor; sharded callers MUST set it
+    # to free_disk / shard_count themselves).
     con.execute("SET max_temp_directory_size='"
-                + os.environ.get("PRECHECK_DUCKDB_TMP", "40GiB") + "'")
+                + os.environ.get("PRECHECK_DUCKDB_TMP", "16GiB") + "'")
     # Bound each worker's memory (sharded runs put several DuckDB
     # processes on one box; the default 80%-of-RAM limit per process
     # invites the OS OOM killer — the worker then "crashes" without
@@ -103,6 +105,7 @@ def check_one(sfdir, outdir, name, sql, q):
 
 
 def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
+    import shutil
     # Spot-check dumps write the suffixed oracle file (see Verify);
     # prefer it when present so a filtered scale dump self-describes.
     spot = Path(f"{outdir}/oracle_sql.spotcheck.json")
@@ -120,6 +123,12 @@ def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
         if p.is_alive():
             p.terminate()
             p.join()
+            # SIGTERM skips the worker's finally-block, so the spill dir
+            # survives exactly on the paths where it is LARGEST (the r10
+            # sf10 rehearsal left a 34 GiB /tmp/duckdb_spill_<pid> behind
+            # a timed-out worker and starved every later shard). The
+            # parent reconstructs the path from the pid it just killed.
+            shutil.rmtree(f"/tmp/duckdb_spill_{p.pid}", ignore_errors=True)
             print(f"TIMEOUT  {name} (oracle exceeded {timeout}s)", flush=True)
             counts["TIMEOUT"] += 1
             continue
@@ -134,6 +143,9 @@ def main(sfdir, outdir, timeout=900, shard_idx=0, shard_count=1):
         try:
             status, detail = q.get(timeout=5)
         except Exception:
+            # OS OOM-kill also skips the worker's finally-block cleanup
+            # (same leak class as the terminate() path above).
+            shutil.rmtree(f"/tmp/duckdb_spill_{p.pid}", ignore_errors=True)
             print(f"ORACLE-DIED {name} (oracle worker crashed, resources) "
                   f"[{time.time() - t0:.0f}s]", flush=True)
             counts["TIMEOUT"] += 1

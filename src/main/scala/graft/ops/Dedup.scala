@@ -1258,8 +1258,9 @@ object Dedup {
     * text); everything else is the batch op's bounded pipeline.
     *
     * @note pass a MATERIALIZED artifact (loaded from storage /
-    *       persisted): the parameter check is an eager head(1), so an
-    *       unmaterialized artifact plan would execute twice — the
+    *       persisted): the parameter check is an eager distinct-collect
+    *       over the artifact's constant columns, so an unmaterialized
+    *       artifact plan would execute twice — the
     *       [[incrementalNearDupMatches]] contract.
     */
   def substringDedupIncremental(shard: DataFrame, idCol: String, textCol: String,
@@ -1272,8 +1273,14 @@ object Dedup {
     // constant-column convention the artifact pays for exists exactly
     // so this aggregate stays one row. Still an eager action: pass a
     // MATERIALIZED artifact (the class contract above).
+    //
+    // ZERO rows is a legitimate state, not a union bug: substringArtifact
+    // over an empty corpus — or one whose docs are all shorter than the
+    // k-token window — emits nothing, and the right semantics are
+    // "corpus matches nothing" (the semi-join below already yields that);
+    // only within-shard keep-first dedup applies.
     val params = artifact.select(col("k"), col("hash_family")).distinct().collect()
-    require(params.length == 1,
+    require(params.length <= 1,
       s"substring artifact carries ${params.length} distinct (k, hash_family) " +
         "parameter rows — it was built as a union of incompatible builds; " +
         "grams from different parameterizations never collide")
@@ -1443,8 +1450,9 @@ object Dedup {
       threshold: Double = 0.5, maxShardBucket: Int = 4096,
       family: HashFamily = XxHash64Family): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // NOTE: this head(1) is an eager action — pass a MATERIALIZED
-    // artifact (loaded from storage, persisted, or checkpointed); an
+    // NOTE: the parameter check below is an eager action — pass a
+    // MATERIALIZED artifact (loaded from storage, persisted, or
+    // checkpointed); an
     // unmaterialized artifact plan would execute twice (once here, once
     // in the join below). The steady-state deploy loads the artifact
     // from parquet anyway. Artifacts written before the hash_family
@@ -1455,11 +1463,15 @@ object Dedup {
       else lit(XxHash64Family.tag)
     // distinct() rather than head(1): a mixed-parameter union artifact
     // must fail loudly, not pass on its first row (see
-    // substringDedupIncremental for the full rationale).
+    // substringDedupIncremental for the full rationale). ZERO parameter
+    // rows — an artifact built over an empty corpus, or one with no doc
+    // long enough to shingle — is a legitimate "corpus matches nothing"
+    // state, not a build error: the band-bucket join below naturally
+    // yields no matches against an empty artifact.
     val params = artifact
       .select(col("n"), col("num_hashes"), col("bands"), famCol.as("hash_family"))
       .distinct().collect()
-    require(params.length == 1,
+    require(params.length <= 1,
       s"minhash artifact carries ${params.length} distinct (n, numHashes, bands, " +
         "hash_family) parameter rows — it was built as a union of incompatible " +
         "builds; signatures from different parameterizations never collide")

@@ -26,7 +26,11 @@ object DedupOps {
     * the gate goes red rather than quietly changing pair semantics.
     */
   private[queries] def seedMarkerDups(src: org.apache.spark.sql.DataFrame) = {
-    val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
+    // max() over an EMPTY frame is null — read it null-safely so the
+    // guard either passes vacuously (no rows ⇒ no ids to collide) or
+    // fails with ITS OWN message, never an opaque NPE from getLong.
+    val maxRow = src.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     require(maxId < 10000000L,
       s"marker-dup re-key offset 10000000 no longer clears the corpus id " +
         s"range (max doc_id = $maxId) — seeded ids would collide with real " +

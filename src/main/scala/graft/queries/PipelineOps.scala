@@ -140,9 +140,79 @@ object PipelineOps {
   private val pretrainHdr =
     "standard corpus licence header text repeated across every seventh document intake here"
 
-  private val pretrainT = graft.ops.GopherRules.Thresholds(
+  private[graft] val pretrainT = graft.ops.GopherRules.Thresholds(
     minWords = 15, maxWords = 105, minMeanWordLen = 2, maxMeanWordLen = 14,
     minStopwords = 0)
+
+  // One parameter set shared by the gate query AND the streaming twin
+  // (StreamingCorpusSpec): the twin's incremental-vs-artifact stages
+  // only equal the batch run when every sketch parameter matches.
+  private[graft] val pretrainShingleN = 3
+  private[graft] val pretrainNumHashes = 32
+  private[graft] val pretrainBands = 8
+  private[graft] val pretrainThreshold = 0.5
+  private[graft] val pretrainMinhashFamily: graft.ops.HashFamily =
+    graft.ops.Md5Mix32Family
+  private[graft] val pretrainK = 8
+  private[graft] val pretrainSubstringFamily: graft.ops.HashFamily =
+    graft.ops.Md5Family
+
+  /** Intake + quality head of the capstone over an already-seeded
+    * (doc_id, text) frame — factored so the streaming twin runs the
+    * SAME code per micro-batch that the batch gate runs over the whole
+    * corpus (both stages are row-local and therefore stream-safe).
+    */
+  private[graft] def pretrainQuality(
+      seeded: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    WarcOps.intakeCleanDocs(seeded).filter(
+      graft.ops.GopherRules.signals(col("clean"), pretrainT)("keep"))
+
+  /** Substring-dedup output → the (doc_id, n_final, fp) manifest row
+    * shape the packer consumes. Factored so the streaming twin can
+    * accumulate manifest rows per micro-batch.
+    */
+  private[graft] def pretrainManifest(
+      sub: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sub.select(col("id").as("doc_id"),
+      (col("n_toks") - col("n_removed")).as("n_final"),
+      md5(col("kept_text")).as("fp"))
+
+  /** Manifest → the packed final frame. Packing is a PUBLISH-time step
+    * over the bounded manifest, so the streaming twin applies it once
+    * to the accumulated manifest rather than per micro-batch.
+    */
+  private[graft] def pretrainPack(
+      manifest: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ops.Packing.packSequences(manifest,
+      "doc_id", "n_final", budget = 2000L, shards = 8)
+      .select(col("doc_id"), col("shard"), col("pack"),
+        col("n_final").as("n_toks"), col("fp"))
+
+  /** The capstone's stage composition from an already-seeded frame to
+    * the packed manifest — the batch side of the streaming twin.
+    */
+  private[graft] def pretrainFromSeeded(
+      seeded: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // THREE consumers read the quality-survivor frame (minhash
+    // shingling, the keep anti-join, substring dedup's two passes) —
+    // unpersisted, the whole WARC-intake + Gopher lineage re-evaluates
+    // per consumer: measured 170.8 s at sf10 where the summed stage
+    // components are ~77 s (3–4 redundant full-corpus scans; at 100 TB
+    // that is the difference between one intake pass and four). Same
+    // MEMORY_AND_DISK posture as minhashLshPairs' shingle cache;
+    // released by the context cleaner on plan GC.
+    val q = pretrainQuality(seeded)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.minhashLshPairs(q, "doc_id", "clean",
+      n = pretrainShingleN, numHashes = pretrainNumHashes,
+      bands = pretrainBands, threshold = pretrainThreshold,
+      family = pretrainMinhashFamily)
+    val kept = q.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val sub = Dedup.substringDedup(kept, "doc_id", "clean",
+      k = pretrainK, family = pretrainSubstringFamily)
+    pretrainPack(pretrainManifest(sub))
+  }
 
   private val pretrainCorpus: Q = (s, dir) => {
     val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -151,23 +221,7 @@ object PipelineOps {
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit(pretrainHdr + " "), col("text")))
           .otherwise(col("text")))
-    val clean = WarcOps.intakeCleanDocs(seeded)
-    val q = clean.filter(
-      graft.ops.GopherRules.signals(col("clean"), pretrainT)("keep"))
-    val pairs = Dedup.minhashLshPairs(q, "doc_id", "clean",
-      n = 3, numHashes = 32, bands = 8, threshold = 0.5,
-      family = graft.ops.Md5Mix32Family)
-    val kept = q.join(pairs.select(col("id_b").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-    val sub = Dedup.substringDedup(kept, "doc_id", "clean",
-      k = 8, family = graft.ops.Md5Family)
-    graft.ops.Packing.packSequences(
-      sub.select(col("id").as("doc_id"),
-        (col("n_toks") - col("n_removed")).as("n_final"),
-        md5(col("kept_text")).as("fp")),
-      "doc_id", "n_final", budget = 2000L, shards = 8)
-      .select(col("doc_id"), col("shard"), col("pack"),
-        col("n_final").as("n_toks"), col("fp"))
+    pretrainFromSeeded(seeded)
   }
 
   // The oracle is the stage-by-stage composition of the individual

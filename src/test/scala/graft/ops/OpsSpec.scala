@@ -106,6 +106,35 @@ class OpsSpec extends SparkSpec {
     assert(okLegacy.count() == 1)
   }
 
+  test("incremental near-dup: an EMPTY artifact matches nothing (empty corpus " +
+      "is a routine state, not a union bug)") {
+    // An artifact built over an empty corpus — or one whose docs are
+    // all too short to shingle — carries ZERO parameter rows. That is
+    // "the corpus matches nothing", not an incompatible-union error:
+    // the scheduled-pipeline first run starts exactly here.
+    val tooShort = Seq((100L, "ab")).toDF("doc_id", "text") // 1 token < n=3
+    val art = Dedup.minhashArtifact(tooShort, "doc_id", "text")
+    assert(art.count() == 0)
+    val shard = Seq((1L, "some shard document text here okay then")).toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDupMatches(shard, "doc_id", "text", art).count() == 0)
+  }
+
+  test("substringDedupIncremental: an EMPTY artifact strips nothing corpus-side " +
+      "(in-shard keep-first still applies)") {
+    val corpus = Seq((100L, "short")).toDF("doc_id", "text") // 1 token < k=6
+    val art = Dedup.substringArtifact(corpus, "doc_id", "text", k = 6)
+    assert(art.count() == 0)
+    val shard = Seq(
+      (10L, "fresh shard run only here five six seven eight nine ten"),
+      (11L, "fresh shard run only here five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupIncremental(shard, "doc_id", "text", art, k = 6)
+      .orderBy("id").collect().toSeq
+    assert(out.map(_.getLong(0)) == Seq(10L, 11L))
+    // 10 keeps everything; 11 loses everything to in-shard keep-first
+    assert(out(0).getLong(3) == 0L && out(1).getString(1) == "")
+  }
+
   test("coordinateSketches fails rows whose vectors are shorter than tables*bits") {
     val vecs = Seq((1L, Array(0.5f, -0.5f, 0.1f, 0.2f))).toDF("vec_id", "embedding")
     // 1 table × 4 bits fits dim 4

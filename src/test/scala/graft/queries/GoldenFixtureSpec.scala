@@ -4,6 +4,27 @@ import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Guard-path pin for the gates' shared seeding device (not a golden
+  * hash — here because this spec already lives in the queries package
+  * with the private[queries] view it needs).
+  */
+class SeedGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("seedMarkerDups: empty input passes vacuously; out-of-range ids fail " +
+      "with the guard's own message, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // max(doc_id) over zero rows is null — the guard must treat that as
+    // "no ids to collide" and seed nothing, not die in getLong
+    assert(DedupOps.seedMarkerDups(empty).count() == 0)
+    val tooBig = Seq((10000001L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.seedMarkerDups(tooBig).count()
+    }
+    assert(e.getMessage.contains("re-key offset"))
+  }
+}
+
 /** Value-level golden pins for the harness gates no oracle engine can
   * express (`text_bpe`: iterative BPE merge training; `text_unigram`:
   * Viterbi-EM unigram tokenizer training;

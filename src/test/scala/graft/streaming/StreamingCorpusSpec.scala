@@ -612,6 +612,142 @@ class StreamingCorpusSpec extends SparkSpec {
       (4L, "subscribe now\nother site")))
   }
 
+  test("streaming crawl-to-training-corpus capstone equals the batch gate " +
+      "(incremental minhash + substring artifacts, continuous-crawl shape)") {
+    // The pipeline_pretrain_corpus stage composition as a Structured
+    // Streaming flow: a static corpus is ingested offline (building the
+    // minhash + substring artifacts), then micro-batch shards arrive and
+    // each runs intake → Gopher quality → near-dup removal
+    // (incrementalNearDupMatches vs the artifact PLUS in-shard
+    // minhashLshPairs keep-min-id) → substringDedupIncremental vs the
+    // gram artifact → manifest append; packing runs once at publish
+    // time. The final frame must equal PipelineOps.pretrainFromSeeded
+    // over the union — THE SAME code the batch gate query runs.
+    //
+    // Equivalence preconditions (each the documented contract of the
+    // incremental op it exercises): ids strictly increase across
+    // batches (corpus < shard1 < shard2), the minhash artifact
+    // accumulates ALL quality survivors — batch kills every id_b of
+    // every pair over the PRE-dedup frame, so a killed doc still kills
+    // later arrivals — while the substring artifact accumulates only
+    // dedup SURVIVORS (batch substring runs on `kept`).
+    import graft.queries.PipelineOps
+    import graft.ops.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_capstone").toString
+    val mArtP = s"$dir/minhash_artifact"
+    val sArtP = s"$dir/substring_artifact"
+    val manP = s"$dir/manifest"
+
+    // every stage gets real prey in the STREAM phase: 12≈2 (vs-artifact
+    // near-dup), 14≈13 (in-shard near-dup), 21≈11 (vs-UPDATED-artifact,
+    // across micro-batches), 22 embeds corpus doc 3's 8-token window W
+    // (vs-artifact substring), 24 embeds 23's first 8 tokens (in-shard
+    // substring), 4 and 15 die in quality
+    val W = "winter spring summer autumn harvest sowing plowing resting"
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val B = "red orange yellow green blue indigo violet crimson amber teal navy coral olive maroon silver gold"
+    val D = "apple banana cherry damson elder fig grape honeydew kiwi lemon mango nectar papaya quince raspberry tangerine"
+    val E = "wolf bear lynx otter badger marten stoat weasel ferret mink fisher sable ermine polecat raccoon coati"
+    val G = "piano violin cello flute oboe clarinet bassoon trumpet trombone tuba horn harp drum organ lute zither"
+    val corpus = Seq((1L, A), (2L, B),
+      (3L, "one two three four five six seven eight " + W),
+      (4L, "too short"))
+    val shard1 = Seq((11L, D), (12L, B + " extra tail"), (13L, E),
+      (14L, E + " extra tail"), (15L, "tiny doc"))
+    val shard2 = Seq((21L, D + " extra tail"),
+      (22L, "north south east west upward downward forward backward " + W),
+      (23L, G),
+      (24L, "circle square triangle pentagon hexagon heptagon octagon nonagon " +
+        "piano violin cello flute oboe clarinet bassoon trumpet"))
+
+    def minhashKills(q: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashLshPairs(q, "doc_id", "clean",
+          n = PipelineOps.pretrainShingleN,
+          numHashes = PipelineOps.pretrainNumHashes,
+          bands = PipelineOps.pretrainBands,
+          threshold = PipelineOps.pretrainThreshold,
+          family = PipelineOps.pretrainMinhashFamily)
+        .select(col("id_b").as("doc_id")).distinct()
+
+    // ---- offline corpus phase (batch, once): quality → in-corpus
+    // dedup → artifacts + manifest seed
+    val qC = PipelineOps.pretrainQuality(corpus.toDF("doc_id", "text"))
+    val keptC = qC.join(minhashKills(qC), Seq("doc_id"), "left_anti")
+    val subC = Dedup.substringDedup(keptC, "doc_id", "clean",
+      k = PipelineOps.pretrainK, family = PipelineOps.pretrainSubstringFamily)
+    PipelineOps.pretrainManifest(subC).write.mode("overwrite").parquet(manP)
+    Dedup.minhashArtifact(qC, "doc_id", "clean",
+        n = PipelineOps.pretrainShingleN,
+        numHashes = PipelineOps.pretrainNumHashes,
+        bands = PipelineOps.pretrainBands,
+        family = PipelineOps.pretrainMinhashFamily)
+      .write.mode("overwrite").parquet(mArtP)
+    Dedup.substringArtifact(keptC, "doc_id", "clean",
+        k = PipelineOps.pretrainK, family = PipelineOps.pretrainSubstringFamily)
+      .write.mode("overwrite").parquet(sArtP)
+
+    // ---- the stream: each micro-batch dedupes against everything
+    // ingested so far via the artifacts, never rescanning corpus text
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val qS = PipelineOps.pretrainQuality(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mArt = spark.read.parquet(mArtP)
+        val crossKill = Dedup.incrementalNearDupMatches(qS, "doc_id", "clean",
+            mArt, n = PipelineOps.pretrainShingleN,
+            numHashes = PipelineOps.pretrainNumHashes,
+            bands = PipelineOps.pretrainBands,
+            threshold = PipelineOps.pretrainThreshold,
+            family = PipelineOps.pretrainMinhashFamily)
+          .select(col("shard_id").as("doc_id")).distinct()
+        val keptS = qS
+          .join(crossKill.unionByName(minhashKills(qS)).distinct(),
+            Seq("doc_id"), "left_anti")
+        // artifact updates FIRST, so the next batch sees this one
+        Dedup.minhashArtifact(qS, "doc_id", "clean",
+            n = PipelineOps.pretrainShingleN,
+            numHashes = PipelineOps.pretrainNumHashes,
+            bands = PipelineOps.pretrainBands,
+            family = PipelineOps.pretrainMinhashFamily)
+          .write.mode("append").parquet(mArtP)
+        val sArt = spark.read.parquet(sArtP)
+        val subS = Dedup.substringDedupIncremental(keptS, "doc_id", "clean",
+          sArt, k = PipelineOps.pretrainK,
+          family = PipelineOps.pretrainSubstringFamily)
+        Dedup.substringArtifact(keptS, "doc_id", "clean",
+            k = PipelineOps.pretrainK,
+            family = PipelineOps.pretrainSubstringFamily)
+          .write.mode("append").parquet(sArtP)
+        PipelineOps.pretrainManifest(subS).write.mode("append").parquet(manP)
+        qS.unpersist()
+        ()
+      }
+      .start()
+    mem.addData(shard1: _*)
+    q.processAllAvailable()
+    mem.addData(shard2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // ---- publish-time packing over the accumulated manifest vs the
+    // batch gate stages over the union, via the SAME shared code
+    val streamed = PipelineOps.pretrainPack(spark.read.parquet(manP))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val batch = PipelineOps.pretrainFromSeeded(
+        (corpus ++ shard1 ++ shard2).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    // survivor set pinned: 4/15 quality-dropped; 12 killed vs artifact;
+    // 14 killed in-shard; 21 killed vs the shard-1-UPDATED artifact
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L, 11L, 13L, 22L, 23L, 24L))
+    val byId = streamed.map(r => r._1 -> r._4).toMap
+    // substring strips observable in n_toks: 22 lost corpus doc 3's
+    // window W, 24 lost doc 23's first 8 tokens; 23 untouched
+    assert(byId(22L) < 18L && byId(23L) >= 16L && byId(24L) < 18L)
+  }
+
   test("streaming crawl intake equals the batch pipeline (WARC -> HTTP -> HTML -> mojibake)") {
     import java.nio.charset.{Charset, StandardCharsets}
     import graft.ops.{Html, Mojibake, Warc}
