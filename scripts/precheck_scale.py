@@ -64,6 +64,13 @@ def check_one(sfdir, outdir, name, sql, q):
     con.execute("SET memory_limit='"
                 + __import__("os").environ.get("PRECHECK_DUCKDB_MEM", "14GiB")
                 + "'")
+    # Bound worker threads too: DuckDB defaults to one thread per core,
+    # so N shard workers on a 32-core box would run N x 32 threads; at
+    # the r11 rehearsal a worker under memory pressure then failed in
+    # pthread_create while REPORTING its verdict (the queue feeder
+    # thread), turning an honest RESOURCE row into ORACLE-DIED.
+    con.execute("SET threads="
+                + __import__("os").environ.get("PRECHECK_DUCKDB_THREADS", "12"))
     for t in TABLES:
         path = Path(f"{sfdir}/{t}.parquet")
         src = f"{path}/*.parquet" if path.is_dir() else str(path)
@@ -83,11 +90,12 @@ def check_one(sfdir, outdir, name, sql, q):
             # evidence class as an OOM-killed worker: the oracle cannot
             # testify either way — counted with the timeouts. Genuinely
             # broken oracle SQL stays ERROR/BAD: a builder bug.
+            one_line = " ".join(msg[:300].split())[:200]
             if ("Out of Memory" in msg or "No space left" in msg
                     or "max_temp_directory_size" in msg):
-                q.put(("RESOURCE", msg[:200]))
+                q.put(("RESOURCE", one_line))
             else:
-                q.put(("ERROR", msg[:200]))
+                q.put(("ERROR", one_line))
             return
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
