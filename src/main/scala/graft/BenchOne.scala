@@ -29,8 +29,12 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[benchone] run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      // noop sink, same action as Bench: count() lets Catalyst prune
+      // columns and whole join subtrees, so it can time a fraction of
+      // the real query (guide §1.4; the dedup family measured 0.6 s
+      // under count() vs ~40 s real at sf10).
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"[benchone] run$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

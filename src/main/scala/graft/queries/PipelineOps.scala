@@ -207,8 +207,19 @@ object PipelineOps {
       n = pretrainShingleN, numHashes = pretrainNumHashes,
       bands = pretrainBands, threshold = pretrainThreshold,
       family = pretrainMinhashFamily)
+    // `kept` has three consumers of its own inside substringDedup (the
+    // positioned-gram pass, that pass's first-occurrence self-join, and
+    // the rewrite's docs side) — unpersisted, each re-runs the ENTIRE
+    // minhash-LSH stage (signatures, banding, bucket pairing, Jaccard
+    // verify: the capstone's most expensive component) plus the
+    // anti-join. Measured at sf0.1: full capstone ~15–17 s vs ~7.5 s
+    // summed stages; persisting kept closes exactly that gap. Same
+    // MEMORY_AND_DISK spill posture as q above — at 100 TB both frames
+    // are disk-backed columnar blocks, still strictly cheaper than 2–3
+    // extra full minhash re-evaluations.
     val kept = q.join(pairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sub = Dedup.substringDedup(kept, "doc_id", "clean",
       k = pretrainK, family = pretrainSubstringFamily)
     pretrainPack(pretrainManifest(sub))
