@@ -120,6 +120,23 @@ object GraftExtensions {
     GraftColumnBridge.column(LshSignBuckets(GraftColumnBridge.expression(vec), planes))
   }
 
+  /** Whitespace tokens (the [[graft.ops.Dedup.tokens]] rule) in one
+    * native pass — no regex engine, no interpreted filter lambda.
+    */
+  def ws_tokens(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WsTokens(GraftColumnBridge.expression(c)))
+  }
+
+  /** md5 hex of every word n-gram of a token array; element index =
+    * gram start position (the positioned-gram layout, row-local).
+    */
+  def word_ngram_md5(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      WordNgramMd5Hex(GraftColumnBridge.expression(tokens), n))
+  }
+
   /** RFC-822/1123 datetime parse → timestamp (null when unparseable). */
   def rfc1123_timestamp(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge

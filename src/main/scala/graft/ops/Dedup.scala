@@ -38,6 +38,17 @@ object Dedup {
     * filters rows after posexplode instead, staying in codegen.
     */
   def tokens(text: Column): Column =
+    // ONE native pass (see [[graft.functions.WsTokens]]): the regex
+    // split + interpreted filter lambda was a measurable slice of
+    // every text operator's scan stage. Equality with the HOF spelling
+    // pinned in OpsSpec across separators/unicode/null shapes.
+    graft.functions.GraftExtensions.ws_tokens(text)
+
+  /** The regex-split + filter spelling of [[tokens]] — retained as the
+    * executable specification [[graft.functions.WsTokens]] is pinned
+    * against (OpsSpec equality property); not a production path.
+    */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Distinct word n-gram shingle ROWS: (id, g). The workhorse layout —
@@ -1110,6 +1121,23 @@ object Dedup {
     */
   def dedupLinesWithinDoc(df: DataFrame, textCol: String,
       sep: String = "\n"): DataFrame = {
+    // ONE native O(L) expression (hash-set first-occurrence filter).
+    // The HOF spelling below is interpreted and quadratic-with-copies
+    // (element i materializes and scans a fresh i-element prefix
+    // array) — measured as text_dedup_lines' whole bench cost and its
+    // superlinear sf1→sf10 ratio. Equality pinned in OpsSpec.
+    import org.apache.spark.sql.GraftColumnBridge
+    df.withColumn(textCol, GraftColumnBridge.column(
+      graft.functions.DedupLinesInDoc(
+        GraftColumnBridge.expression(col(textCol)), sep)))
+  }
+
+  /** The HOF spelling of [[dedupLinesWithinDoc]] — retained as the
+    * executable specification the native expression is pinned against
+    * (OpsSpec equality property); not a production path.
+    */
+  private[graft] def dedupLinesWithinDocHof(df: DataFrame, textCol: String,
+      sep: String = "\n"): DataFrame = {
     val lines = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
     val kept = filter(lines, (x, i) =>
       array_position(slice(lines, lit(1), i), x) === 0)
@@ -1188,11 +1216,16 @@ object Dedup {
     */
   private def positionedGramOcc(docs: DataFrame, k: Int,
       family: HashFamily): DataFrame = {
-    val grams = when(size(col("__tk")) >= k,
-      transform(sequence(lit(0), size(col("__tk")) - k),
-        i => family.hashString(0, concat_ws(" ",
-          slice(col("__tk"), i + lit(1), lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
+    // ONE native expression per row (see
+    // [[graft.functions.WordNgramHash64]]): the transform(sequence(…),
+    // i -> hash(concat_ws(" ", slice(…)))) spelling was interpreted
+    // and copied a k-token slice array per position, plus the md5
+    // families' hex→conv string parse per gram. Hash values are
+    // byte-identical (pinned in OpsSpec), so artifacts built before
+    // the swap still match.
+    import org.apache.spark.sql.GraftColumnBridge
+    val grams = GraftColumnBridge.column(graft.functions.WordNgramHash64(
+      GraftColumnBridge.expression(col("__tk")), k, 0, family.tag))
     docs.select(col("id"), posexplode(grams).as(Seq("p", "gh")))
   }
 
@@ -1358,6 +1391,26 @@ object Dedup {
     * (higher-order functions + bit ops) — distributed, no UDF.
     */
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash",
+      family: HashFamily = XxHash64Family): DataFrame = {
+    // ONE native codegen'd expression (tokenize + hash + ±1 sums + bit
+    // pack in a local long[64]): the HOF spelling below never enters
+    // whole-stage codegen and allocates two 64-element arrays plus a
+    // hash struct per token occurrence — measured as the whole cost of
+    // the dedup_simhash bench row (sf0.1: 3.9 s → see
+    // OPTIMIZATION_r11.md). Bit-identical by OpsSpec's cross-form
+    // equality property; the HOF twin stays as the executable spec.
+    import org.apache.spark.sql.GraftColumnBridge
+    df.withColumn(out, GraftColumnBridge.column(
+      graft.functions.SimhashText(
+        GraftColumnBridge.expression(col(textCol)), family.tag)))
+  }
+
+  /** The higher-order-function spelling of [[withSimhash]] — retained
+    * as the executable specification the native expression is pinned
+    * against (OpsSpec equality property); not a production path.
+    */
+  private[graft] def withSimhashHof(df: DataFrame, textCol: String,
+      out: String = "simhash",
       family: HashFamily = XxHash64Family): DataFrame = {
     val t = s"__simhash_toks"
     // Each token is hashed ONCE (inner transform to a hash struct);

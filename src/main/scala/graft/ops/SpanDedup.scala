@@ -129,8 +129,29 @@ object SpanDedup {
       n: Int, dupGrams: DataFrame): DataFrame = {
     require(dupGrams.columns.contains("__gh"),
       "dupGrams must carry the __gh gram-hash column (see gramDocCounts)")
-    auditWith(df, positionedGrams(df, idCol, textCol, n), idCol, n,
-      dupGrams.select(col("__gh")))
+    auditFromDocs(spanDocs(df, idCol, textCol, n), idCol, n,
+      _ => dupGrams.select(col("__gh")))
+  }
+
+  /** The row-local document frame every audit half reads: one row per
+    * input row, (id, __tk token array, __gha positioned md5-hex gram
+    * array — element i = the gram starting at token i). Null text →
+    * null arrays. Replaces the posexplode + window-lead positioned
+    * pass ([[positionedGrams]]) for the audit paths: the lead()
+    * formulation shuffles EVERY TOKEN ROW doc-keyed (plus a sort)
+    * before a single gram exists — ×2, once per algorithm half — and
+    * the coverage half paid a third doc-keyed exchange for its window;
+    * all three exchanges vanish here (grams are born in the scan
+    * task). Gram VALUES are byte-identical (md5 of the space-joined
+    * gram), so external dup-gram artifacts ([[gramDocCounts]]) stay
+    * compatible.
+    */
+  private def spanDocs(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    import graft.functions.GraftExtensions.{word_ngram_md5, ws_tokens}
+    df.select(col(idCol), ws_tokens(col(textCol)).as("__tk"))
+      .withColumn("__gha", word_ngram_md5(col("__tk"), n))
   }
 
   /** Per-document audit: id, n_tokens, dup_tokens (covered by some
@@ -144,57 +165,71 @@ object SpanDedup {
     * [[auditManaged]] to pin the positioned stream instead.
     */
   def audit(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame =
-    auditFrom(df, positionedGrams(df, idCol, textCol, n), idCol, n, minDocs)
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val docs = spanDocs(df, idCol, textCol, n)
+    auditFromDocs(docs, idCol, n, occ => duplicatedGrams(occ, idCol, minDocs))
+  }
 
-  /** As [[audit]], but the positioned token+gram stream is persisted
-    * (MEMORY_AND_DISK) and read by both halves — ONE corpus scan. The
-    * pinned stream is token-exploded (larger than the source text by
-    * the 32-char gram digest per token), so this is the right trade
-    * exactly when rescanning is the bottleneck. Call the returned
-    * thunk after materializing the result.
+  /** As [[audit]], but the row-local document frame (token + gram
+    * arrays) is persisted (MEMORY_AND_DISK) and read by both halves —
+    * ONE corpus scan. Call the returned thunk after materializing the
+    * result.
     */
   def auditManaged(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): (DataFrame, () => Unit) = {
-    val pg = positionedGrams(df, idCol, textCol, n)
+    val docs = spanDocs(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (auditFrom(df, pg, idCol, n, minDocs), () => { pg.unpersist(); () })
+    (auditFromDocs(docs, idCol, n, occ => duplicatedGrams(occ, idCol, minDocs)),
+      () => { docs.unpersist(); () })
   }
 
-  private def auditFrom(df: DataFrame, pg: DataFrame, idCol: String,
-      n: Int, minDocs: Int): DataFrame = {
-    val starts = pg.select(col(idCol), col("__pos"), col("__gh"))
+  /** Audit over a [[spanDocs]] frame. `dupOf` maps the exploded
+    * (id, __pos, __gh) occurrence frame to the duplicated-gram list —
+    * [[duplicatedGrams]] for the self-contained audit, a constant
+    * artifact for [[auditAgainst]].
+    *
+    * Coverage and rebuild are ROW-LOCAL over the token array (the
+    * [[Dedup.substringDedup]] coverAndRewrite shape): marked start
+    * positions return to the document as one bounded collect_list and
+    * an indexed lambda drops covered tokens — no coverage window, no
+    * doc-keyed token exchange, no collect_list-of-struct re-sort.
+    *
+    * Duplicate document ids still fail LOUDLY (downstream assumes id →
+    * one document; stitched audits would be silently wrong), via a
+    * narrow ids-only aggregate broadcast back as a 0-or-1-row poison
+    * frame — the window form got this check for free from its sort,
+    * the row-local form pays one count(*)-per-id pass over bare ids.
+    */
+  private def auditFromDocs(docs: DataFrame, idCol: String, n: Int,
+      dupOf: DataFrame => DataFrame): DataFrame = {
+    val occ = docs
+      .select(col(idCol), posexplode(col("__gha")).as(Seq("__pos", "__gh")))
       .filter(col("__gh").isNotNull)
-    val dup = duplicatedGrams(starts, idCol, minDocs)
-    auditWith(df, pg, idCol, n, dup)
-  }
-
-  private def auditWith(df: DataFrame, pg: DataFrame, idCol: String,
-      n: Int, dup: DataFrame): DataFrame = {
-    val starts = pg.select(col(idCol), col("__pos"), col("__gh"))
-      .filter(col("__gh").isNotNull)
-    val dupStarts = starts.join(dup, Seq("__gh"), "left_semi")
-      .select(col(idCol), col("__pos"), lit(1).as("__start"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(-(n - 1), Window.currentRow)
-    // positions are dense (posexplode), so the rows-frame max marks
-    // exactly the tokens inside some duplicated gram's window.
-    val covered = pg.select(col(idCol), col("__pos"), col("__tok"))
-      .join(dupStarts, Seq(idCol, "__pos"), "left")
-      .withColumn("__cov", max(coalesce(col("__start"), lit(0))).over(byDoc))
-    val perDoc = covered.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_tokens"),
-      sum(col("__cov")).cast("long").as("dup_tokens"),
-      array_sort(collect_list(when(col("__cov") === 0,
-        struct(col("__pos").as("p"), col("__tok").as("t"))))).as("__kept"))
-    df.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+    val dup = dupOf(occ)
+    val markedPerDoc = occ.join(dup.select(col("__gh")), Seq("__gh"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__pos")).as("__mp"))
+    // Null-safe equi-join (hash-joinable — a constant-key poison join
+    // degenerates to a nested loop, which VolumeStressSpec forbids);
+    // <=> also catches the repeated-NULL-id case a plain equality
+    // join would silently pass.
+    val dupIds = docs.groupBy(col(idCol)).agg(count(lit(1)).as("__nr"))
+      .filter(col("__nr") > 1)
+      .select(col(idCol).as("__did"), lit(1).as("__dup_flag"))
+    val mp = coalesce(col("__mp"), array().cast("array<int>"))
+    val kept = filter(col("__tk"), (_, q) =>
+      !exists(mp, p => p.between(q - lit(n - 1), q)))
+    docs.join(markedPerDoc, Seq(idCol), "left")
+      .join(broadcast(dupIds), col(idCol) <=> col("__did"), "left")
       .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        when(size(col("__kept")) > 0,
-          array_join(transform(col("__kept"), s => s.getField("t")), " "))
-          .as("clean_text"))
+        when(col("__dup_flag").isNotNull, raise_error(concat(
+          lit("duplicate (or repeated-null) document id in span-dedup input: "),
+          coalesce(col(idCol).cast("string"), lit("NULL")),
+          lit(" — ids must uniquely identify one document"))).cast("long"))
+          .otherwise(coalesce(size(col("__tk")), lit(0)).cast("long"))
+          .as("n_tokens"),
+        (coalesce(size(col("__tk")), lit(0)) - coalesce(size(kept), lit(0)))
+          .cast("long").as("dup_tokens"),
+        when(size(kept) > 0, array_join(kept, " ")).as("clean_text"))
   }
 
   /** The rewrite composition: every row, `textCol` replaced by the

@@ -186,6 +186,111 @@ class OpsSpec extends SparkSpec {
     assert(nearDist < farDist)
   }
 
+  test("simhash: native expression equals the HOF spelling for every family") {
+    // The native SimhashText expression is pinned bit-for-bit against
+    // the higher-order-function spelling it replaced — on adversarial
+    // texts: null, empty, whitespace-only, every \s separator class,
+    // leading/trailing runs, multi-byte UTF-8, a long doc.
+    val texts = Seq(
+      (1L, null: String), (2L, ""), (3L, "   \t\n"), (4L, "one"),
+      (5L, "a b\tc\nde\ff\rg"), (6L, "  leading and trailing  "),
+      (7L, "naïve café über résumé 日本語 emoji 😀 mix"),
+      (8L, Seq.tabulate(500)(i => s"tok$i word${i % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    Seq(XxHash64Family, Md5Family, Md5Mix32Family).foreach { fam =>
+      val native = Dedup.withSimhash(texts, "text", family = fam)
+        .select("doc_id", "simhash").as[(Long, Option[Long])].collect().toMap
+      val hof = Dedup.withSimhashHof(texts, "text", family = fam)
+        .select("doc_id", "simhash").as[(Long, Option[Long])].collect().toMap
+      assert(native == hof, s"family ${fam.tag}")
+      assert(native(1L).isEmpty) // null text → null simhash
+      assert(native(2L).contains(0L)) // zero tokens → 0
+    }
+  }
+
+  test("line dedup: native expression equals the HOF spelling on adversarial docs") {
+    val texts = Seq(
+      (1L, null: String), (2L, ""), (3L, "only line"),
+      (4L, "a\nb\na\nc\nb"), (5L, "\n\na\n\n"), (6L, "a\na\na"),
+      (7L, "x\n"), (8L, "\nx"), (9L, "naïve\n日本語\nnaïve\n😀"),
+      (10L, Seq.tabulate(300)(i => s"line${i % 40}").mkString("\n")))
+      .toDF("doc_id", "text")
+    val native = Dedup.dedupLinesWithinDoc(texts, "text")
+      .select("doc_id", "text").as[(Long, Option[String])].collect().toMap
+    val hof = Dedup.dedupLinesWithinDocHof(texts, "text")
+      .select("doc_id", "text").as[(Long, Option[String])].collect().toMap
+    assert(native == hof)
+    assert(native(4L).contains("a\nb\nc")) // first occurrence wins
+    assert(native(5L).contains("\na"))     // first empty line survives once
+    assert(native(1L).isEmpty)             // null text stays null
+  }
+
+  test("ws_tokens equals the regex-split + filter spelling on adversarial texts") {
+    val texts = Seq(
+      (1L, null: String), (2L, ""), (3L, " \t\n\f\r "), (4L, "one"),
+      (5L, "a b\tc\nde\ff\rg"), (6L, "  lead mid  trail "),
+      (7L, "naïve 日本語 😀"), (8L, "x y"))  // NBSP is NOT \s — one token
+      .toDF("doc_id", "text")
+    val native = texts.select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    val hof = texts.select(col("doc_id"), Dedup.tokensHof(col("text")).as("t"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    assert(native == hof)
+    assert(native(8L).contains(Seq("x y")))
+  }
+
+  test("word_ngram_hash64 equals the transform/slice/hashString spelling per family") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val texts = Seq(
+      (1L, null: String), (2L, ""), (3L, "a b"), (4L, "a b c"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7 naïve 日本語"),
+      (6L, Seq.tabulate(80)(i => s"t${i % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    Seq(XxHash64Family, Md5Family, Md5Mix32Family).foreach { fam =>
+      Seq(2, 3, 8).foreach { k =>
+        val tk = Dedup.tokens(col("text"))
+        val native = texts.select(col("doc_id"),
+          GraftColumnBridge.column(graft.functions.WordNgramHash64(
+            GraftColumnBridge.expression(tk), k, 0, fam.tag)).as("g"))
+          .as[(Long, Option[Seq[Long]])].collect().toMap
+        // The when(size >= k, …) spelling maps a NULL token array to
+        // the otherwise-branch's empty array; the native expression
+        // null-propagates (call sites either filter null text first —
+        // substringDedup — or treat empty and null identically — span
+        // audit). Pin equality on the non-null contract and the null
+        // convention separately.
+        val hof = texts.select(col("doc_id"),
+          when(tk.isNull, lit(null).cast("array<bigint>"))
+            .when(size(tk) >= k,
+              transform(sequence(lit(0), size(tk) - k),
+                i => fam.hashString(0, concat_ws(" ", slice(tk, i + lit(1), lit(k))))))
+            .otherwise(array().cast("array<bigint>")).as("g"))
+          .as[(Long, Option[Seq[Long]])].collect().toMap
+        assert(native == hof, s"family ${fam.tag}, k=$k")
+        assert(native(1L).isEmpty, "null text -> null gram array")
+      }
+    }
+  }
+
+  test("word_ngram_md5 equals md5 of the space-joined gram text") {
+    val texts = Seq((1L, "a b c d"), (2L, "x"), (3L, null: String),
+      (4L, "naïve 日本語 😀 tail"))
+      .toDF("doc_id", "text")
+    val tk = Dedup.tokens(col("text"))
+    val native = texts.select(col("doc_id"),
+      graft.functions.GraftExtensions.word_ngram_md5(tk, 3).as("g"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    val hof = texts.select(col("doc_id"),
+      when(tk.isNull, lit(null).cast("array<string>"))
+        .when(size(tk) >= 3,
+          transform(sequence(lit(0), size(tk) - 3),
+            i => md5(concat_ws(" ", slice(tk, i + lit(1), lit(3))))))
+        .otherwise(array().cast("array<string>")).as("g"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    assert(native == hof)
+    assert(native(3L).isEmpty, "null text -> null gram array")
+  }
+
   test("LSH top-k returns a subset of brute-force candidates with correct scores") {
     val vecs = (0 until 50).map { i =>
       val v = (0 until 8).map(d => math.sin(i * 0.7 + d).toFloat).toArray
