@@ -137,6 +137,65 @@ object GraftExtensions {
       WordNgramMd5Hex(GraftColumnBridge.expression(tokens), n))
   }
 
+  /** The word n-grams of a token array as TEXT, positioned — the
+    * row-local multiset form frequency consumers explode (see
+    * [[WordNgrams]]); byte-identical to the concat_ws spelling.
+    */
+  def word_ngrams(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(tokens), n))
+  }
+
+  /** Vocabulary encoding of a token array against a driver-artifact
+    * vocab map (see [[VocabEncode]]): struct(token_ids, n_tokens,
+    * n_unk, n_in_vocab), row-local.
+    */
+  def vocab_encode(tokens: Column, vocab: Array[(String, Long)], unkId: Long): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      VocabEncode(GraftColumnBridge.expression(tokens), vocab, unkId))
+  }
+
+  /** Both Gopher repetition signals of one text in one row-local pass
+    * (see [[RepetitionSignals]]): struct(top_bigram_frac,
+    * dup_token_frac), null for token-less text.
+    */
+  def repetition_signals(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      RepetitionSignals(GraftColumnBridge.expression(text)))
+  }
+
+  /** Winnowing fingerprint selection over a positioned gram-digest
+    * array, row-local (see [[WinnowFingerprints]]).
+    */
+  def winnow_fingerprints(grams: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      WinnowFingerprints(GraftColumnBridge.expression(grams), w))
+  }
+
+  /** Seeded 64-bit hash of every word n-gram of a token array —
+    * row-local positioned gram keys, byte-identical per
+    * [[graft.ops.HashFamily]] tag (see [[WordNgramHash64]]).
+    */
+  def word_ngram_hash64(tokens: Column, n: Int, seed: Int, family: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      WordNgramHash64(GraftColumnBridge.expression(tokens), n, seed, family))
+  }
+
+  /** The whole MinHash signature of one document's token array as ONE
+    * row-local native expression (see [[MinhashSig]]) — byte-identical
+    * to [[graft.ops.Dedup.minhashSignatures]]'s aggregate form, with
+    * no token exchange and no groupBy.
+    */
+  def minhash_sig(tokens: Column, n: Int, numHashes: Int, family: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      MinhashSig(GraftColumnBridge.expression(tokens), n, numHashes, family))
+  }
+
   /** RFC-822/1123 datetime parse → timestamp (null when unparseable). */
   def rfc1123_timestamp(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge

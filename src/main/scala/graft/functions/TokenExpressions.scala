@@ -225,6 +225,250 @@ object WordNgramHash64 {
   }
 }
 
+/** The word n-grams of a token array as TEXT, positioned: element `i`
+  * = `tokens[i] <sp> … <sp> tokens[i+n-1]` — byte-identical to the
+  * `concat_ws(" ", …)` spelling over the same tokens. The row-local
+  * form of [[graft.ops.CountMin.ngramStream]]'s posexplode +
+  * window-lead pass (which shuffled every corpus token doc-keyed, plus
+  * a sort, before a single gram existed); frequency consumers keep the
+  * multiset by exploding WITHOUT array_distinct. A null token element
+  * null-propagates to its grams (the concat rule); a null array →
+  * null; fewer than n tokens → empty array.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"gram length must be in [1, 64], got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires an array<string> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def compute(arr: ArrayData, n: Int): GenericArrayData = {
+    val t = arr.numElements()
+    val m = t - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val toks = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[AnyRef](m)
+    var p = 0
+    while (p < m) {
+      var nul = false
+      var len = n - 1
+      var j = p
+      while (j < p + n) {
+        if (toks(j) == null) nul = true else len += toks(j).length
+        j += 1
+      }
+      if (nul) out(p) = null
+      else {
+        val g = new Array[Byte](len)
+        var off = 0
+        var q = p
+        while (q < p + n) {
+          if (q > p) { g(off) = ' '; off += 1 }
+          System.arraycopy(toks(q), 0, g, off, toks(q).length)
+          off += toks(q).length
+          q += 1
+        }
+        out(p) = UTF8String.fromBytes(g)
+      }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Winnowing fingerprint selection (Schleimer et al. — the
+  * [[graft.ops.Winnow.fingerprints]] rule) as ONE row-local native
+  * expression over a document's positioned gram-digest array: every
+  * complete window of `w` consecutive (non-null) grams contributes its
+  * MINIMUM digest; a document with fewer than `w` grams contributes
+  * its single global minimum. Output = the DISTINCT selected digests
+  * (first-selection order; consumers treat it as a set). The window
+  * min/count/total/global-min algebra, the doc-keyed window exchange +
+  * sort it rode, and the (id, fingerprint) distinct exchange all
+  * collapse into this per-row pass. Selection compares digests as
+  * UTF-8 byte strings — identical to Spark's string ordering on
+  * lowercase hex. Null gram elements (null tokens) are skipped, the
+  * old path's `filter(__gh.isNotNull)`; an all-null or empty array →
+  * empty output; a null array → null.
+  */
+case class WinnowFingerprints(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires an array<string> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFingerprints.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  def compute(arr: ArrayData, w: Int): GenericArrayData = {
+    val t = arr.numElements()
+    // Non-null grams in position order (the exploded path filtered
+    // null __gh rows before windowing, so window adjacency is over the
+    // SURVIVING grams).
+    val gs = new scala.collection.mutable.ArrayBuffer[UTF8String](t)
+    var i = 0
+    while (i < t) {
+      if (!arr.isNullAt(i)) gs += arr.getUTF8String(i)
+      i += 1
+    }
+    val m = gs.length
+    if (m == 0) return new GenericArrayData(new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (m < w) {
+      var gmin = gs(0)
+      i = 1
+      while (i < m) { if (gs(i).compareTo(gmin) < 0) gmin = gs(i); i += 1 }
+      seen.add(gmin)
+    } else {
+      var s = 0
+      while (s + w <= m) {
+        var wmin = gs(s)
+        var j = s + 1
+        while (j < s + w) { if (gs(j).compareTo(wmin) < 0) wmin = gs(j); j += 1 }
+        seen.add(wmin)
+        s += 1
+      }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Both Gopher-style within-document repetition signals
+  * ([[graft.ops.TextRank.repetitionSignals]]) in ONE row-local pass
+  * over the raw text: `top_bigram_frac` = chars covered by the most
+  * frequent word 2-gram (`count · len(bigram) / len(text)`, winner
+  * ties to the lexicographically GREATEST bigram — binary UTF-8 order,
+  * Spark's string ordering) and `dup_token_frac` = fraction of token
+  * occurrences whose token repeats within the document. The dataframe
+  * spelling paid a doc-keyed token exchange + sort (bigrams via window
+  * lead), two doc-keyed count aggregates and a row_number window;
+  * per-document signals need none of that. Tokenization is the
+  * [[WsTokens]] rule. Texts with no tokens return NULL (they produce
+  * no row in the aggregate form — callers filter); a doc with one
+  * token has no bigram and reports top_bigram_frac 0.0.
+  */
+case class RepetitionSignals(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_signals requires a string argument, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("top_bigram_frac",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup_token_frac",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "repetition_signals"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionSignals.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sig")
+      s"""
+         |Object $r = graft.functions.RepetitionSignals.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionSignals =
+    copy(child = newChild)
+}
+
+object RepetitionSignals {
+  def compute(text: UTF8String): AnyRef = {
+    val arr = WsTokens.compute(text)
+    val t = arr.numElements()
+    if (t == 0) return null
+    val toks = new Array[UTF8String](t)
+    var i = 0
+    while (i < t) { toks(i) = arr.getUTF8String(i); i += 1 }
+    // dup_token_frac: Σ count(tok)>1 counts / total occurrences.
+    val tokCnt = new java.util.HashMap[UTF8String, Int](t * 2)
+    i = 0
+    while (i < t) {
+      tokCnt.merge(toks(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var dup = 0L
+    val it = tokCnt.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > 1) dup += c }
+    val dupFrac = dup.toDouble / t.toDouble
+    // top_bigram_frac: the most frequent bigram (count desc, bigram
+    // DESC on ties), then count · numChars(bigram) / numChars(text) —
+    // the exact float-op order of the column spelling
+    // (cnt_long · len_double, then / chars_double).
+    var topFrac = 0.0
+    if (t >= 2) {
+      val biCnt = new java.util.HashMap[UTF8String, Int](t * 2)
+      i = 0
+      while (i < t - 1) {
+        val a = toks(i).getBytes
+        val b = toks(i + 1).getBytes
+        val g = new Array[Byte](a.length + 1 + b.length)
+        System.arraycopy(a, 0, g, 0, a.length)
+        g(a.length) = ' '
+        System.arraycopy(b, 0, g, a.length + 1, b.length)
+        biCnt.merge(UTF8String.fromBytes(g), 1, (x, y) => x + y)
+        i += 1
+      }
+      var bestG: UTF8String = null
+      var bestC = 0
+      val bit = biCnt.entrySet().iterator()
+      while (bit.hasNext) {
+        val e = bit.next()
+        val c = e.getValue
+        if (c > bestC || (c == bestC && e.getKey.compareTo(bestG) > 0)) {
+          bestC = c; bestG = e.getKey
+        }
+      }
+      topFrac = bestC.toLong.toDouble * bestG.numChars().toDouble /
+        text.numChars().toDouble
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topFrac, dupFrac))
+  }
+}
+
 object WordNgramMd5Hex {
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

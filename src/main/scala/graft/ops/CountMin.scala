@@ -93,24 +93,16 @@ object CountMin {
 
   /** Word n-gram OCCURRENCE stream of a text column — every occurrence,
     * NOT deduped per doc (contrast [[Dedup.shingleRows]]): frequency
-    * statistics want the multiset. Same tokenizer and posexplode +
-    * window-lead adjacency as the dedup/DSIR shingle pass.
+    * statistics want the multiset. Grams are born ROW-LOCAL (native
+    * tokenize + n-gram in the scan task — the posexplode + window-lead
+    * spelling shuffled every corpus token doc-keyed, plus a sort,
+    * before a single gram existed); gram text is byte-identical.
     */
   def ngramStream(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1 && n <= 8, "n-gram width out of range")
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__cm_id")).orderBy(col("__cm_pos"))
-    val toks = docs
-      .select(col(idCol).as("__cm_id"),
-        posexplode(Dedup.tokens(col(textCol))).as(Seq("__cm_pos", "t")))
-    val withLeads = (1 until n).foldLeft(toks) { (acc, i) =>
-      acc.withColumn(s"t$i", lead(col("t"), i).over(byDoc))
-    }
-    val parts = col("t") +: (1 until n).map(i => col(s"t$i"))
-    withLeads
-      .filter(parts.map(_.isNotNull).reduce(_ && _))
-      .select(concat_ws(" ", parts: _*).as("g"))
+    docs.select(explode(graft.functions.GraftExtensions.word_ngrams(
+      Dedup.tokens(col(textCol)), n)).as("g"))
   }
 
   /** Exact corpus-wide top-`k` n-grams by occurrence count (ties by

@@ -231,6 +231,23 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
+  /** [[minhashSignatures]] born ROW-LOCAL in the scan task: the whole
+    * signature from ONE native [[graft.functions.MinhashSig]] pass over
+    * the document's tokens — the shingleRows posexplode + window-lead
+    * pass (a corpus-wide doc-keyed token exchange + sort) and the
+    * groupBy(id) signature aggregate (a second full exchange of gram
+    * rows) never happen. Values are byte-identical per family (OpsSpec
+    * pins the equality against the aggregate form across families and
+    * input shapes); documents with no n-gram yield NO row, exactly as
+    * the aggregate form.
+    */
+  def minhashSignaturesLocal(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, family: HashFamily): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.GraftExtensions.minhash_sig(
+          tokens(col(textCol)), n, numHashes, family.tag).as("sig"))
+      .filter(col("sig").isNotNull)
+
   /** LSH candidate pairs: signatures are cut into `bands`; documents
     * sharing any band hash become a candidate pair, generated inside
     * each bucket from the bucket's (bounded) member list and then
@@ -244,14 +261,25 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(maxBucket > 1, "maxBucket must allow at least one pair")
     val rows = numHashes / bands
-    // Three consumers (signatures, intersection join ×2) — persist the
-    // shingle rows instead of recomputing the tokenize+window pipeline
-    // per consumer. MEMORY_AND_DISK: at cluster scale this spills
-    // rather than OOMs; evicted LRU when the query finishes.
-    val sh = shingleRows(df, idCol, textCol, n)
+    // The signature AND the distinct gram-hash set are born ROW-LOCAL
+    // in the scan task (native MinhashSig / WordNgramHash64 over one
+    // shared tokens() pass — subexpression elimination computes the
+    // tokens once): the shingleRows posexplode + window-lead token
+    // exchange, the groupBy(id) signature aggregate, and the verify
+    // stage's collect_list gram-set aggregate are all gone (plan diff
+    // in plans/r11/dedup_minhash_lsh_*). Two consumers (banding,
+    // verify ×2) — persist instead of recomputing the tokenize+hash
+    // scan per consumer; MEMORY_AND_DISK spills rather than OOMs at
+    // cluster scale.
+    val tk = tokens(col(textCol))
+    val docs = df.select(col(idCol).as("id"),
+        graft.functions.GraftExtensions.minhash_sig(
+          tk, n, numHashes, family.tag).as("sig"),
+        array_distinct(graft.functions.GraftExtensions.word_ngram_hash64(
+          tk, n, 0, XxHash64Family.tag)).as("__gs"))
+      .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(sh, numHashes, family)
-    val banded = sig.select(col("id"),
+    val banded = docs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => family.hashLongArray(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
         .as(Seq("band_id", "band_hash")))
@@ -276,7 +304,25 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    verifiedJaccard(pairs, sh).filter(col("jaccard") >= threshold)
+    // Exact-Jaccard verify over the row-local distinct gram-hash sets
+    // (same hashed-set approximation contract as [[verifiedJaccard]];
+    // the true set size is the array size — no sizes aggregate, no
+    // collect_list). Shuffled hash join: the docs side is one bounded
+    // row per doc; the fat pair rows stream through unsorted.
+    val gramSets = docs.select(col("id"),
+        size(col("__gs")).cast("long").as("n_sh"), col("__gs"))
+      .hint("shuffle_hash")
+    pairs
+      .join(gramSets.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("__gs").as("__ga")), Seq("id_a"))
+      .join(gramSets.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+        col("__gs").as("__gb")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+         (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact pairwise n-gram Jaccard over ALL pairs of `df` — quadratic;
@@ -333,10 +379,10 @@ object Dedup {
       maxGramDocs, maxPairBudget)._1
 
   /** As [[ngramJaccardPrefixPairs]], plus the unpersist thunk for the
-    * internal shingle cache (read by the prefix pass and all three
-    * verify joins — ~7 shingle-window recomputations without it). The
-    * plain form leaves release to the context cleaner on plan GC;
-    * long-lived sessions should call the thunk after materializing.
+    * internal per-doc gram-array cache (read by the prefix pass and
+    * both verify pulls — several tokenize+hash recomputations without
+    * it). The plain form leaves release to the context cleaner on plan
+    * GC; long-lived sessions should call the thunk after materializing.
     */
   def ngramJaccardPrefixPairsManaged(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
@@ -350,8 +396,33 @@ object Dedup {
     // which would wrongly prune a boundary pair. The slack only ever
     // ADMITS extra candidates — the exact verify pass disposes of them.
     val eps = 1e-9
-    val sh = shingleRows(df, idCol, textCol, n)
+    // Per-document DISTINCT gram-hash arrays, ROW-LOCAL (one native
+    // WordNgramHash64 + codegen'd array_distinct in the scan task):
+    // replaces the shingleRows posexplode + window-lead pass, whose
+    // doc-keyed exchange shuffled EVERY TOKEN ROW (plus a sort) before
+    // a single gram existed. The true set size n_sh and the verify
+    // stage's gram-set arrays are now row-local columns — the id-keyed
+    // sizes aggregate, its join, and the collect_list gram-set
+    // aggregate are gone with the exchange (plan diff in
+    // plans/r11/dedup_jaccard_prefix_*).
+    //
+    // Gram keys are 64-bit hashes, not text — the [[shingleHashRows]]
+    // approximation contract now covers the prefix path too: a
+    // cross-gram collision (~10⁻¹⁹ per pair) can merge two grams'
+    // df counts and at worst drop a candidate whose every OTHER shared
+    // prefix gram also collided; surviving pairs verify against full
+    // per-doc hash sets exactly as before (the verify arrays were
+    // already hashed). The rarity order (df asc, gram-hash) is still a
+    // common total order, which is all the pigeonhole recall bound
+    // needs.
+    val gramHashes = graft.functions.GraftExtensions.word_ngram_hash64(
+      tokens(col(textCol)), n, 0, XxHash64Family.tag)
+    val docsG = df
+      .select(col(idCol).as("id"), array_distinct(gramHashes).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .withColumn("n_sh", size(col("__gs")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = docsG.select(col("id"), col("n_sh"), explode(col("__gs")).as("g"))
     // Gram document-frequency as a map-side-combinable AGGREGATE, never
     // a per-gram window: a window partition is ONE task, so a corpus-
     // wide boilerplate gram (billions of rows at 100 TB) would funnel
@@ -379,9 +450,8 @@ object Dedup {
         max(col("__df")).as("max_gram_docs"))
     val gramDf = gramCounts.filter(col("__df") <= maxGramDocs)
     // Set size |S| counts ALL grams (pre-cap — it is the true Jaccard
-    // denominator), as its own map-side-combined aggregate joined back
-    // on id (the join's id exchange is then reused by the rank window).
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // denominator); it rides every sh row as a row-local column now,
+    // so no sizes aggregate or join exists.
     // With a cap, rows of over-cap grams are removed by a BROADCAST
     // anti-join before the g-shuffle — the hot gram's occurrence rows
     // (cap × overflow, billions at 100 TB for a boilerplate gram)
@@ -404,7 +474,6 @@ object Dedup {
     val byRarity = Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))
     val prefixes = shKept
       .join(gramDf, Seq("g"))
-      .join(sizes, Seq("id"))
       .withColumn("__r", row_number().over(byRarity))
       .filter(col("__r") <=
         col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
@@ -485,8 +554,9 @@ object Dedup {
     // of fat rows), while a shuffled hash join builds its table from
     // the gramSets side only (corpus/numPartitions rows per task,
     // ~10 MB here) and STREAMS the fat pair rows through unsorted.
-    val gramSets = sh.groupBy(col("id"))
-      .agg(collect_list(xxhash64(col("g"))).as("__gh"))
+    // The gram-set arrays ARE docsG's row-local __gs column — the
+    // collect_list aggregate (and its id exchange) is gone.
+    val gramSets = docsG.select(col("id"), col("__gs").as("__gh"))
       .hint("shuffle_hash")
     val common = cand
       .join(gramSets.select(col("id").as("id_a"), col("__gh").as("__ga")),
@@ -499,7 +569,7 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
     (common.filter(col("jaccard") >= threshold),
-      () => { sh.unpersist(); prefixes.unpersist(); () })
+      () => { docsG.unpersist(); prefixes.unpersist(); () })
   }
 
   /** EXACT n-gram Jaccard similarity join for the LOW-threshold regime:
@@ -562,24 +632,29 @@ object Dedup {
     require(targetPairsPerSalt > 0, "targetPairsPerSalt must be positive")
     val eps = 1e-9 // same one-ulp slack as the prefix path: only ADMITS
     // Hashed gram keys: the count path never needs gram TEXT — g is an
-    // opaque equi-join/df key — so the whole pipeline (distinct, df
-    // aggregates, the g-self-join and its sort) moves 8-byte longs
-    // instead of n-token strings. 100×-measured on the sf10 rehearsal;
-    // approximation contract in [[shingleHashRows]].
-    val sh = shingleHashRows(df, idCol, textCol, n)
-    // True set size rides every gram row via an id-window (partitions
-    // are bounded by a document's gram count — never a hot-gram funnel)
-    // so the size filter applies INSIDE the g-join and the count needs
-    // no post-hoc size joins over the (much larger) pair table.
-    val sized = sh.withColumn("n_sh",
-      count(lit(1)).over(Window.partitionBy(col("id"))))
+    // opaque equi-join/df key — so the whole pipeline (df aggregates,
+    // the g-self-join and its sort) moves 8-byte longs instead of
+    // n-token strings (approximation contract in [[shingleHashRows]]).
+    // The per-doc DISTINCT hash array is ROW-LOCAL (native
+    // WordNgramHash64 + codegen'd array_distinct in the scan task), so
+    // the shingleRows posexplode + window-lead doc-keyed token
+    // exchange AND the id-window that used to attach the true set
+    // size are both gone: n_sh = size of the distinct array, computed
+    // before the explode.
+    val gramHashes = graft.functions.GraftExtensions.word_ngram_hash64(
+      tokens(col(textCol)), n, 0, XxHash64Family.tag)
+    val sized = df
+      .select(col(idCol).as("id"), array_distinct(gramHashes).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .select(col("id"), size(col("__gs")).cast("long").as("n_sh"),
+        explode(col("__gs")).as("g"))
     val kept =
       if (maxGramDocs == Int.MaxValue && maxPairBudget == Long.MaxValue) sized
       else if (maxPairBudget == Long.MaxValue) {
         // Pigeonhole-bounded hot list (≤ |sh| / maxGramDocs grams), same
         // broadcast anti-join as the prefix path: over-cap occurrence
         // rows never ride the g-exchange.
-        val gramDf = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        val gramDf = sized.groupBy(col("g")).agg(count(lit(1)).as("__df"))
           .observe(s"jaccard_count_grams_${ObsId.next()}",
             sum(when(col("__df") > maxGramDocs, 1L).otherwise(0L))
               .as("dropped_grams"),
@@ -595,7 +670,7 @@ object Dedup {
         // is unbounded here (a budget-derived cutoff can be small —
         // |sh|/cutoff grams over it), so the broadcast anti-join shape
         // of the maxGramDocs path would not be safe.
-        val hist = sh.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        val hist = sized.groupBy(col("g")).agg(count(lit(1)).as("__df"))
           .groupBy(col("__df")).agg(count(lit(1)).as("__n"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         val plan = planPairBudget(hist, maxPairBudget, maxGramDocs)
@@ -1002,15 +1077,27 @@ object Dedup {
     * Scale shape: reference n-grams are distinct'd (benchmark-sized —
     * orders of magnitude smaller than the corpus, typically broadcast),
     * a LEFT SEMI join marks contaminated doc ids, a LEFT ANTI join
-    * removes them — corpus text rides no shuffle beyond its own shingle
-    * rows, and no pairwise comparison ever happens.
+    * removes them — corpus text rides NO shuffle at all: grams are
+    * born ROW-LOCAL as 64-bit hashed keys (native WordNgramHash64 +
+    * codegen'd array_distinct in the scan task — the shingleRows
+    * posexplode + window-lead pass shuffled every corpus token before
+    * a single gram existed), and the semi-join moves 8-byte longs.
+    * Hashed keys carry the [[shingleHashRows]] approximation contract:
+    * a cross-set 64-bit collision (~10⁻¹⁹ per gram pair) can flag a
+    * clean document — acceptable for a guard whose false-positive cost
+    * is one dropped document. Gram distinctness is per input ROW (the
+    * corpus contract: one row per document) — semi-join semantics make
+    * duplicate gram rows harmless anyway.
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refIdCol: String, refTextCol: String,
       n: Int): DataFrame = {
-    val corpusShingles = shingleRows(corpus, idCol, textCol, n)
-    val refShingles = shingleRows(reference, refIdCol, refTextCol, n)
-      .select(col("g")).distinct()
+    def grams(c: Column) = explode(array_distinct(
+      graft.functions.GraftExtensions.word_ngram_hash64(
+        tokens(c), n, 0, XxHash64Family.tag)))
+    val corpusShingles = corpus
+      .select(col(idCol).as("id"), grams(col(textCol)).as("g"))
+    val refShingles = reference.select(grams(col(refTextCol)).as("g")).distinct()
     val contaminated = corpusShingles
       .join(refShingles, Seq("g"), "left_semi")
       .select(col("id")).distinct()
@@ -1025,26 +1112,33 @@ object Dedup {
     *
     * Scale shape: one gram-keyed join (distinct reference grams on the
     * build side — eval suites are small, AQE broadcasts them) and one
-    * doc-keyed count aggregate; document bodies never ride a shuffle.
-    * Documents shorter than `n` tokens have no grams and are absent
-    * from the output (same domain rule as [[decontaminate]], which
-    * cannot flag them either).
+    * doc-keyed count aggregate; document bodies never ride a shuffle,
+    * and neither do tokens — grams are born ROW-LOCAL as 64-bit hashed
+    * keys (native WordNgramHash64 + codegen'd array_distinct; the
+    * shingleRows window-lead pass shuffled every corpus token). Hashed
+    * keys carry the [[shingleHashRows]] approximation contract (a
+    * cross-set collision inflates one doc's hit count by 1). Gram
+    * distinctness is per input ROW — the one-row-per-document corpus
+    * contract every caller here satisfies. Documents shorter than `n`
+    * tokens have no grams and are absent from the output (same domain
+    * rule as [[decontaminate]], which cannot flag them either).
     *
-    * STREAMING-READY: a streaming corpus takes the row-local shingle
-    * path ([[shingleRowsRowLocal]] — window lead is rejected on
-    * streams), the gram join becomes a stream-static join against the
-    * (always static) reference, and the per-doc count is a streaming
-    * aggregate — the continuous-ingest decontamination shape.
+    * STREAMING-READY by construction now: the row-local gram
+    * expression is stateless, the gram join is stream-static against
+    * the (always static) reference, and the per-doc count is a
+    * streaming aggregate — one code path for both modes.
     */
   def contaminationScore(corpus: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refIdCol: String, refTextCol: String,
       n: Int): DataFrame = {
     require(!reference.isStreaming, "the reference (benchmark) set must be static")
-    val corpusShingles =
-      if (corpus.isStreaming) shingleRowsRowLocal(corpus, idCol, textCol, n)
-      else shingleRows(corpus, idCol, textCol, n)
-    val refShingles = shingleRows(reference, refIdCol, refTextCol, n)
-      .select(col("g")).distinct().withColumn("__hit", lit(1))
+    def grams(c: Column) = explode(array_distinct(
+      graft.functions.GraftExtensions.word_ngram_hash64(
+        tokens(c), n, 0, XxHash64Family.tag)))
+    val corpusShingles = corpus
+      .select(col(idCol).as("id"), grams(col(textCol)).as("g"))
+    val refShingles = reference.select(grams(col(refTextCol)).as("g"))
+      .distinct().withColumn("__hit", lit(1))
     corpusShingles
       .join(refShingles, Seq("g"), "left")
       .groupBy(col("id"))
@@ -1456,7 +1550,7 @@ object Dedup {
       maxBucket: Int = 4096, family: HashFamily = XxHash64Family): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(shingleRows(corpus, idCol, textCol, n), numHashes, family)
+    val sig = minhashSignaturesLocal(corpus, idCol, textCol, n, numHashes, family)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => family.hashLongArray(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
@@ -1537,7 +1631,7 @@ object Dedup {
           "— different hash families never collide")
     }
     val rows = numHashes / bands
-    val sig = minhashSignatures(shingleRows(shard, idCol, textCol, n), numHashes, family)
+    val sig = minhashSignaturesLocal(shard, idCol, textCol, n, numHashes, family)
     val banded = sig.select(col("id").as("shard_id"), col("sig").as("__ssig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => family.hashLongArray(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))

@@ -59,22 +59,17 @@ object Dsir {
   }
 
   /** (id, __term) feature OCCURRENCE rows — the hot-path form of
-    * [[featureTerms]]: posexplode + window lead builds the bigrams
-    * (codegen'd column ops; the array-lambda form is interpreted and
-    * measured ~5× slower at bench scale). One doc-keyed window
-    * shuffle; the unigram leg rides the same exchange.
+    * [[featureTerms]]: tokens and bigrams are born ROW-LOCAL (native
+    * tokenize + n-gram in the scan task; term text byte-identical).
+    * The previous posexplode + window-lead spelling paid a doc-keyed
+    * exchange + sort of every corpus token to build bigram adjacency;
+    * no shuffle exists here at all.
     */
   def featureOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-        posexplode(Dedup.tokens(lowerRoot(col(textCol)))).as(Seq("__pos", "__tok")))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__pos"))
-    val withNext = toks.withColumn("__next", lead(col("__tok"), 1).over(byDoc))
-    val uni = withNext.select(col(idCol), col("__tok").as("__term"))
-    val bi = withNext.filter(col("__next").isNotNull)
-      .select(col(idCol),
-        concat(col("__tok"), lit(" "), col("__next")).as("__term"))
-    uni.unionByName(bi)
+    val tk = Dedup.tokens(lowerRoot(col(textCol)))
+    df.select(col(idCol),
+      explode(concat(tk,
+        graft.functions.GraftExtensions.word_ngrams(tk, 2))).as("__term"))
   }
 
   /** Per-document exact integer importance score: `milli_weight` =

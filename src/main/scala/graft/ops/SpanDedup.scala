@@ -114,7 +114,14 @@ object SpanDedup {
     * `StreamingCorpusSpec`).
     */
   def gramDocCounts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    gramStarts(df, idCol, textCol, n)
+    // Row-local gram arrays (the [[spanDocs]] audit shape — no
+    // window-lead token exchange; also STREAMING-safe, which the
+    // window form never was): per-row array_distinct stands in for
+    // the (gh, id) distinct's per-doc dedup, and the remaining
+    // cross-row distinct handles ids split over multiple rows.
+    spanDocs(df, idCol, textCol, n)
+      .select(col(idCol), explode(array_distinct(col("__gha"))).as("__gh"))
+      .filter(col("__gh").isNotNull)
       .select(col("__gh"), col(idCol)).distinct()
       .groupBy(col("__gh")).agg(count(lit(1)).as("n_docs"))
 

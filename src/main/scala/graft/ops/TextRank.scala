@@ -201,40 +201,36 @@ object TextRank {
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = Int.MaxValue, hotKeys: Int = 0): DataFrame = {
-    val toks = docs.select(col(idCol),
-        posexplode(split(lowerRoot(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__term")))
-      .filter(col("__term") =!= "")
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    // ONE tokenize + window pass persisted for all consumers (unigram
-    // counts, per-doc bigrams, corpus bigrams — each differently
-    // keyed, so exchange reuse cannot share them; the trigramCounts
-    // pattern, cache reclaimed by the context cleaner). The unigram
-    // leg reads the UNfiltered stream — the last token of each doc has
-    // a null __next but still counts.
-    val wt = toks
-      .withColumn("__next", lead(col("__term"), 1).over(byDoc))
+    // Tokens and bigrams are born ROW-LOCAL (native tokenize + n-gram
+    // in the scan task): the posexplode + window-lead spelling paid a
+    // doc-keyed exchange + sort of EVERY corpus token to build bigram
+    // adjacency. The token-array frame is persisted for the three
+    // differently-keyed consumers (per-doc bigrams, corpus bigrams,
+    // unigram counts — the trigramCounts pattern; cache reclaimed by
+    // the context cleaner). Alnum tokens can't contain spaces, so the
+    // "w1 w2" gram string IS the (w1, w2) key — joins key on it
+    // directly and __w1 re-derives for the unigram lookup.
+    val tkc = array_remove(
+      split(lowerRoot(col(textCol)), "[^a-z0-9]+"), "")
+    val base = docs.select(col(idCol), tkc.as("__tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val occ = wt
-      .filter(col("__next").isNotNull)
-      .select(col(idCol), col("__term").as("__w1"), col("__next").as("__w2"))
-    // Shuffle-free on top of the window: the id partitioning already
-    // clusters every (id, w1, w2) group.
-    val docBi = occ.groupBy(col(idCol), col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__n"))
-    val uniAll = wt.groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
+    val occ = base.select(col(idCol),
+      explode(graft.functions.GraftExtensions.word_ngrams(col("__tk"), 2)).as("__g"))
+    val docBi = occ.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+    val uniAll = base.select(explode(col("__tk")).as("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
     val uni =
       if (maxVocab == Int.MaxValue) uniAll
       else uniAll.orderBy(col("__c1").desc, col("__term")).limit(maxVocab)
     val vocabSize = uni.agg(count(lit(1)).as("__v"))
     // Corpus-wide bigram counts straight off the occurrence stream
-    // (map-side combined) — not a second aggregate stacked on docBi,
-    // which would run the tokenize+window pipeline with an extra
-    // hash-aggregate pass on its second evaluation.
-    val bi = occ.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
+    // (map-side combined).
+    val bi = occ.groupBy(col("__g")).agg(count(lit(1)).as("__c2"))
     val scored =
-      if (hotKeys > 0) SkewJoin.hotKeyJoin(docBi, bi, Seq("__w1", "__w2"), hotKeys)
-      else docBi.join(bi, Seq("__w1", "__w2"))
+      if (hotKeys > 0) SkewJoin.hotKeyJoin(docBi, bi, Seq("__g"), hotKeys)
+      else docBi.join(bi, Seq("__g"))
     scored
+      .withColumn("__w1", substring_index(col("__g"), " ", 1))
       .join(broadcast(uni.withColumnRenamed("__term", "__w1")), Seq("__w1"), "left")
       .crossJoin(broadcast(vocabSize))
       .groupBy(col(idCol))
@@ -271,7 +267,26 @@ object TextRank {
     * report `top_bigram_frac` 0.0 (they are NOT dropped); docs with no
     * tokens at all produce no row.
     */
-  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // ONE row-local native pass (see
+    // [[graft.functions.RepetitionSignals]]): per-document signals
+    // need no doc-keyed token exchange, no window lead, no count
+    // aggregates and no row_number winner pass — values (incl. the
+    // ties-to-greatest-bigram winner and the no-token absent-row rule)
+    // are pinned against the dataframe spelling in OpsSpec.
+    docs.select(col(idCol),
+        graft.functions.GraftExtensions.repetition_signals(col(textCol)).as("__rs"))
+      .filter(col("__rs").isNotNull)
+      .select(col(idCol),
+        col("__rs.top_bigram_frac").as("top_bigram_frac"),
+        col("__rs.dup_token_frac").as("dup_token_frac"))
+
+  /** The dataframe spelling of [[repetitionSignals]] — retained as the
+    * executable specification the native expression is pinned against
+    * (OpsSpec equality property); not a production path.
+    */
+  private[graft] def repetitionSignalsDf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), length(col(textCol)).as("__chars"),
         posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__tok")))
       .filter(col("__tok") =!= "")
@@ -363,45 +378,56 @@ object TextRank {
   final case class TrigramCounts(tri: DataFrame, big: DataFrame,
       uni: DataFrame, total: DataFrame)
 
-  private def tokStream(df: DataFrame, textCol: String, cols: Column*): DataFrame =
-    df.select(cols :+
-      posexplode(split(lowerRoot(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__t")): _*)
-      .filter(col("__t") =!= "")
+  /** The alnum token array of a text column, row-local (the
+    * `[^a-z0-9]+` split rule; array_remove drops the empty fragments
+    * the split leaves at separators — codegen'd, no filter lambda).
+    */
+  private def alnumTokens(textCol: String): Column =
+    array_remove(split(lowerRoot(col(textCol)), "[^a-z0-9]+"), "")
 
-  private def leadGrams(df: DataFrame, cols: Column*): DataFrame = {
-    val w = Window.partitionBy(cols: _*).orderBy(col("__pos"))
-    df.withColumn("__t2", lead(col("__t"), 1).over(w))
-      .withColumn("__t3", lead(col("__t"), 2).over(w))
-  }
+  /** Split a "w1 w2 …" gram string back into its token columns —
+    * exact, because alnum tokens cannot contain the space joiner.
+    */
+  private def gramPart(g: Column, i: Int): Column =
+    split(g, " ").getItem(i)
 
-  /** Fit [[TrigramCounts]] on a corpus: one tokenize + one window pass
-    * feeds all three count tables (unigram counts come straight off
-    * the token stream). Adjacency is PER DOCUMENT — the window
-    * partitions by the fit corpus's own id, so grams never span
-    * document boundaries and the window pass scales with documents,
-    * not corpus size.
+  /** Fit [[TrigramCounts]] on a corpus: tokens and grams are born
+    * ROW-LOCAL (native tokenize + n-gram in the scan task — the
+    * posexplode + window-lead pass shuffled every fit-corpus token
+    * doc-keyed before a single gram existed). Adjacency is PER
+    * DOCUMENT by construction (grams never span the row's token
+    * array). Gram keys travel as the "w1 w2 w3" text (byte-identical
+    * to the concat the window form produced) and split back into the
+    * count tables' token columns AFTER each aggregate — one split per
+    * DISTINCT gram, not per occurrence.
     */
   def trigramCounts(fit: DataFrame, idCol: String, textCol: String): TrigramCounts = {
-    // The occurrence stream is persisted so the four count tables share
-    // ONE tokenize + window pass — without it each table's first
-    // materialization re-runs the most expensive stage (up to 4× in a
-    // single scoring query; exchange reuse does not cover differently
-    // keyed aggregates). The cache is occurrence-scale: MEMORY_AND_DISK
-    // spills rather than evicts, and the context cleaner reclaims it
-    // with the plan. Fitting a reference corpus too large even to
-    // spill? Materialize the count tables to parquet once and reload —
-    // the artifact pattern (cf. minhashArtifact), which is the CCNet
-    // deployment shape anyway.
-    val ft = leadGrams(tokStream(fit, textCol, col(idCol)), col(idCol))
+    // The token-array frame is persisted so the four count tables share
+    // ONE tokenize pass — without it each table's first materialization
+    // re-runs the scan (exchange reuse does not cover differently
+    // keyed aggregates). MEMORY_AND_DISK spills rather than evicts;
+    // the context cleaner reclaims it with the plan. Fitting a
+    // reference corpus too large even to spill? Materialize the count
+    // tables to parquet once and reload — the artifact pattern
+    // (cf. minhashArtifact), which is the CCNet deployment shape anyway.
+    import graft.functions.GraftExtensions.word_ngrams
+    val ft = fit.select(alnumTokens(textCol).as("__tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = ft.filter(col("__t3").isNotNull)
-      .groupBy(col("__t").as("__w1"), col("__t2").as("__w2"), col("__t3").as("__w3"))
-      .agg(count(lit(1)).as("__c3"))
-    val big = ft.filter(col("__t2").isNotNull)
-      .groupBy(col("__t").as("__w1"), col("__t2").as("__w2"))
-      .agg(count(lit(1)).as("__c12"))
-    val uni = ft.groupBy(col("__t").as("__w")).agg(count(lit(1)).as("__cu"))
-    val total = ft.agg(count(lit(1)).as("__n"))
+    val tri = ft.select(explode(word_ngrams(col("__tk"), 3)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c3"))
+      .select(gramPart(col("__g"), 0).as("__w1"), gramPart(col("__g"), 1).as("__w2"),
+        gramPart(col("__g"), 2).as("__w3"), col("__c3"))
+    val big = ft.select(explode(word_ngrams(col("__tk"), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c12"))
+      .select(gramPart(col("__g"), 0).as("__w1"), gramPart(col("__g"), 1).as("__w2"),
+        col("__c12"))
+    val uni = ft.select(explode(col("__tk")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
+    // Total token count without exploding: Σ size(token array); null
+    // arrays (null text) contribute nothing, and an empty corpus is 0
+    // (the count() convention), not null.
+    val total = ft.agg(
+      coalesce(sum(size(col("__tk"))), lit(0L)).cast("long").as("__n"))
     TrigramCounts(tri, big, uni, total)
   }
 
@@ -431,11 +457,17 @@ object TextRank {
       textCol: String, alpha: Double = 0.4, hotKeys: Int = 0,
       maxVocab: Int = Int.MaxValue): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val st = leadGrams(tokStream(docs, textCol, col(idCol)), col(idCol))
-    val docTriRaw = st.filter(col("__t3").isNotNull)
-      .groupBy(col(idCol), col("__t").as("__w1"), col("__t2").as("__w2"),
-        col("__t3").as("__w3"))
-      .agg(count(lit(1)).as("__n3"))
+    // Row-local grams (see [[trigramCounts]]); the (doc, gram) count
+    // collapses occurrences before any join, then splits the gram text
+    // back into the join's token keys — per DISTINCT (doc, gram), not
+    // per occurrence.
+    val docTriRaw = docs.select(col(idCol),
+        explode(graft.functions.GraftExtensions.word_ngrams(
+          alnumTokens(textCol), 3)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n3"))
+      .select(col(idCol), gramPart(col("__g"), 0).as("__w1"),
+        gramPart(col("__g"), 1).as("__w2"), gramPart(col("__g"), 2).as("__w3"),
+        col("__n3"))
     val docTri =
       if (hotKeys > 0)
         docTriRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,64 +47,57 @@ object Vocab {
     * between vocabulary construction and sequence packing. Unknown
     * tokens map to `unkId` (0 by default; real ids are 1-based).
     *
-    * The vocab joins as a BROADCAST map (it is vocabSize rows by
-    * construction), so encoding is a row-local projection: explode →
-    * broadcast lookup → re-assemble in token order. Bodies shuffle
-    * once, keyed by document, to reassemble; at 100 TB the alternative
-    * (a driver-side dictionary UDF) would be the same shuffle-free
-    * plan but loses codegen — the join form keeps Catalyst in charge.
-    * Output: (idCol, token_ids array<bigint>, n_tokens, n_unk).
+    * ROW-LOCAL: the vocabulary is a driver artifact (vocabSize rows BY
+    * CONSTRUCTION — the same boundedness the previous broadcast join
+    * relied on) baked into one native expression as an O(1) hash map
+    * ([[graft.functions.VocabEncode]]), so the explode → broadcast
+    * lookup → collect_list/array_sort reassembly — and its doc-keyed
+    * exchange of every (pos, token_id) pair plus a per-document sort —
+    * never happens; documents are encoded in the scan task. Eagerly
+    * collects `vocab` (pass a materialized/cheap vocab frame — the
+    * artifact contract of [[Dedup.incrementalNearDupMatches]]).
+    * Output: (idCol, token_ids array<bigint>, n_tokens, n_unk); every
+    * input document keeps a row (empty/whitespace/null text carries
+    * ([], 0, 0) — coverage accounting must not lose documents).
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, unkId: Long = 0L): DataFrame = {
-    val toks = df
+    val enc = encodedStruct(df, textCol, vocab, unkId)
+    df.select(col(idCol), enc.as("__e"))
       .select(col(idCol),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "token")))
-      .filter(col("token") =!= "")
-    val encoded = toks
-      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
-      .withColumn("token_id", coalesce(col("token_id"), lit(unkId)))
-      .groupBy(col(idCol))
-      .agg(
-        transform(array_sort(collect_list(struct(col("__pos"), col("token_id")))),
-          s => s.getField("token_id")).as("token_ids"),
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("token_id") === unkId, 1L).otherwise(0L)).as("n_unk"))
-    // EVERY input document gets an output row: the exploded groupBy
-    // produces nothing for empty/whitespace/null text, which would
-    // silently lose those documents from downstream packing/accounting
-    // — they carry ([], 0, 0) instead.
-    df.select(col(idCol)).join(encoded, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("token_ids"), array().cast("array<bigint>")).as("token_ids"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
+        coalesce(col("__e.token_ids"), array().cast("array<bigint>")).as("token_ids"),
+        coalesce(col("__e.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("__e.n_unk"), lit(0L)).as("n_unk"))
   }
 
   /** Per-document OOV audit against a built vocabulary: token count,
     * in-vocab count, and OOV rate — the "how much of my corpus does
-    * this vocab cover" QA step. `vocab` is broadcast (it is vocabSize
-    * rows by construction); the join never shuffles the corpus.
+    * this vocab cover" QA step. Same row-local driver-artifact shape
+    * as [[encode]] (one expression, no join, no doc-keyed exchange);
+    * token-less documents keep a row (n_tokens 0, oov_rate null).
     */
   def oovStats(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
-    val toks = df
-      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
-    val stats = toks
-      .join(broadcast(vocab.select(col("token"), lit(1).as("__in_vocab"))),
-        Seq("token"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("__in_vocab"), lit(0))).as("n_in_vocab"))
-      .withColumn("oov_rate",
-        round((col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"), 4))
-    // Token-less documents keep a row (n_tokens 0, oov_rate null) —
-    // see [[encode]]: coverage accounting must not lose documents.
-    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+    val enc = encodedStruct(df, textCol, vocab, unkId = 0L)
+    df.select(col(idCol), enc.as("__e"))
       .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
-        col("oov_rate"))
+        coalesce(col("__e.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("__e.n_in_vocab"), lit(0L)).as("n_in_vocab"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          round((col("n_tokens") - col("n_in_vocab")).cast("double")
+            / col("n_tokens"), 4)))
+  }
+
+  /** The shared row-local encode column: null struct for null text
+    * (callers coalesce), ws_tokens tokenization (byte-equal to the
+    * trim+split+filter spelling).
+    */
+  private def encodedStruct(df: DataFrame, textCol: String,
+      vocab: DataFrame, unkId: Long): Column = {
+    val entries = vocab.select(col("token"), col("token_id").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.functions.GraftExtensions.vocab_encode(
+      graft.functions.GraftExtensions.ws_tokens(col(textCol)), entries, unkId)
   }
 }

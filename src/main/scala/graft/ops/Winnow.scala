@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
@@ -21,12 +20,11 @@ import org.apache.spark.sql.functions._
   * their single global minimum (never zero fingerprints for a tokenized
   * document); documents shorter than `n` tokens have no grams and none.
   *
-  * Everything is min/count window algebra over [[SpanDedup.positionedGrams]]
-  * — exact, engine-portable, oracle-checkable.
+  * Everything is row-local min algebra over the positioned md5 gram
+  * array — exact, engine-portable, oracle-checkable.
   *
-  * Scale shape: one doc-keyed shuffle (the positioned pass's window),
-  * then doc-local window min + distinct — map-side combinable, no
-  * corpus-wide key. Downstream, fingerprints feed the same machinery
+  * Scale shape: NO shuffle at all — tokenize, gram digests and window
+  * minima are one native pass in the scan task. Downstream, fingerprints feed the same machinery
   * as shingle signatures: groupBy fingerprint for cross-doc candidate
   * pairs, or set-similarity join ([[Dedup.minhashLshPairs]] shape).
   */
@@ -35,34 +33,25 @@ object Winnow {
   /** Distinct (id, fingerprint) rows; `fingerprint` is the md5 hex of
     * the selected n-gram. `n` = gram length in tokens, `w` = winnowing
     * window in grams.
+    *
+    * The whole selection is ROW-LOCAL now (native tokenize → positioned
+    * md5 gram array → [[graft.functions.WinnowFingerprints]] in the
+    * scan task): the previous form paid a doc-keyed token exchange +
+    * sort for the positioned pass, four window functions over it, and
+    * an (id, fingerprint) distinct exchange — all of which collapse
+    * into one per-row pass with byte-identical output (complete
+    * windows select their min; documents with fewer than w grams fall
+    * back to their global min; distinctness is per document, which IS
+    * per row under the one-row-per-document corpus contract).
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, w: Int = 4): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
     require(w >= 1, s"winnow window must be >= 1, got $w")
-    val grams = SpanDedup.positionedGrams(df, idCol, textCol, n)
-      .filter(col("__gh").isNotNull)
-    val ahead = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val byId = Window.partitionBy(col(idCol))
-    // complete windows select their min; short documents (< w grams
-    // in total ⇒ no complete window anywhere) fall back to the global
-    // min, which is exactly the widest prefix window's min. The
-    // fallback rides the SAME window pass (whole-doc count + min share
-    // the id partitioning — no sort of their own): a short doc emits
-    // its global min on every gram row and the distinct collapses
-    // them, which beats a second positioned-gram evaluation + union
-    // (the previous formulation ran the tokenize+window pipeline
-    // twice).
-    grams
-      .withColumn("__wmin", min(col("__gh")).over(ahead))
-      .withColumn("__wcnt", count(lit(1)).over(ahead))
-      .withColumn("__tot", count(lit(1)).over(byId))
-      .withColumn("__gmin", min(col("__gh")).over(byId))
-      .filter(col("__wcnt") === w || col("__tot") < w)
-      .select(col(idCol),
-        when(col("__tot") < w, col("__gmin"))
-          .otherwise(col("__wmin")).as("fingerprint"))
-      .distinct()
+    import graft.functions.GraftExtensions.{word_ngram_md5, winnow_fingerprints, ws_tokens}
+    df.select(col(idCol),
+        explode(winnow_fingerprints(
+          word_ngram_md5(ws_tokens(col(textCol)), n), w)).as("fingerprint"))
   }
 
   /** Cross-document candidate pairs: documents sharing at least

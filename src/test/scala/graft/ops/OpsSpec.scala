@@ -272,6 +272,99 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("word_ngrams equals the concat_ws transform/slice spelling") {
+    val texts = Seq(
+      (1L, null: String), (2L, ""), (3L, "a"), (4L, "a b c"),
+      (5L, "w1 w2 w3 w4 naïve 日本語 😀"), (6L, "dup dup dup"))
+      .toDF("doc_id", "text")
+    Seq(1, 2, 3).foreach { k =>
+      val tk = Dedup.tokens(col("text"))
+      val native = texts.select(col("doc_id"),
+        graft.functions.GraftExtensions.word_ngrams(tk, k).as("g"))
+        .as[(Long, Option[Seq[String]])].collect().toMap
+      val hof = texts.select(col("doc_id"),
+        when(tk.isNull, lit(null).cast("array<string>"))
+          .when(size(tk) >= k,
+            transform(sequence(lit(0), size(tk) - k),
+              i => concat_ws(" ", slice(tk, i + lit(1), lit(k)))))
+          .otherwise(array().cast("array<string>")).as("g"))
+        .as[(Long, Option[Seq[String]])].collect().toMap
+      assert(native == hof, s"k=$k")
+      assert(native(1L).isEmpty, "null text -> null gram array")
+    }
+  }
+
+  test("winnow fingerprints equal the window-algebra spelling over positioned grams") {
+    val texts = Seq(
+      (1L, null: String), (2L, ""), (3L, "a b c"), // n=4: too short, no grams
+      (4L, "a b c d"),                             // one gram < w: global min
+      (5L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),
+      (6L, Seq.tabulate(60)(i => s"t${i % 7}").mkString(" ")),
+      (7L, "x y z w x y z w x y z w"))
+      .toDF("doc_id", "text")
+    Seq((4, 4), (2, 3), (3, 1)).foreach { case (n, w) =>
+      val native = Winnow.fingerprints(texts, "doc_id", "text", n, w)
+        .as[(Long, String)].collect().toSet
+      // the pre-r11 window-algebra spelling, inlined as the spec
+      val grams = SpanDedup.positionedGrams(texts, "doc_id", "text", n)
+        .filter(col("__gh").isNotNull)
+      val ahead = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("__pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+      val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val spec = grams
+        .withColumn("__wmin", min(col("__gh")).over(ahead))
+        .withColumn("__wcnt", count(lit(1)).over(ahead))
+        .withColumn("__tot", count(lit(1)).over(byId))
+        .withColumn("__gmin", min(col("__gh")).over(byId))
+        .filter(col("__wcnt") === w || col("__tot") < w)
+        .select(col("doc_id"),
+          when(col("__tot") < w, col("__gmin"))
+            .otherwise(col("__wmin")).as("fingerprint"))
+        .distinct()
+        .as[(Long, String)].collect().toSet
+      assert(native == spec, s"n=$n, w=$w")
+    }
+  }
+
+  test("repetition signals equal the dataframe spelling incl. winner ties and absent rows") {
+    val texts = Seq(
+      (1L, null: String), (2L, ""), (3L, " \t "),   // no tokens -> no row
+      (4L, "one"),                                   // no bigram -> frac 0.0
+      (5L, "a b a b a b c"),
+      (6L, "z y z y x x"),                           // bigram tie -> greatest wins
+      (7L, "naïve 日本語 naïve 日本語 😀"),
+      (8L, Seq.tabulate(50)(i => s"t${i % 3}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val native = TextRank.repetitionSignals(texts, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().toSet
+    val spec = TextRank.repetitionSignalsDf(texts, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(native == spec)
+    assert(!native.exists(_._1 <= 3L), "token-less docs produce no row")
+  }
+
+  test("minhash_sig equals the shingleRows + min-aggregate signatures per family") {
+    val texts = Seq(
+      (1L, null: String), (2L, ""), (3L, "a b"), (4L, "a b c"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7 naïve 日本語"),
+      (6L, Seq.tabulate(120)(i => s"t${i % 13}").mkString(" ")),
+      (7L, "dup dup dup dup dup"))
+      .toDF("doc_id", "text")
+    Seq(XxHash64Family, Md5Family, Md5Mix32Family).foreach { fam =>
+      Seq((3, 32), (2, 16), (1, 8)).foreach { case (k, nh) =>
+        val agg = Dedup.minhashSignatures(
+          Dedup.shingleRows(texts, "doc_id", "text", k), nh, fam)
+          .as[(Long, Seq[Long])].collect().toMap
+        val local = Dedup.minhashSignaturesLocal(texts, "doc_id", "text", k, nh, fam)
+          .as[(Long, Seq[Long])].collect().toMap
+        assert(local == agg, s"family ${fam.tag}, n=$k, numHashes=$nh")
+        assert(!local.contains(1L) && !local.contains(2L),
+          "null/too-short docs yield no signature row in either form")
+      }
+    }
+  }
+
   test("word_ngram_md5 equals md5 of the space-joined gram text") {
     val texts = Seq((1L, "a b c d"), (2L, "x"), (3L, null: String),
       (4L, "naïve 日本語 😀 tail"))

@@ -85,15 +85,17 @@ class NewPlanSpec extends SparkSpec {
       val docs = (0 until 50).map(i => (i.toLong, s"the quick fox $i jumps")).toDF("id", "text")
       val plan = graft.ops.TextRank.bigramLogProb(docs, "id", "text")
         .queryExecution.executedPlan.toString
-      // The (w1, w2) scoring join must consume the per-doc aggregate —
-      // a HashAggregate keyed by (id, __w1, __w2) — not raw occurrence
-      // rows: that collapse is what bounds a hot stopword transition at
+      // The gram scoring join must consume the per-doc aggregate — a
+      // HashAggregate keyed by (id, gram) — not raw occurrence rows:
+      // that collapse is what bounds a hot stopword transition at
       // 100 TB (the residual join skew is NOT AQE-coverable — see the
       // VolumeStressSpec proof — and routes through hotKeys instead).
+      // Since r11 the gram key is the row-local "w1 w2" text (__g);
+      // the pre-r11 spelling was the (__w1, __w2) column pair.
       val aggKeyed = plan.split("\n").exists(l =>
-        l.contains("HashAggregate") && l.contains("__w1") && l.contains("__w2")
-          && l.contains("keys=") && l.contains("id"))
-      assert(aggKeyed, s"expected a (id, __w1, __w2)-keyed aggregate below the join:\n$plan")
+        l.contains("HashAggregate") && l.contains("keys=") && l.contains("id")
+          && (l.contains("__g") || (l.contains("__w1") && l.contains("__w2"))))
+      assert(aggKeyed, s"expected a (id, gram)-keyed aggregate below the join:\n$plan")
       // unigram vocabulary rides a broadcast, never the big shuffle
       assert(plan.contains("BroadcastHashJoin"), plan)
     }
