@@ -45,6 +45,38 @@ object CountMin {
       .withColumn("cm_family", lit(family.tag))
   }
 
+  /** [[sketch]] from a PRE-AGGREGATED (term, weight) frame instead of
+    * the raw occurrence stream: cell (r, c) accumulates sum(weight)
+    * over the terms hashing there — byte-identical cells to `sketch`
+    * over the stream those counts summarize (sum over occurrences ==
+    * sum over distinct × count; pinned in OpsSpec), at `depth` hash
+    * evaluations per DISTINCT term instead of per occurrence. The
+    * shape for callers that already paid the distinct-term aggregate
+    * (a heavy-hitter screen computes exact counts anyway): one corpus
+    * scan and one term-keyed shuffle feed both the exact top-k and the
+    * sketch, and the portable-but-expensive md5 families stop paying
+    * per-occurrence string hashing.
+    */
+  def sketchWeighted(counts: DataFrame, termCol: String, weightCol: String,
+      depth: Int, width: Int,
+      family: HashFamily = XxHash64Family): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth out of range (1..16)")
+    require(width >= 2, "width must be >= 2")
+    counts
+      .filter(col(termCol).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("cm_row"),
+        col(termCol), col(weightCol).cast("long").as("__w"))
+      .select(col("cm_row"),
+        pmod(family.hashString(0, concat(col("cm_row").cast("string"),
+          lit("#"), col(termCol))), lit(width.toLong)).as("cm_col"),
+        col("__w"))
+      .groupBy(col("cm_row"), col("cm_col"))
+      .agg(sum(col("__w")).as("cm_cnt"))
+      .withColumn("cm_depth", lit(depth))
+      .withColumn("cm_width", lit(width))
+      .withColumn("cm_family", lit(family.tag))
+  }
+
   /** Point-estimate the frequency of each candidate term: the MIN over
     * the sketch cells the term hashes into. Candidates are typically
     * few (a heavy-hitter shortlist) — their d-cell probe rows join the

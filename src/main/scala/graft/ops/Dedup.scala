@@ -1293,7 +1293,14 @@ object Dedup {
       k: Int, family: HashFamily = XxHash64Family): DataFrame = {
     require(k >= 2 && k <= 64, "substring window k out of range")
     val docs = tokenizedDocs(df, idCol, textCol)
+    // TWO consumers read the occurrence rows (the firsts aggregate and
+    // the probe side of its join back) and their subtrees differ, so
+    // exchange reuse cannot share them — unpersisted, the scan +
+    // tokenize + gram-hash pipeline runs twice. Persist the (id, p, gh)
+    // rows; MEMORY_AND_DISK spills rather than OOMs at cluster scale
+    // (the minhashLshPairs pattern).
     val occ = positionedGramOcc(docs, k, family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     coverAndRewrite(docs, nonFirstOccurrences(occ), k)
   }
 
@@ -1418,7 +1425,11 @@ object Dedup {
           s"(k=$k, family=${family.tag}) — different hash families never collide")
     }
     val docs = tokenizedDocs(shard, idCol, textCol)
+    // THREE consumers (the artifact semi-join and both sides of the
+    // within-shard first-occurrence pass) — persist the narrow
+    // occurrence rows, as in [[substringDedup]].
     val occ = positionedGramOcc(docs, k, family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusHit = occ.join(artifact.select(col("gh")), Seq("gh"), "left_semi")
       .select(col("id"), col("p"))
     val marked = corpusHit.unionByName(nonFirstOccurrences(occ)).distinct()

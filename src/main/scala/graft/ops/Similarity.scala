@@ -521,8 +521,17 @@ object Similarity {
     // alternative — vectors through the (t, bucket) exchange — was
     // measured 3× slower even at sf0.1). The bucket-size cap is ONE
     // aggregate + semi-join, exactly the minhashLshPairs shape.
+    // THREE consumers read the banded rows (the cap aggregate, and both
+    // sides of the collision self-join): unpersisted, each one re-runs
+    // the corpus scan AND the sketch expression — at planned shapes the
+    // sketch is tables × bits × dim multiply-adds per vector, the
+    // dominant cost of the whole query (the sf10 before-plan evaluates
+    // it 3×). Persist the NARROW (id, table, bucket) rows instead —
+    // the vectors never enter the cache; MEMORY_AND_DISK spills rather
+    // than OOMs at cluster scale (the minhashLshPairs pattern).
     val banded = base.select(col("neighbor_id"),
       posexplode(bucketsArray(col("__v"))).as(Seq("__t", "__bk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // n_buckets rides the same observation so the VACUOUS-RUN condition
     // — dropped_buckets == n_buckets, i.e. the cap silently discarded
     // 100% of buckets and the "result" is an empty frame that means

@@ -166,14 +166,20 @@ object SpanDedup {
     * single spaces; null when nothing survives — including documents
     * with no tokens at all).
     *
-    * This form recomputes the positioned pass for each of its two
-    * consumers — zero memory pressure, two source scans. When the
-    * source scan dominates (wide rows, remote storage), use
-    * [[auditManaged]] to pin the positioned stream instead.
+    * FOUR consumers read the [[spanDocs]] frame (the dup-gram counts,
+    * the coverage semi-join's probe side, the duplicate-id guard and
+    * the final rebuild join) and each one re-runs the scan + tokenize
+    * + per-position md5 gram pass — the dominant per-row cost of the
+    * whole audit. The frame is persisted (MEMORY_AND_DISK — spills
+    * rather than OOMs at cluster scale, the minhashLshPairs pattern;
+    * released by the context cleaner on plan GC). [[auditManaged]]
+    * additionally hands back an explicit release thunk for long-lived
+    * sessions.
     */
   def audit(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
     val docs = spanDocs(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     auditFromDocs(docs, idCol, n, occ => duplicatedGrams(occ, idCol, minDocs))
   }
 

@@ -239,10 +239,11 @@ object CorpusOps {
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
     val g = graft.ops.GopherRules.filterQuality(docs, "text", gopherT)
     val c = graft.ops.C4Rules.clean(g, "text", c4Conf)
-    // plain audit recomputes the Gopher+C4 chain for each of span
-    // dedup's two passes — the right call for the harness's one-shot
-    // read; a long pipeline materializing the result would pin via
-    // SpanDedup.auditManaged and release after the write.
+    // audit pins its row-local document frame internally now, so the
+    // Gopher+C4 chain upstream of it runs ONCE for all four of the
+    // audit's consumers; a long-lived pipeline that wants the cache
+    // released eagerly (not by the context cleaner) uses
+    // SpanDedup.auditManaged and calls the thunk after the write.
     graft.ops.SpanDedup.audit(c, "doc_id", "text", n = 3, minDocs = 2)
       .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
         col("clean_text").as("final_text"))

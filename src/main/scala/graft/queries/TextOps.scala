@@ -806,16 +806,23 @@ object TextOps {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val stream = graft.ops.CountMin.ngramStream(docs, "doc_id", "text", n = 2)
-    // the exact top-20 is collected to a LITERAL frame: it seeds both
-    // the estimate probe and the final join, and as a plan subtree it
-    // would re-run the tokenize+lead+aggregate pass once per consumer
-    // (the sketch pass below is then the only other full-stream scan)
-    val exactRows = graft.ops.CountMin
-      .topKNgrams(docs, "doc_id", "text", n = 2, k = 20)
+    // ONE stream scan + ONE gram-keyed aggregate feed BOTH halves: the
+    // exact counts the top-k screen needs anyway seed the sketch as a
+    // weighted build (byte-identical cells — sum over occurrences ==
+    // sum over distinct × count), so the portable md5 family hashes
+    // each DISTINCT gram once instead of every occurrence, and the
+    // tokenize pass stops running twice. The exact top-20 is collected
+    // to a LITERAL frame: it seeds both the estimate probe and the
+    // final join, and as a plan subtree it would re-run the aggregate
+    // once per consumer.
+    val counts = stream.groupBy(col("g")).agg(count(lit(1)).as("exact_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactRows = counts
+      .orderBy(col("exact_n").desc, col("g")).limit(20)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val exact = exactRows.toSeq.toDF("g", "exact_n")
-    val sk = graft.ops.CountMin.sketch(stream, "g", depth = 4, width = 1024,
-      family = graft.ops.Md5Family)
+    val sk = graft.ops.CountMin.sketchWeighted(counts, "g", "exact_n",
+      depth = 4, width = 1024, family = graft.ops.Md5Family)
     val est = graft.ops.CountMin.estimate(sk, exact.select("g"), "g",
       depth = 4, width = 1024, family = graft.ops.Md5Family)
     exact.join(est, Seq("g"))

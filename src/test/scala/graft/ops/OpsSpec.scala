@@ -885,6 +885,24 @@ class OpsSpec extends SparkSpec {
     assert(est == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("count-min weighted sketch equals the occurrence-stream sketch cell-for-cell") {
+    // sketchWeighted over (term, count) must be byte-identical to
+    // sketch over the stream those counts summarize — the equivalence
+    // the text_ngram_topk shared-aggregate rewrite rests on. Both
+    // families (cheap xxhash64, portable md5) and repeated terms
+    // across docs are covered.
+    val docs = Seq((1L, "a b a b c"), (2L, "b c c a"), (3L, "")).toDF("doc_id", "text")
+    val stream = CountMin.ngramStream(docs, "doc_id", "text", n = 2)
+    val counts = stream.groupBy(col("g")).agg(count(lit(1)).as("w"))
+    for (fam <- Seq(XxHash64Family: HashFamily, Md5Family: HashFamily)) {
+      val full = CountMin.sketch(stream, "g", depth = 4, width = 32, fam)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val wtd = CountMin.sketchWeighted(counts, "g", "w", depth = 4, width = 32, fam)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(wtd == full, s"family ${fam.tag}")
+    }
+  }
+
   test("rrf fusion breaks score ties by id deterministically") {
     val a = Seq((10L, 5.0), (2L, 5.0), (7L, 5.0)).toDF("id", "score")
     val b = Seq((7L, 1.0), (2L, 1.0)).toDF("id", "score")
