@@ -521,17 +521,19 @@ object Similarity {
     // alternative — vectors through the (t, bucket) exchange — was
     // measured 3× slower even at sf0.1). The bucket-size cap is ONE
     // aggregate + semi-join, exactly the minhashLshPairs shape.
-    // THREE consumers read the banded rows (the cap aggregate, and both
-    // sides of the collision self-join): unpersisted, each one re-runs
-    // the corpus scan AND the sketch expression — at planned shapes the
-    // sketch is tables × bits × dim multiply-adds per vector, the
-    // dominant cost of the whole query (the sf10 before-plan evaluates
-    // it 3×). Persist the NARROW (id, table, bucket) rows instead —
-    // the vectors never enter the cache; MEMORY_AND_DISK spills rather
-    // than OOMs at cluster scale (the minhashLshPairs pattern).
+    // Deliberately UNPERSISTED (measured both ways at the 100×
+    // rehearsal, r11): the banded rows have three static consumers (the
+    // cap aggregate and both sides of the collision self-join), but the
+    // self-join's sides are identical subtrees that runtime exchange
+    // reuse deduplicates, so the sketch evaluates ~2×, not 3× — and at
+    // planned sf10 shapes the query's cost lives in the ~100 M-row
+    // candidate self-join and the two vector pulls, not the sketch.
+    // Caching the ~(corpus × tables) banded rows measured 224.0 s vs
+    // 228.7 s unpersisted (isolated, fresh JVMs) — indistinguishable,
+    // so the simpler shape without cache-memory pressure inside the
+    // giant joins wins.
     val banded = base.select(col("neighbor_id"),
       posexplode(bucketsArray(col("__v"))).as(Seq("__t", "__bk")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // n_buckets rides the same observation so the VACUOUS-RUN condition
     // — dropped_buckets == n_buckets, i.e. the cap silently discarded
     // 100% of buckets and the "result" is an empty frame that means

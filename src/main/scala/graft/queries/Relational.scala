@@ -353,10 +353,17 @@ object Relational {
   // breaks the hash-match instead of hiding in a rows-only check.
   private val qApprox: Q = (s, dir) => {
     val l = li(s, dir)
+    // TWO consumers (the rank-fraction join below and the final join)
+    // would each re-run this whole aggregate — and its exact
+    // count_distinct is the query's dominant cost (the distinct
+    // expansion over every lineitem row; measured as ~half the 82 s
+    // sf10 row). The frame is ≤ |returnflag| rows: persist it so the
+    // exact/approx pass runs once.
     val agg = l.groupBy(col("l_returnflag")).agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("__approx_parts"),
       count_distinct(col("l_partkey")).as("exact_parts"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__approx_median"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranks = l
       .join(agg.select(col("l_returnflag"), col("__approx_median")), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
