@@ -168,6 +168,11 @@ object Bench {
           case Left(e) => System.err.println(s"[bench] warmup $name FAILED: $e")
           case Right(_) => ()
         }
+        // Drop this query's cached frames before the next warmup query:
+        // without it ~20 persist-bearing queries' caches accumulate over
+        // the sweep and squeeze execution memory (see the timed-pass
+        // clear below for the timing-honesty half of this).
+        spark.catalog.clearCache()
         System.gc()
       }
     }
@@ -194,7 +199,21 @@ object Bench {
       } else {
         System.err.println(s"[bench] timing $name")
         currentQuery = name
-        val runs = (1 to passes).map(_ => runOne(fn))
+        // CACHE HONESTY: a `.persist()` inside a query function registers
+        // its plan in Spark's CacheManager, which holds it until an
+        // explicit unpersist/clearCache — NOT until plan GC. Without this
+        // clear, (a) the untimed warmup pre-populates every persist, so
+        // the timed passes measure the WARM cost of persist-bearing
+        // queries (k-consumers→1-compute wins read inflated), and (b)
+        // ~20 cached frames accumulate across the suite and squeeze
+        // execution memory for every later query. Clearing BEFORE each
+        // timed pass (outside the timed region) makes every pass one
+        // cold end-to-end execution from parquet, including the pass's
+        // own in-execution reuse — the honest quantity.
+        val runs = (1 to passes).map { _ =>
+          spark.catalog.clearCache()
+          runOne(fn)
+        }
         var vac = drainVacuous(name)
         if (vac.isEmpty && emptyFinalQ.remove(name)) {
           // The final plan was empty-propagated, so any cap observation

@@ -28,6 +28,10 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
+      // Same cache honesty as Bench: drop CacheManager entries so each
+      // run is one cold end-to-end execution (a persist-bearing query
+      // would otherwise time warm from run 2 on).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink, same action as Bench: count() lets Catalyst prune
       // columns and whole join subtrees, so it can time a fraction of
