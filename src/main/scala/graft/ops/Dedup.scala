@@ -957,43 +957,154 @@ object Dedup {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
     }
-    // Each sweep is eagerly localCheckpoint'ed: iterative plans
-    // otherwise nest the whole previous plan into the next (lineage
-    // grows exponentially — analysis alone OOMs after ~10 sweeps).
-    // Truncating lineage per iteration is THE standard Spark shape for
-    // label propagation; on a real cluster this would be a reliable
-    // checkpoint dir instead of executor-local blocks.
-    try {
-    var labels = edges.select(col("src").as("id"), col("src").as("component"))
-      .union(edges.select(col("dst").as("id"), col("dst").as("component")))
-      .groupBy(col("id")).agg(min(col("component")).as("component"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      // One sweep = neighbor-min propagation PLUS pointer jumping
-      // (follow own label's label): jumping halves the remaining
-      // diameter each sweep, so convergence takes O(log d) sweeps —
-      // at cluster scale the per-sweep job overhead, not the data,
-      // is the cost to minimize.
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("component"))
-      val viaJump = labels.select(col("id"), col("component").as("__via"))
-        .join(labels.select(col("id").as("__via"), col("component")), Seq("__via"))
-        .select(col("id"), col("component"))
-      val next = labels.union(viaNeighbors).union(viaJump)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
-        .filter(col("component") =!= col("__old")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+    // Distributed regime: CONTRACT-THEN-SOLVE. Each contraction round
+    // hash-partitions the current edge set by src, runs a per-partition
+    // union-find, and replaces the partition's edges with an equivalent
+    // spanning STAR (node -> partition-local min of its component) —
+    // connectivity over the full node universe is preserved exactly
+    // (every endpoint reappears as a star src), while the edge count
+    // drops toward the node count. A few rounds reduce even a dense
+    // pair graph (the sf10 rehearsal: 22 M symmetric edge rows over
+    // 200 k nodes) to driver-collectable size in 1 shuffle + 1 count
+    // per round, versus the former min-label-propagation loop's ~6
+    // sweeps x (3 joins + localCheckpoint + convergence count) each.
+    // If contraction stalls above `driverEdgeLimit` (node count alone
+    // exceeds it, or `driverEdgeLimit` is forced to 0), the classic
+    // sweep loop runs on the CONTRACTED graph, where star diameter
+    // makes it converge in O(1) sweeps.
+    val spark2 = spark
+    import org.apache.spark.sql.{Row => SRow}
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src", idType),
+      org.apache.spark.sql.types.StructField("dst", idType)))
+    def contractStars(e: DataFrame): DataFrame = {
+      val contracted = e.repartition(col("src")).rdd.mapPartitions { it =>
+        import scala.collection.mutable
+        val parent = mutable.HashMap.empty[Any, Any]
+        val nodes = mutable.LinkedHashSet.empty[Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { r =>
+          val (a, b) = (r.get(0), r.get(1))
+          nodes += a; nodes += b
+          val (ra, rb) = (find(a), find(b))
+          // union-by-min keeps each set's root == its minimum id, so
+          // find() below yields the partition-local min label directly
+          if (ra != rb) { if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb }
+        }
+        nodes.iterator.map(n => SRow(n, find(n)))
+      }
+      spark2.createDataFrame(contracted, rowSchema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    edges.unpersist()
-    labels
-    } catch { case e: Throwable => edges.unpersist(); throw e }
+    // The classic min-label propagation + pointer-jumping sweep, kept
+    // as the no-driver-solve fallback. Each sweep is eagerly
+    // localCheckpoint'ed: iterative plans otherwise nest the whole
+    // previous plan into the next (lineage grows exponentially —
+    // analysis alone OOMs after ~10 sweeps). On a real cluster this
+    // would be a reliable checkpoint dir instead of executor-local
+    // blocks.
+    def sweepSolve(oneDir: DataFrame): DataFrame = {
+      val sym = oneDir
+        .union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var labels = sym.select(col("src").as("id"), col("src").as("component"))
+          .union(sym.select(col("dst").as("id"), col("dst").as("component")))
+          .groupBy(col("id")).agg(min(col("component")).as("component"))
+          .localCheckpoint(true)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIters) {
+          val viaNeighbors = sym
+            .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+            .select(col("src").as("id"), col("component"))
+          val viaJump = labels.select(col("id"), col("component").as("__via"))
+            .join(labels.select(col("id").as("__via"), col("component")), Seq("__via"))
+            .select(col("id"), col("component"))
+          val next = labels.union(viaNeighbors).union(viaJump)
+            .groupBy(col("id")).agg(min(col("component")).as("component"))
+            .localCheckpoint(true)
+          val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+            .filter(col("component") =!= col("__old")).limit(1).count()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        sym.unpersist()
+        labels
+      } catch { case e: Throwable => sym.unpersist(); throw e }
+    }
+    try {
+      var cur = edges
+      var curCnt = edgeCount
+      var ownsCur = false // `edges` is unpersisted by the shared finally-style handlers
+      var round = 0
+      var shrinking = true
+      while (curCnt > driverEdgeLimit && shrinking && round < 8) {
+        val next = contractStars(cur)
+        val nextCnt =
+          try next.count()
+          catch { case e: Throwable =>
+            next.unpersist(); if (ownsCur) cur.unpersist(); throw e }
+        if (ownsCur) cur.unpersist() else edges.unpersist()
+        // require a meaningful shrink: star edges of an already-sparse
+        // graph can match or exceed its edge count, at which point more
+        // rounds only add jobs
+        shrinking = nextCnt < (curCnt * 7) / 10
+        cur = next; curCnt = nextCnt; ownsCur = true; round += 1
+      }
+      if (curCnt <= driverEdgeLimit) {
+        // Solve the contracted graph on the driver. Unlike the
+        // broadcast-sized fast path above, every edge endpoint counts
+        // as a node (matching the sweep regime's label universe this
+        // path replaces — star self-edges keep their node alive).
+        import scala.collection.mutable
+        val parent = mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val collected =
+          try cur.collect().map(r => (r.get(0), r.get(1)))
+          catch { case e: Throwable => cur.unpersist(); throw e }
+        cur.unpersist()
+        val nodes = mutable.LinkedHashSet.empty[Any]
+        collected.foreach { case (a, b) =>
+          nodes += a; nodes += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb }
+        }
+        val rows = nodes.iterator.map(n => SRow(n, find(n))).toSeq
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, math.max(1, rows.size / 500000)),
+          schema)
+      } else {
+        // contraction plateaued above the driver limit — sweep the
+        // (smaller) contracted graph; stars converge in O(1) sweeps
+        val out =
+          try sweepSolve(cur)
+          catch { case e: Throwable => if (ownsCur) cur.unpersist(); throw e }
+        if (ownsCur) cur.unpersist()
+        out
+      }
+    } catch { case e: Throwable =>
+      // `edges` may already be unpersisted by the round-1 handoff above;
+      // a second unpersist is a no-op, never an error
+      edges.unpersist(); throw e
+    }
   }
 
   /** End-to-end near-duplicate REMOVAL: the glue from any pair source

@@ -650,6 +650,20 @@ class OpsSpec extends SparkSpec {
     val cc2 = Dedup.connectedComponents(chain, driverEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(cc2.values.toSet == Set(1L) && cc2.size == 12)
+    // contract-then-solve regime: 22 symmetric edges exceed the gate,
+    // one star-contraction round reduces below it, driver solves the
+    // contracted graph — all 12 nodes must survive with the chain min
+    val cc3 = Dedup.connectedComponents(chain, driverEdgeLimit = 15L)
+      .as[(Long, Long)].collect().toMap
+    assert(cc3.values.toSet == Set(1L) && cc3.size == 12)
+    // and a multi-component graph through the same regime keeps
+    // components separate (no cross-partition label bleed)
+    val multi = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 23L))).toDF("id_a", "id_b")
+    val cc4 = Dedup.connectedComponents(multi, driverEdgeLimit = 9L)
+      .as[(Long, Long)].collect().toMap
+    assert(cc4 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
   test("connected components keeps Long ids distinct above 2^53") {
