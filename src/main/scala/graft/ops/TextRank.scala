@@ -204,28 +204,41 @@ object TextRank {
     // Tokens and bigrams are born ROW-LOCAL (native tokenize + n-gram
     // in the scan task): the posexplode + window-lead spelling paid a
     // doc-keyed exchange + sort of EVERY corpus token to build bigram
-    // adjacency. The token-array frame is persisted for the three
-    // differently-keyed consumers (per-doc bigrams, corpus bigrams,
-    // unigram counts — the trigramCounts pattern; cache reclaimed by
-    // the context cleaner). Alnum tokens can't contain spaces, so the
-    // "w1 w2" gram string IS the (w1, w2) key — joins key on it
-    // directly and __w1 re-derives for the unigram lookup.
+    // adjacency. Alnum tokens can't contain spaces, so the "w1 w2"
+    // gram string IS the (w1, w2) key — joins key on it directly and
+    // __w1 re-derives for the unigram lookup.
+    //
+    // ONE tokenize pass, ONE occurrence aggregate: bigrams and
+    // unigrams travel as a single exploded gram column (the gram text
+    // distinguishes its order — a bigram carries the space joiner, a
+    // token never can), collapsed once by (doc, gram). The corpus
+    // bigram table is the doc-count SUM (exactly the oracle's own
+    // `bi AS (SELECT …, sum(n) FROM docbi GROUP BY w1, w2)` algebra)
+    // and the unigram table the same over the token rows — so the
+    // corpus-sized token-array persist of the previous spelling is
+    // replaced by a cache of the already-collapsed (doc, gram, n)
+    // frame, and the scan+tokenize+explode pipeline runs once per
+    // action instead of three times.
     val tkc = array_remove(
       split(lowerRoot(col(textCol)), "[^a-z0-9]+"), "")
-    val base = docs.select(col(idCol), tkc.as("__tk"))
+    val docGrams = docs.select(col(idCol), tkc.as("__tk"))
+      .select(col(idCol), explode(concat(
+        graft.functions.GraftExtensions.word_ngrams(col("__tk"), 2),
+        col("__tk"))).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val occ = base.select(col(idCol),
-      explode(graft.functions.GraftExtensions.word_ngrams(col("__tk"), 2)).as("__g"))
-    val docBi = occ.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
-    val uniAll = base.select(explode(col("__tk")).as("__term"))
-      .groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
+    val order = size(split(col("__g"), " "))
+    val docBi = docGrams.filter(order === 2)
+    val uniAll = docGrams.filter(order === 1)
+      .groupBy(col("__g")).agg(sum(col("__n")).as("__c1"))
+      .withColumnRenamed("__g", "__term")
     val uni =
       if (maxVocab == Int.MaxValue) uniAll
       else uniAll.orderBy(col("__c1").desc, col("__term")).limit(maxVocab)
     val vocabSize = uni.agg(count(lit(1)).as("__v"))
-    // Corpus-wide bigram counts straight off the occurrence stream
-    // (map-side combined).
-    val bi = occ.groupBy(col("__g")).agg(count(lit(1)).as("__c2"))
+    // Corpus-wide bigram counts: doc-count sums off the cached frame
+    // (identical integers to counting raw occurrences).
+    val bi = docBi.groupBy(col("__g")).agg(sum(col("__n")).as("__c2"))
     val scored =
       if (hotKeys > 0) SkewJoin.hotKeyJoin(docBi, bi, Seq("__g"), hotKeys)
       else docBi.join(bi, Seq("__g"))
@@ -402,32 +415,43 @@ object TextRank {
     * DISTINCT gram, not per occurrence.
     */
   def trigramCounts(fit: DataFrame, idCol: String, textCol: String): TrigramCounts = {
-    // The token-array frame is persisted so the four count tables share
-    // ONE tokenize pass — without it each table's first materialization
-    // re-runs the scan (exchange reuse does not cover differently
-    // keyed aggregates). MEMORY_AND_DISK spills rather than evicts;
-    // the context cleaner reclaims it with the plan. Fitting a
-    // reference corpus too large even to spill? Materialize the count
-    // tables to parquet once and reload — the artifact pattern
-    // (cf. minhashArtifact), which is the CCNet deployment shape anyway.
+    // ONE gram stream, ONE aggregate: each row's tri-, bi-, and
+    // uni-gram multisets travel as a single exploded column, and the
+    // gram TEXT recovers the order exactly (alnum tokens cannot
+    // contain the space joiner — a trigram carries two spaces, a
+    // bigram one, a unigram none). This replaces three differently-
+    // keyed aggregates over three re-reads of a persisted token-array
+    // frame with one gram-keyed aggregate, and what is persisted for
+    // the four consumers is the DISTINCT-gram count table — orders of
+    // magnitude smaller than every document's token array. The corpus
+    // token total is the unigram-count sum, so the fourth pass over
+    // the cache disappears too. Per-gram multiplicities are integers
+    // and identical by construction, so all four tables are byte-
+    // identical to the separate-aggregate spelling. Fitting a
+    // reference corpus whose distinct grams won't even spill?
+    // Materialize the count tables to parquet once and reload — the
+    // artifact pattern (cf. minhashArtifact), which is the CCNet
+    // deployment shape anyway.
     import graft.functions.GraftExtensions.word_ngrams
-    val ft = fit.select(alnumTokens(textCol).as("__tk"))
+    val grams = fit.select(alnumTokens(textCol).as("__tk"))
+      .select(explode(concat(word_ngrams(col("__tk"), 3),
+        word_ngrams(col("__tk"), 2), col("__tk"))).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = ft.select(explode(word_ngrams(col("__tk"), 3)).as("__g"))
-      .groupBy(col("__g")).agg(count(lit(1)).as("__c3"))
+    // gram order = token count of the gram text (exact: see above)
+    val order = size(split(col("__g"), " "))
+    val tri = grams.filter(order === 3)
       .select(gramPart(col("__g"), 0).as("__w1"), gramPart(col("__g"), 1).as("__w2"),
-        gramPart(col("__g"), 2).as("__w3"), col("__c3"))
-    val big = ft.select(explode(word_ngrams(col("__tk"), 2)).as("__g"))
-      .groupBy(col("__g")).agg(count(lit(1)).as("__c12"))
+        gramPart(col("__g"), 2).as("__w3"), col("__c").as("__c3"))
+    val big = grams.filter(order === 2)
       .select(gramPart(col("__g"), 0).as("__w1"), gramPart(col("__g"), 1).as("__w2"),
-        col("__c12"))
-    val uni = ft.select(explode(col("__tk")).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
-    // Total token count without exploding: Σ size(token array); null
-    // arrays (null text) contribute nothing, and an empty corpus is 0
+        col("__c").as("__c12"))
+    val uni = grams.filter(order === 1)
+      .select(col("__g").as("__w"), col("__c").as("__cu"))
+    // Σ unigram counts = corpus token total; an empty corpus is 0
     // (the count() convention), not null.
-    val total = ft.agg(
-      coalesce(sum(size(col("__tk"))), lit(0L)).cast("long").as("__n"))
+    val total = uni.agg(
+      coalesce(sum(col("__cu")), lit(0L)).cast("long").as("__n"))
     TrigramCounts(tri, big, uni, total)
   }
 
