@@ -204,41 +204,42 @@ object TextRank {
     // Tokens and bigrams are born ROW-LOCAL (native tokenize + n-gram
     // in the scan task): the posexplode + window-lead spelling paid a
     // doc-keyed exchange + sort of EVERY corpus token to build bigram
-    // adjacency. Alnum tokens can't contain spaces, so the "w1 w2"
-    // gram string IS the (w1, w2) key — joins key on it directly and
-    // __w1 re-derives for the unigram lookup.
+    // adjacency. The token-array frame is persisted for the three
+    // differently-keyed consumers (per-doc bigrams, corpus bigrams,
+    // unigram counts; cache reclaimed by the context cleaner). Alnum
+    // tokens can't contain spaces, so the "w1 w2" gram string IS the
+    // (w1, w2) key — joins key on it directly and __w1 re-derives for
+    // the unigram lookup.
     //
-    // ONE tokenize pass, ONE occurrence aggregate: bigrams and
-    // unigrams travel as a single exploded gram column (the gram text
-    // distinguishes its order — a bigram carries the space joiner, a
-    // token never can), collapsed once by (doc, gram). The corpus
-    // bigram table is the doc-count SUM (exactly the oracle's own
-    // `bi AS (SELECT …, sum(n) FROM docbi GROUP BY w1, w2)` algebra)
-    // and the unigram table the same over the token rows — so the
-    // corpus-sized token-array persist of the previous spelling is
-    // replaced by a cache of the already-collapsed (doc, gram, n)
-    // frame, and the scan+tokenize+explode pipeline runs once per
-    // action instead of three times.
+    // TWO rewrites of this three-aggregate shape were MEASURED SLOWER
+    // this round and rejected (OPTIMIZATION_r12.md, guide §1):
+    //  (a) folding unigrams into one doc-keyed gram aggregate —
+    //      per-(doc, term) rows defeat the map-side collapse the
+    //      term-keyed unigram aggregate gets (text_bigram_lm
+    //      1.05 → 1.92 s sf0.1);
+    //  (b) deriving the corpus bigram table as docBi.groupBy(sum) —
+    //      the oracle's own algebra, but it stacks a second full-volume
+    //      (doc, gram)-keyed exchange under the count table's broadcast
+    //      and the expected runtime exchange reuse did not pay for it
+    //      (1.62 → 4.43 s at sf1). The occurrence-keyed aggregates
+    //      below each collapse map-side straight off the cached arrays;
+    //      three cheap passes beat two expensive ones.
     val tkc = array_remove(
       split(lowerRoot(col(textCol)), "[^a-z0-9]+"), "")
-    val docGrams = docs.select(col(idCol), tkc.as("__tk"))
-      .select(col(idCol), explode(concat(
-        graft.functions.GraftExtensions.word_ngrams(col("__tk"), 2),
-        col("__tk"))).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+    val base = docs.select(col(idCol), tkc.as("__tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val order = size(split(col("__g"), " "))
-    val docBi = docGrams.filter(order === 2)
-    val uniAll = docGrams.filter(order === 1)
-      .groupBy(col("__g")).agg(sum(col("__n")).as("__c1"))
-      .withColumnRenamed("__g", "__term")
+    val occ = base.select(col(idCol),
+      explode(graft.functions.GraftExtensions.word_ngrams(col("__tk"), 2)).as("__g"))
+    val docBi = occ.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+    val uniAll = base.select(explode(col("__tk")).as("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__c1"))
     val uni =
       if (maxVocab == Int.MaxValue) uniAll
       else uniAll.orderBy(col("__c1").desc, col("__term")).limit(maxVocab)
     val vocabSize = uni.agg(count(lit(1)).as("__v"))
-    // Corpus-wide bigram counts: doc-count sums off the cached frame
-    // (identical integers to counting raw occurrences).
-    val bi = docBi.groupBy(col("__g")).agg(sum(col("__n")).as("__c2"))
+    // Corpus-wide bigram counts straight off the occurrence stream
+    // (map-side combined).
+    val bi = occ.groupBy(col("__g")).agg(count(lit(1)).as("__c2"))
     val scored =
       if (hotKeys > 0) SkewJoin.hotKeyJoin(docBi, bi, Seq("__g"), hotKeys)
       else docBi.join(bi, Seq("__g"))

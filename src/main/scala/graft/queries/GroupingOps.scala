@@ -30,10 +30,15 @@ object GroupingOps {
   // G4 — single-multiplicity element: distinct-with-cardinality-guard
   // (collecting/utils.rs:29-72): 0 → null, 1 → the value, >1 → flagged
   // (the collector raises; here the flag is emitted for the oracle).
+  // countDistinct plans as TWO exchanges (partial by (key, value),
+  // re-shuffle by key); a bounded collect_set is ONE exchange carrying
+  // partially-merged sets — size-safe because per-order distinct
+  // suppkeys are line-count-bounded (≤ 7), document-sized state, not
+  // data-sized. size() is INT, cast back to countDistinct's BIGINT.
   private val g4: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .agg(size(collect_set(col("l_suppkey"))).cast("long").as("n_supp"))
       .select(col("l_orderkey"), col("n_supp"),
         (col("n_supp") === 1).as("is_single"))
   private val g4Sql =
@@ -43,12 +48,18 @@ object GroupingOps {
 
   // G5 — distinct (observation, onset)-style pair sets per key
   // (hpo_in_header_collector.rs:43-78): pair cardinality per group.
+  // distinct-then-count re-shuffled the deduped rows a second time
+  // (exchange by (key, flag, status), then by key); one bounded
+  // collect_set of the pair struct is a single key-partitioned
+  // exchange — per-order pair cardinality is capped by
+  // |returnflag| × |linestatus| (= 6), so the set state is constant-
+  // sized. struct() is never null, so rows with null members survive
+  // exactly as distinct() kept them; cast restores count()'s BIGINT.
   private val g5: Q = (s, dir) =>
     Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
-      .distinct()
       .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(size(collect_set(struct(col("l_returnflag"), col("l_linestatus"))))
+        .cast("long").as("n_pairs"))
   private val g5Sql =
     """SELECT l_orderkey, count(*) AS n_pairs FROM (
       |  SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem) t

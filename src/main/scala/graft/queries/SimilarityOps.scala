@@ -503,9 +503,23 @@ object SimilarityOps {
   // Recall@5 of the LSH index against brute force (ops.Similarity
   // .recallAtK) — both sides are the already-oracle-proven queries, so
   // the metric composes their CTEs and must hash-match end to end.
+  // The two legs reference the SAME embeddings scan five times (brute
+  // corpus + query sides, LSH bucket corpus + query sides, LSH scoring
+  // re-join): persist the loaded frame so one parquet scan serves every
+  // subtree per action (guide §5 multi-consumer reuse). Results are
+  // unchanged — the rounding the standalone brute/lsh entries apply is
+  // projection-only and recallAtK never reads cos_sim.
   private val recallEval: Q = (s, dir) => {
-    val exact = brute(s, dir).select(col("query_id"), col("neighbor_id"))
-    val approx = lsh(s, dir).select(col("query_id"), col("neighbor_id"))
+    val emb = Tables.load(s, dir, "embeddings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.bucketedTopK(
+        emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 5,
+        Similarity.coordinateSketches(bits = 4, tables = 4))
+      .select(col("query_id"), col("neighbor_id"))
     Similarity.recallAtK(approx, exact, "query_id", "neighbor_id")
   }
   private val recallEvalSql =
