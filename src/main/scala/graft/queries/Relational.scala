@@ -353,16 +353,32 @@ object Relational {
   // breaks the hash-match instead of hiding in a rows-only check.
   private val qApprox: Q = (s, dir) => {
     val l = li(s, dir)
+    // The sketches are computed in SEPARATE aggregates on purpose. One
+    // combined groupBy(flag).agg(approx_cd, count_distinct, percentile)
+    // plans the distinct rewrite with the OTHER sketches dragged into
+    // the per-(flag, partkey) partial phase: every distinct partkey
+    // carries its own 410-long HLL register array AND percentile buffer
+    // through four ObjectHashAggregate stages (~3 KB of sketch state
+    // per distinct key — plans/r12/q_approx_sketches_before.txt, nodes
+    // 4–9, Results [413]). Split, the percentile aggregate holds one
+    // buffer per flag (3 keys, hash-based), and the distinct pass is a
+    // whole-stage-codegen HashAggregate over (flag, partkey) with NO
+    // sketch state; the HLL then runs over the distinct rows — register-
+    // identical to running it over all rows (HLL updates are duplicate-
+    // insensitive), so the estimate and both verdicts are byte-equal.
+    // count(l_partkey) (not count(*)) keeps count_distinct's skip-null
+    // rule. Measured sf0.1: 7.19 s -> see OPTIMIZATION_r12.md.
+    //
     // TWO consumers (the rank-fraction join below and the final join)
-    // would each re-run this whole aggregate — and its exact
-    // count_distinct is the query's dominant cost (the distinct
-    // expansion over every lineitem row; measured as ~half the 82 s
-    // sf10 row). The frame is ≤ |returnflag| rows: persist it so the
-    // exact/approx pass runs once.
-    val agg = l.groupBy(col("l_returnflag")).agg(
-      approx_count_distinct(col("l_partkey"), 0.02).as("__approx_parts"),
-      count_distinct(col("l_partkey")).as("exact_parts"),
+    // would each re-run these aggregates; the frame is ≤ |returnflag|
+    // rows: persist it so the exact/approx pass runs once.
+    val med = l.groupBy(col("l_returnflag")).agg(
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__approx_median"))
+    val dist = l.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("__approx_parts"),
+        count(col("l_partkey")).as("exact_parts"))
+    val agg = dist.join(med, Seq("l_returnflag"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranks = l
       .join(agg.select(col("l_returnflag"), col("__approx_median")), Seq("l_returnflag"))
